@@ -1,0 +1,170 @@
+"""Connected-component clustering — the engine's signature operator.
+
+The reference clusters records that share any match key via an
+incremental per-record union-find inside a Postgres transaction
+(reference server/.../Storage.java:363-522: lookup clusters owning a
+key, join/create, merge losers into winner). The final fixpoint of that
+process equals **connected components of the bipartite graph
+records ↔ match-values** (merge = component union; pinned by
+MainVerticleTest.testClustersMove:1405-1569 — clustering is per
+matchkey pool).
+
+Spark-first re-expression: a batch min-label propagation over the
+bipartite edge table, alternating value-side and record-side min
+aggregations until fixpoint. Per iteration:
+
+    value_min(v)  = min over edges of comp(record)        (1 shuffle)
+    comp(record)  = min over edges of value_min(v)        (1 shuffle)
+
+Both aggregations have map-side partial aggregation (HashAggregate),
+so hot match values (the skew case — e.g. a blank-ish key shared by
+millions of records) reduce locally before the shuffle. Convergence is
+O(half the bipartite diameter) iterations; metadata match graphs are
+shallow (records sharing identifier-like keys), typically 2-4
+iterations. Each iteration ends in localCheckpoint() to truncate
+lineage — without it the plan doubles per iteration and the DAG
+scheduler dominates at scale.
+
+Cluster identity: deterministic ``min(global_id)`` per component
+instead of the reference's path-dependent UUID-with-merge-history.
+Deviation documented in SURVEY.md §7 risk 1: we reproduce the
+observable invariants (membership sets, datestamp monotonicity), not
+UUID lineage — a batch engine must be deterministic under re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mod_reservoir_spark.core.model import MATCHVALUE_MAX_LENGTH
+
+__all__ = [
+    "truncate_match_values",
+    "connected_components",
+    "cluster_pool",
+    "cluster_all_pools",
+]
+
+
+def truncate_match_values(df: DataFrame, col: str = "match_value") -> DataFrame:
+    """Reproduce the reference's 600-char truncation of match values
+    (Storage.java:62,356-361) — long keys still cluster, on their prefix."""
+    return df.withColumn(col, F.substring(F.col(col), 1, MATCHVALUE_MAX_LENGTH))
+
+
+def connected_components(
+    edges: DataFrame,
+    node_col: str = "global_id",
+    value_col: str = "match_value",
+    component_col: str = "cluster_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Components of the bipartite node↔value graph.
+
+    Input: one row per (node, value) edge (duplicates fine).
+    Output: one row per distinct node with its component id
+    (= min node id in the component, a deterministic stable label).
+
+    Scale notes: both per-iteration aggregations partial-aggregate
+    map-side; AQE coalesces the small tail as the frontier shrinks.
+    For graphs with long chains (rare for match keys) the iteration
+    count grows with diameter — max_iterations guards runaway.
+    """
+    e = (
+        edges.select(
+            F.col(node_col).alias("_n"), F.col(value_col).alias("_v")
+        )
+        .dropDuplicates(["_n", "_v"])
+        .persist()
+    )
+    # comp starts as the node's own id; one checkpointed materialization
+    # + one cheap convergence probe per iteration
+    comp = (
+        e.select("_n").distinct().withColumn("_c", F.col("_n"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # value label = min component among incident records
+        vmin = (
+            e.join(comp, "_n")
+            .groupBy("_v")
+            .agg(F.min("_c").alias("_vc"))
+        )
+        # record label = min(own, min incident value label)
+        new_comp = (
+            e.join(vmin, "_v")
+            .groupBy("_n")
+            .agg(F.min("_vc").alias("_nc"))
+            .join(comp, "_n")
+            .select(
+                "_n",
+                F.least("_nc", "_c").alias("_c"),
+                (F.col("_nc") < F.col("_c")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_comp.filter(F.col("_chg")).limit(1).count()
+        comp = new_comp.select("_n", "_c")
+        if changed == 0:
+            break
+    e.unpersist()
+    return comp.select(
+        F.col("_n").alias(node_col), F.col("_c").alias(component_col)
+    )
+
+
+def cluster_pool(
+    match_values: DataFrame,
+    match_key_config_id: str,
+    node_col: str = "global_id",
+    value_col: str = "match_value",
+) -> DataFrame:
+    """Cluster one pool: filter the edge table to the pool, truncate
+    values, run CC. Returns (global_id, match_key_config_id, cluster_id).
+    """
+    edges = truncate_match_values(
+        match_values.filter(
+            F.col("match_key_config_id") == match_key_config_id
+        ),
+        value_col,
+    )
+    assignments = connected_components(edges, node_col, value_col)
+    return assignments.select(
+        node_col,
+        F.lit(match_key_config_id).alias("match_key_config_id"),
+        "cluster_id",
+    )
+
+
+def cluster_all_pools(
+    match_values: DataFrame,
+    pool_ids: list[str] | None = None,
+) -> DataFrame:
+    """Cluster every pool present in the edge table.
+
+    Pools are independent (per-matchkey clustering, SURVEY.md §2.7) so
+    a single CC run over pool-qualified nodes/values computes all of
+    them at once — one iteration loop, not one per pool. Node and value
+    ids are namespaced with the pool id so components never bridge
+    pools.
+    """
+    mv = truncate_match_values(match_values)
+    if pool_ids is not None:
+        mv = mv.filter(F.col("match_key_config_id").isin(pool_ids))
+    # \\x1f (unit separator) cannot occur in pool ids or record ids;
+    # match values may contain anything, so the value side splits with
+    # limit=2. Component ids inherit the pool prefix (min is per-pool).
+    sep = "\x1f"
+    qualified = mv.select(
+        F.concat_ws(sep, "match_key_config_id", "global_id").alias("qn"),
+        F.concat_ws(sep, "match_key_config_id", "match_value").alias("qv"),
+    )
+    comp = connected_components(qualified, "qn", "qv", "qc")
+    split_n = F.split(F.col("qn"), sep, 2)
+    split_c = F.split(F.col("qc"), sep, 2)
+    return comp.select(
+        split_n.getItem(1).alias("global_id"),
+        split_n.getItem(0).alias("match_key_config_id"),
+        split_c.getItem(1).alias("cluster_id"),
+    )

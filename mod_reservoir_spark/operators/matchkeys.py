@@ -1,0 +1,117 @@
+"""Match-key extraction: global_records → record_match_values edges.
+
+The reference resolves each matchkey config to a matcher (jsonpath or
+JavaScript module) and calls it per record on a worker thread
+(reference server/.../Storage.java:309-351). We resolve to either a
+compiled jsonpath evaluator or a registered Python function, and run it
+as one Arrow-batched Pandas UDF over the records — dedup (HashSet in
+Storage.java:356-358) becomes array_distinct, 600-char truncation
+happens in the clustering operator.
+
+`update ∈ {ingest, manual}` (Storage.java:312-314): manual pools are
+skipped at ingest time and only populated by `initialize_pool` (full
+rebuild) — enforced by the caller passing the right config subset.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from mod_reservoir_spark.functions.jsonpath import compile_jsonpath
+
+# registry of named python matcher modules: "module::function"
+_PY_MODULES: dict[str, Callable[[dict], list[str]]] = {}
+
+
+def register_module(name: str, fn: Callable[[dict], list[str]]):
+    """Register a Python matcher (replaces the reference's GraalVM JS
+    code modules, module/impl/ModuleJavaScript.java:30-105 — same
+    contract: payload dict in, collection of key strings out)."""
+    _PY_MODULES[name] = fn
+
+
+def get_module(name: str) -> Callable[[dict], list[str]]:
+    return _PY_MODULES[name]
+
+
+def _matcher_fn(config: dict) -> Callable[[dict], list[str]]:
+    """Resolve a match_key_config row to payload→keys callable.
+
+    config keys: id, matcher ("module::function" or None),
+    method ("jsonpath"), params (JSON string, e.g. {"expr": "$..."}).
+    """
+    matcher = config.get("matcher")
+    if matcher:
+        name = matcher.split("::")[0] if "::" in matcher else matcher
+        fn = _PY_MODULES.get(matcher) or _PY_MODULES.get(name)
+        if fn is None:
+            raise KeyError(f"unregistered matcher module: {matcher!r}")
+        return fn
+    if config.get("method") == "jsonpath":
+        params = config.get("params")
+        params = json.loads(params) if isinstance(params, str) else (params or {})
+        evaluate = compile_jsonpath(params["expr"])
+        return evaluate
+    raise ValueError(f"matchkey config {config.get('id')!r} has no matcher/method")
+
+
+def matcher_udf(config: dict):
+    fn = _matcher_fn(config)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def extract(payload: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None:
+                return []
+            try:
+                obj = json.loads(s)
+            except (ValueError, TypeError):
+                return []
+            try:
+                vals = fn(obj)
+            except Exception:
+                return []
+            out = []
+            for v in vals or []:
+                if isinstance(v, str):
+                    out.append(v)
+                elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                    out.append(str(int(v)) if float(v).is_integer() else str(v))
+            return out
+
+        return payload.map(one)
+
+    return extract
+
+
+def extract_match_values(
+    records: DataFrame, configs: list[dict]
+) -> DataFrame:
+    """Run every (ingest-mode) matcher over the records and union the
+    edge tables: (global_id, match_key_config_id, match_value).
+
+    One pass per pool; each is a narrow map + explode (no shuffle).
+    Values are deduped per record (set semantics, Storage.java:356-358).
+    """
+    parts = []
+    for cfg in configs:
+        udf = matcher_udf(cfg)
+        parts.append(
+            records.select(
+                "global_id",
+                F.lit(cfg["id"]).alias("match_key_config_id"),
+                F.explode(
+                    F.array_distinct(udf(F.col("payload")))
+                ).alias("match_value"),
+            ).filter(F.col("match_value").isNotNull() & (F.col("match_value") != ""))
+        )
+    if not parts:
+        raise ValueError("no matchkey configs supplied")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

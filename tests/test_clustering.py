@@ -1,0 +1,290 @@
+"""Clustering semantics pinned by the reference's integration tests
+(FIXTURES.md §F3; reference MainVerticleTest.java scenarios)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from mod_reservoir_spark.operators.clustering import (
+    cluster_all_pools,
+    connected_components,
+    truncate_match_values,
+)
+from mod_reservoir_spark.operators.clusters import (
+    build_clusters,
+    get_clusters,
+    latest_version_per_source,
+    matchkey_stats,
+)
+from mod_reservoir_spark.operators.matchkeys import extract_match_values
+from mod_reservoir_spark.streaming.ingest import ingest_batch
+
+ISSN_CFG = {
+    "id": "issn",
+    "method": "jsonpath",
+    "params": json.dumps({"expr": "$.inventory.issn[*]"}),
+    "update": "ingest",
+}
+ISBN_CFG = {
+    "id": "isbn",
+    "method": "jsonpath",
+    "params": json.dumps({"expr": "$.inventory.isbn[*]"}),
+    "update": "ingest",
+}
+
+
+def payload(issn=None, isbn=None):
+    return json.dumps(
+        {
+            "marc": {"leader": "00914naa  2200337   450 "},
+            "inventory": {
+                **({"issn": issn} if issn else {}),
+                **({"isbn": isbn} if isbn else {}),
+            },
+        }
+    )
+
+
+def records_df(spark, rows):
+    """rows: (local_id, source_id, version, payload_json)"""
+    df = spark.createDataFrame(
+        rows, "local_id string, source_id string, source_version int, payload string"
+    )
+    return df.withColumn(
+        "global_id", F.md5(F.concat_ws("", "local_id", "source_id", "source_version"))
+    ).withColumn("updated_at", F.current_timestamp())
+
+
+def memberships(assignments, records):
+    """{cluster_id: frozenset(local_ids)} for assertion convenience."""
+    rows = assignments.join(records, "global_id").select(
+        "cluster_id", "local_id"
+    ).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.cluster_id, set()).add(r.local_id)
+    return {k: frozenset(v) for k, v in out.items()}
+
+
+def test_same_key_one_cluster(spark):
+    # reference testClustersSameKey:1320-1366
+    recs = records_df(
+        spark,
+        [
+            ("S101", "BIB1", 1, payload(issn=["1"])),
+            ("S102", "BIB1", 1, payload(issn=["1"])),
+            ("S103", "BIB1", 1, payload(issn=["1"])),
+        ],
+    )
+    values = extract_match_values(recs, [ISSN_CFG])
+    assignments = cluster_all_pools(values)
+    sets = set(memberships(assignments, recs).values())
+    assert sets == {frozenset({"S101", "S102", "S103"})}
+
+
+def test_per_pool_independence_and_merge(spark):
+    # reference testClustersMove:1405-1469
+    recs = records_df(
+        spark,
+        [
+            ("S101", "BIB1", 1, payload(isbn=["1"], issn=["01"])),
+            ("S102", "BIB1", 1, payload(isbn=["2", "3"], issn=["01"])),
+        ],
+    )
+    values = extract_match_values(recs, [ISSN_CFG, ISBN_CFG])
+    assignments = cluster_all_pools(values)
+    issn_sets = set(
+        memberships(
+            assignments.filter(F.col("match_key_config_id") == "issn"), recs
+        ).values()
+    )
+    isbn_sets = set(
+        memberships(
+            assignments.filter(F.col("match_key_config_id") == "isbn"), recs
+        ).values()
+    )
+    assert issn_sets == {frozenset({"S101", "S102"})}
+    assert isbn_sets == {frozenset({"S101"}), frozenset({"S102"})}
+
+    # update S102 to share isbn "1" → isbn clusters merge (transitive)
+    recs2 = records_df(
+        spark,
+        [
+            ("S101", "BIB1", 1, payload(isbn=["1"], issn=["01"])),
+            ("S102", "BIB1", 1, payload(isbn=["1", "2", "3"], issn=["01"])),
+        ],
+    )
+    values2 = extract_match_values(recs2, [ISBN_CFG])
+    assignments2 = cluster_all_pools(values2)
+    isbn_sets2 = set(memberships(assignments2, recs2).values())
+    assert isbn_sets2 == {frozenset({"S101", "S102"})}
+
+
+def test_transitive_chain_merge(spark):
+    # A-B share k1, B-C share k2, C-D share k3 → one component
+    recs = records_df(
+        spark,
+        [
+            ("A", "S", 1, payload(isbn=["k1"])),
+            ("B", "S", 1, payload(isbn=["k1", "k2"])),
+            ("C", "S", 1, payload(isbn=["k2", "k3"])),
+            ("D", "S", 1, payload(isbn=["k3"])),
+            ("E", "S", 1, payload(isbn=["other"])),
+        ],
+    )
+    values = extract_match_values(recs, [ISBN_CFG])
+    assignments = cluster_all_pools(values)
+    sets = set(memberships(assignments, recs).values())
+    assert sets == {frozenset({"A", "B", "C", "D"}), frozenset({"E"})}
+
+
+def test_large_key_truncation(spark):
+    # reference testClustersLargeKey:1369-1403 — 3600-char values that
+    # agree on the first 600 chars cluster together
+    long1 = "x" * 600 + "AAAA"
+    long2 = "x" * 600 + "BBBB"
+    recs = records_df(
+        spark,
+        [
+            ("L1", "S", 1, payload(isbn=[long1])),
+            ("L2", "S", 1, payload(isbn=[long2])),
+        ],
+    )
+    values = extract_match_values(recs, [ISBN_CFG])
+    assert (
+        truncate_match_values(values)
+        .select(F.max(F.length("match_value")))
+        .collect()[0][0]
+        == 600
+    )
+    assignments = cluster_all_pools(values)
+    sets = set(memberships(assignments, recs).values())
+    assert sets == {frozenset({"L1", "L2"})}
+
+
+def test_latest_version_per_source(spark):
+    # reference ClusterBuilder.latest:72-96 / testOaiSourceVersions
+    recs = records_df(
+        spark,
+        [
+            ("S1", "BIB1", 1, payload(issn=["9"])),
+            ("S1", "BIB1", 2, payload(issn=["9"])),
+            ("S2", "BIB2", 1, payload(issn=["9"])),
+        ],
+    )
+    values = extract_match_values(recs, [ISSN_CFG])
+    assignments = cluster_all_pools(values)
+    members = latest_version_per_source(assignments.join(recs, "global_id"))
+    got = {
+        (r.local_id, r.source_version)
+        for r in members.select("local_id", "source_version").collect()
+    }
+    assert got == {("S1", 2), ("S2", 1)}
+
+
+def test_cluster_output_shape(spark):
+    recs = records_df(
+        spark,
+        [
+            ("S2", "B", 1, payload(issn=["7"])),
+            ("S1", "A", 1, payload(issn=["7", "8"])),
+        ],
+    )
+    values = extract_match_values(recs, [ISSN_CFG])
+    assignments = cluster_all_pools(values)
+    built = build_clusters(assignments, recs, values).collect()
+    assert len(built) == 1
+    row = built[0]
+    assert row.matchValues == ["7", "8"]
+    # deterministic member order: by (sourceId, sourceVersion, localId)
+    assert [m.localId for m in row.records] == ["S1", "S2"]
+
+
+def test_get_clusters_cql_and_paging(spark):
+    recs = records_df(
+        spark,
+        [(f"R{i:02d}", "SRC", 1, payload(issn=[str(i // 2)])) for i in range(10)],
+    )
+    values = extract_match_values(recs, [ISSN_CFG])
+    assignments = cluster_all_pools(values)
+    res = get_clusters(
+        assignments, recs, values, "issn", cql=None, limit=3, offset=0, count="exact"
+    )
+    assert res.total == 5
+    page = res.items.collect()
+    assert len(page) == 3
+    # CQL on matchValue
+    res2 = get_clusters(
+        assignments, recs, values, "issn", cql='matchValue = "3"', count="exact"
+    )
+    assert res2.total == 1
+    only = res2.items.collect()[0]
+    assert {m.localId for m in only.records} == {"R06", "R07"}
+
+
+def test_matchkey_stats(spark):
+    recs = records_df(
+        spark,
+        [
+            ("A", "S", 1, payload(issn=["1"])),
+            ("B", "S", 1, payload(issn=["1"])),
+            ("C", "S", 1, payload(issn=["2"])),
+        ],
+    )
+    values = extract_match_values(recs, [ISSN_CFG])
+    assignments = cluster_all_pools(values)
+    stats = matchkey_stats(assignments, values, "issn")
+    assert stats["clustersTotal"] == 2
+    assert stats["recordsTotal"] == 3
+    hist = {h["records"]: h["clusters"] for h in stats["recordsPerCluster"]}
+    assert hist == {1: 1, 2: 1}
+
+
+def test_ingest_batch_end_to_end(spark, warehouse):
+    rows = [
+        ("S101", "BIB1", 1, payload(issn=["1"]), None),
+        ("S102", "BIB1", 1, payload(issn=["1"]), None),
+        ("S103", "BIB1", 1, payload(issn=["2"]), None),
+    ]
+    incoming = spark.createDataFrame(
+        rows,
+        "local_id string, source_id string, source_version int, "
+        "payload string, delete boolean",
+    )
+    stats = ingest_batch(warehouse, incoming, [ISSN_CFG])
+    assert stats == {"processed": 3, "inserted": 3, "updated": 0, "deleted": 0}
+    assignments = warehouse.read("cluster_assignments")
+    recs = warehouse.read("global_records")
+    sets = set(memberships(assignments, recs).values())
+    assert sets == {frozenset({"S101", "S102"}), frozenset({"S103"})}
+    meta0 = {
+        (r.cluster_id): r.datestamp
+        for r in warehouse.read("cluster_meta").collect()
+    }
+    assert len(meta0) == 2
+
+    # batch 2: S103 gains issn=1 → merge; delete tombstone for S101
+    rows2 = [
+        ("S103", "BIB1", 1, payload(issn=["1", "2"]), None),
+    ]
+    incoming2 = spark.createDataFrame(
+        rows2,
+        "local_id string, source_id string, source_version int, "
+        "payload string, delete boolean",
+    )
+    stats2 = ingest_batch(warehouse, incoming2, [ISSN_CFG])
+    assert stats2["updated"] == 1
+    assignments2 = warehouse.read("cluster_assignments")
+    recs2 = warehouse.read("global_records")
+    sets2 = set(memberships(assignments2, recs2).values())
+    assert sets2 == {frozenset({"S101", "S102", "S103"})}
+
+
+def test_connected_components_direct(spark):
+    edges = spark.createDataFrame(
+        [("a", "v1"), ("b", "v1"), ("b", "v2"), ("c", "v2"), ("d", "v9")],
+        "global_id string, match_value string",
+    )
+    comp = connected_components(edges)
+    got = {r.global_id: r.cluster_id for r in comp.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
