@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect, no result pruning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "cql_filter",
+    "distinct_on",
+    "keyset_page",
+    "three_table_join",
+    "cluster_histogram",
+    "cluster_cc",
+    "token_stats",
+    "quality",
+    "fingerprint",
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_topk",
+    "embedding_lsh_topk",
+    "sessionize",
+    "hourly_rollup",
+    "topk_per_type",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry_mod
+    from mod_reservoir_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,323 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Design for 100 TB:
+- exact dedup is a fingerprint groupBy (map-side combinable, one
+  shuffle on the hash — never on the text);
+- near-dup candidate generation NEVER goes O(n²): Jaccard pairs are
+  blocked on low-document-frequency tokens, MinHash pairs on LSH band
+  buckets — both turn the cross join into an equi-join on a bounded
+  key, which Spark shuffles by key (and AQE skew-splits hot buckets);
+- verification (exact Jaccard) is candidate-driven: shingle sets are
+  joined TO the candidate pairs on doc_id, so cost is
+  O(candidates × shingles/doc), never O(corpus²).
+
+Every hash derives from md5 (not Spark's murmur3) so the DuckDB oracle
+reproduces it bit-for-bit:
+    shingle_hash h = bigint(first 7 hex digits of md5(shingle))  # 28 bits
+    minhash_i      = (A_i*h + B_i) mod (2^31-1)
+28-bit base hashes keep every product < 2^40 — no bigint overflow in
+either engine (Spark 4 runs ANSI mode: overflow would throw, not wrap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mod_reservoir_spark.pipeline.text import ppm, tokens
+
+MERSENNE_P31 = (1 << 31) - 1
+# deterministic per-permutation constants (odd, fixed — no RNG so the
+# oracle and every re-run agree)
+_A = [2 * i + 1 for i in range(1, 65)]
+_B = [6619 * i + 7919 for i in range(1, 65)]
+
+
+def hex7_to_long(col):
+    """First 7 hex digits of md5 → non-negative bigint (28 bits).
+    DuckDB equivalent: ('0x' || substr(md5(x),1,7))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def minhash_expr(i: int, h):
+    return (h * _A[i] + _B[i]) % MERSENNE_P31
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one row per
+    duplicate group with the keeper (min doc_id) and group size."""
+    normalized = F.concat_ws(" ", tokens(text_col))
+    return (
+        docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    t = tokens(text_col)
+    if n == 1:
+        sh = F.array_distinct(t)
+    else:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+        sh = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        )
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).filter(
+        F.col("shingle") != ""
+    )
+
+
+def _verified_jaccard(cand: DataFrame, sh: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs, candidate-driven: intersect
+    each pair's shingle sets via two equi-joins on doc_id + shingle."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .fillna(0, ["n_common"])
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard_ppm",
+            ppm(
+                F.col("n_common"),
+                F.col("n_a") + F.col("n_b") - F.col("n_common"),
+            ),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold_ppm: int = 500000,
+    max_block_df: int = 50,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over word-shingle sets,
+    with document-frequency blocking.
+
+    Candidate pairs = documents sharing at least one *blocking* shingle
+    (2 ≤ document frequency ≤ max_block_df). |A∩B| is then counted over
+    ALL shared shingles of the candidates, so the result equals the
+    unblocked Jaccard for every pair sharing any rare shingle — the
+    standard scalable trade: pairs whose overlap is exclusively
+    ultra-common shingles are not candidates.
+
+    Output: (doc_a, doc_b, n_a, n_b, n_common, jaccard_ppm) with
+    jaccard as exact integer parts-per-million, doc_a < doc_b.
+    """
+    sh = word_shingles(docs, text_col, shingle_n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    blocking = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") <= max_block_df) & (F.col("df") >= 2))
+        .select("shingle")
+    )
+    blocked = sh.join(blocking, "shingle")
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    out = (
+        _verified_jaccard(cand, sh, sizes)
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard_ppm")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures over word
+    shingles. One narrow pass: explode shingles, md5-hash once, then
+    num_hashes affine permutations aggregated with min — a single
+    groupBy(doc_id), map-side combinable."""
+    sh = word_shingles(docs, text_col, shingle_n)
+    h = hex7_to_long(F.col("shingle"))
+    aggs = [
+        F.min(minhash_expr(i, h)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold_ppm: int = 500000,
+) -> DataFrame:
+    """MinHash + LSH near-dup detection: band the signature, bucket-join
+    for candidates, verify candidates with exact Jaccard.
+
+    Output: (doc_a, doc_b, est_ppm, jaccard_ppm) for verified pairs.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, num_hashes, shingle_n).persist()
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col("sig").getItem(b * rows + r).cast("string") for r in range(rows)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_entries)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    est = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "est_ppm",
+            ppm(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                ),
+                F.lit(num_hashes),
+            ),
+        )
+        .select("doc_a", "doc_b", "est_ppm")
+    )
+    sh = word_shingles(docs, text_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    out = (
+        _verified_jaccard(est, sh, sizes)
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "est_ppm", "jaccard_ppm")
+    )
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 24) -> DataFrame:
+    """SimHash fingerprints: per-token md5-derived bit pattern, sum ±1
+    votes per bit position, sign → packed bits. One explode + one
+    groupBy(doc_id) with per-bit conditional sums (all JVM expressions).
+
+    24 bits (base hash is 28 bits) — packed value comfortably inside a
+    signed bigint in both engines."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = hex7_to_long(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    packed = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed + bit
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 24,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    Candidates are blocked on bit-bands (pigeonhole: with 3 bands of 8
+    bits and distance ≤ 2, at least one band matches exactly); hamming
+    verified via bit_count(xor)."""
+    s = simhash(docs, text_col, bits)
+    n_bands = bits // block_bits
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1))
+            .alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = s.select(
+        "doc_id", F.col("simhash"), F.explode(F.array(*band_entries)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    pairs = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a query-set × corpus equi-free
+join. Expressed with JVM-side higher-order functions (zip_with +
+aggregate), so no Python in the loop; the corpus side broadcasts when
+small, otherwise Spark shuffles the (tiny) query side to every corpus
+partition.
+
+Scale path: LSH-bucketed ANN (random-hyperplane signs from
+deterministic md5-derived planes) — candidates share a signature
+prefix bucket, so the join is an equi-join on the bucket key; recall
+is tunable with n_tables. IVF (k-means coarse quantizer) is the other
+standard route; its Spark shape is identical (assign → equi-join on
+centroid id), so the LSH implementation doubles as the template.
+
+Scores are computed in double precision and rounded to 6 decimals so
+the DuckDB oracle (list_cosine_similarity) compares exactly; ranking
+tie-breaks on neighbor id — fully deterministic output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (excluding itself).
+
+    Output: (query_id, neighbor_id, score, rank) — score rounded to 6
+    decimals, rank dense by (score desc, neighbor_id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _plane_component(t: int, p: int, d: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1):
+    md5("t:p:d") → first 7 hex digits → 28-bit int → scale. Computed at
+    plan-build time (data-independent), embedded as literals — the
+    executor does pure arithmetic, no per-row hashing."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:7], 16)
+    return h / float(1 << 27) - 1.0
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH signatures. Plane components are
+    deterministic md5-derived values — reproducible across engines and
+    runs, no RNG state — materialized as literal arrays so the
+    projection is a plain zip_with dot product per (table, plane).
+
+    Output: (vec_id, table, bucket) — one row per hash table.
+    """
+    sig_entries = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(
+                *[F.lit(_plane_component(t, p, d)) for d in range(dim)]
+            )
+            proj = F.aggregate(
+                F.zip_with(F.col("v"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        sig_entries.append(
+            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bucket"))
+        )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .select("vec_id", F.explode(F.array(*sig_entries)).alias("tb"))
+        .select("vec_id", "tb.table", "tb.bucket")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: candidates share an LSH bucket in any table; exact
+    cosine re-scoring on candidates only. Same output shape as
+    cosine_topk (a strict subset of its rows when recall < 1)."""
+    sig = lsh_signatures(embeddings, n_planes, n_tables, id_col, vec_col, dim)
+    qsig = sig.join(
+        queries.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+    ).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        qsig.join(sig.withColumnRenamed("vec_id", "neighbor_id"), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

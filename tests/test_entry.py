@@ -1,0 +1,47 @@
+"""Driver-contract sanity: queries()/oracle_sql() stay consistent and a
+sample of oracle comparisons passes at sf0.001 (the full sweep is
+tools/oracle_check.py)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as em
+from tools.oracle_check import TABLES, table_hash
+
+SF = "/root/testdata/sf0.001"
+
+SAMPLE = ["cql_filter", "cluster_cc", "fingerprint", "keyset_page"]
+
+
+def test_contract_shape():
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    assert len(qs) >= 25
+    unknown = set(oracles) - set(qs)
+    assert not unknown, f"oracle without query: {unknown}"
+    # every query is callable
+    for fn in qs.values():
+        assert callable(fn)
+
+
+def test_entry_smoke(spark):
+    df = em.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["record_id", "cluster_id"]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_oracle_sample(spark, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sdf = em.queries()[name](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(em.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert table_hash(srows, sdf.columns) == table_hash(drows, dcols)
