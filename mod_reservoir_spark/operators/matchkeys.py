@@ -27,6 +27,15 @@ from mod_reservoir_spark.functions.jsonpath import compile_jsonpath
 _PY_MODULES: dict[str, Callable[[dict], list[str]]] = {}
 
 
+def _register_builtins():
+    """Built-in matcher modules (the reference ships goldrush as a JS
+    code module; ours is the Python port, same invocation name)."""
+    from mod_reservoir_spark.functions.goldrush import goldrush_keys
+
+    _PY_MODULES.setdefault("goldrush::matchkey", goldrush_keys)
+    _PY_MODULES.setdefault("goldrush", goldrush_keys)
+
+
 def register_module(name: str, fn: Callable[[dict], list[str]]):
     """Register a Python matcher (replaces the reference's GraalVM JS
     code modules, module/impl/ModuleJavaScript.java:30-105 — same
@@ -35,6 +44,7 @@ def register_module(name: str, fn: Callable[[dict], list[str]]):
 
 
 def get_module(name: str) -> Callable[[dict], list[str]]:
+    _register_builtins()
     return _PY_MODULES[name]
 
 
@@ -46,6 +56,7 @@ def _matcher_fn(config: dict) -> Callable[[dict], list[str]]:
     """
     matcher = config.get("matcher")
     if matcher:
+        _register_builtins()
         name = matcher.split("::")[0] if "::" in matcher else matcher
         fn = _PY_MODULES.get(matcher) or _PY_MODULES.get(name)
         if fn is None:

@@ -153,7 +153,30 @@ def recluster_pools(
     values = truncate_match_values(
         extract_match_values(records, configs)
     ).localCheckpoint(eager=True)
-    assignments = cluster_all_pools(values, pool_ids).localCheckpoint(eager=True)
+    clustered = cluster_all_pools(values, pool_ids)
+    # the reference assigns EVERY record a cluster per pool, including
+    # records whose matcher produced no values (singleton cluster, empty
+    # matchValues — Storage.java:441-484); CC only covers records with
+    # edges, so add the valueless records as self-clusters
+    singletons = []
+    all_ids = records.select("global_id").distinct()
+    for pid in pool_ids:
+        pool_ids_with_values = (
+            values.filter(F.col("match_key_config_id") == pid)
+            .select("global_id")
+            .distinct()
+        )
+        singletons.append(
+            all_ids.join(pool_ids_with_values, "global_id", "left_anti")
+            .select(
+                "global_id",
+                F.lit(pid).alias("match_key_config_id"),
+                F.col("global_id").alias("cluster_id"),
+            )
+        )
+    for s in singletons:
+        clustered = clustered.unionByName(s)
+    assignments = clustered.localCheckpoint(eager=True)
 
     old_values = wh.read("record_match_values")
     keep_values = old_values.filter(~F.col("match_key_config_id").isin(pool_ids))
