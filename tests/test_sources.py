@@ -1,0 +1,138 @@
+"""Format-source tests against the reference's golden fixtures
+(FIXTURES.md §F5), read from the read-only reference tree."""
+
+import json
+import os
+
+import pytest
+
+from mod_reservoir_spark.sources.ingest_records import group_ingest_records
+from mod_reservoir_spark.sources.iso2709 import parse_iso2709
+from mod_reservoir_spark.sources.jsonarray import parse_envelope
+from mod_reservoir_spark.sources.marcxml import fix_xml_bytes, parse_marcxml
+
+RES = "/root/reference/util/src/test/resources"
+SRES = "/root/reference/server/src/test/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(RES), reason="reference fixtures not present"
+)
+
+
+def read(p):
+    return open(p, "rb").read()
+
+
+def test_iso2709_marc3_roundtrip_vs_xml():
+    """ISO2709 and MARCXML decodes of the same records agree.
+
+    Records 1-2 are ASCII: full field equality. Record 3 is MARC-8
+    with escape sequences — the reference converts via marc4j's MARC-8
+    tables (not yet ported; documented limitation), so only structure
+    (tag sequence, control fields) is compared there."""
+    iso = list(parse_iso2709(read(f"{RES}/marc3.marc")))
+    xml = list(parse_marcxml(read(f"{RES}/marc3.xml")))
+    assert len(iso) == len(xml) == 3
+    for a, b in zip(iso[:2], xml[:2]):
+        assert a["fields"] == b["fields"]
+    tags = lambda r: [t for f in r["fields"] for t in f]  # noqa: E731
+    assert tags(iso[2]) == tags(xml[2])
+    # control fields are ASCII even in the MARC-8 record
+    ctl = lambda r: [f for f in r["fields"] for t in f if t < "010"]  # noqa: E731
+    assert ctl(iso[2]) == ctl(xml[2])
+
+
+def test_iso2709_framing_tolerates_junk():
+    data = read(f"{RES}/marc3.marc")
+    recs = list(parse_iso2709(data))
+    # insert ≤4 junk bytes between records
+    framed = b""
+    for raw in [data]:
+        framed = raw
+    junky = framed[:942] + b"\n\n" + framed[942:]
+    assert len(list(parse_iso2709(junky))) == len(recs)
+
+
+def test_marcxml_record10():
+    recs = list(parse_marcxml(read(f"{RES}/record10.xml")))
+    assert len(recs) == 10
+    for r in recs:
+        assert "leader" in r and r["fields"]
+
+
+def test_delete_tombstone_marker():
+    # the fixture deliberately contains an invalid character reference
+    # → exercises the XmlFixer path (reference XmlFixerMapper)
+    recs = list(parse_marcxml(read(f"{SRES}/marc1-delete.xml"), xml_fixing=True))
+    ingest = list(group_ingest_records(recs))
+    assert any(i["delete"] for i in ingest)
+
+
+def test_no_id_record_has_no_local_id():
+    recs = list(parse_marcxml(read(f"{SRES}/marc3-no-id.xml")))
+    ingest = list(group_ingest_records(recs))
+    assert any(i["localId"] is None for i in ingest)
+
+
+def test_holdings_grouping_mfhd():
+    recs = list(parse_iso2709(read(f"{RES}/mfhd.marc")))
+    ingest = list(group_ingest_records(recs))
+    held = [i for i in ingest if i["payload"].get("marcHoldings")]
+    assert held, "expected at least one bib with attached holdings"
+    for i in ingest:
+        assert "marc" in i["payload"]
+
+
+def test_holdings_without_parent_skipped_or_strict():
+    recs = list(parse_iso2709(read(f"{RES}/mfhd-no-parent.marc")))
+    assert list(group_ingest_records(recs, strict=False)) is not None
+    from mod_reservoir_spark.sources.ingest_records import (
+        HoldingsWithoutParent,
+    )
+
+    if recs and any(
+        any(tag == "004" for f in r["fields"] for tag in f) for r in recs[:1]
+    ):
+        with pytest.raises(HoldingsWithoutParent):
+            list(group_ingest_records(recs, strict=True))
+
+
+def test_xml_fixer_bad_entities():
+    fixed = fix_xml_bytes(read(f"{RES}/small-bad-entities.xml"))
+    recs = list(parse_marcxml(fixed))
+    assert isinstance(recs, list)
+
+
+def test_json_envelope_records_in():
+    ingest = list(parse_envelope(read(f"{RES}/records-in.json")))
+    assert ingest
+    first = ingest[0]
+    assert first["local_id"] == "a1"
+    payload = json.loads(first["payload"])
+    assert "marc" in payload and payload["marc"]["fields"]
+
+
+def test_spark_end_to_end_marcxml_ingest(spark, warehouse):
+    """record10.xml → read_marcxml → ingest mapper → ingest_batch →
+    10 records in the warehouse, each its own goldrush-less pool."""
+    from mod_reservoir_spark.sources.ingest_records import marc_df_to_ingest
+    from mod_reservoir_spark.sources.marcxml import read_marcxml
+    from mod_reservoir_spark.streaming.ingest import ingest_batch
+
+    marc_df = read_marcxml(spark, f"{RES}/record10.xml")
+    ingest_df = marc_df_to_ingest(marc_df, "XMLSRC")
+    cfg = {
+        "id": "title",
+        "method": "jsonpath",
+        "params": json.dumps({"expr": "$.marc.fields[*].001"}),
+        "update": "ingest",
+    }
+    stats = ingest_batch(warehouse, ingest_df, [cfg])
+    assert stats["processed"] == 10
+    assert warehouse.read("global_records").count() == 10
+    assert (
+        warehouse.read("cluster_assignments")
+        .filter("match_key_config_id = 'title'")
+        .count()
+        == 10
+    )
