@@ -51,7 +51,12 @@ def encode_resumption_token(
     from_ts: str, from_id: str, until: str | None = None, set_id: str | None = None
 ) -> str:
     """base64("from id until set") — reference ResumptionToken.java:23-60."""
-    raw = " ".join([from_ts, from_id, until or "", set_id or ""])
+    # datestamps are space-free ISO (T separator) so the token's
+    # space-delimited layout (reference ResumptionToken.java:23-60)
+    # round-trips; Spark casts the T form back to timestamp fine
+    raw = " ".join(
+        [from_ts.replace(" ", "T"), from_id, until or "", set_id or ""]
+    )
     return base64.urlsafe_b64encode(raw.encode()).decode()
 
 

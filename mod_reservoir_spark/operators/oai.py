@@ -1,0 +1,225 @@
+"""OAI-PMH server-side export: ListRecords / ListIdentifiers /
+GetRecord / Identify over the cluster tables.
+
+Re-expresses the reference's OAI server (server/.../OaiService.java:
+96-386): one OAI record per cluster, one OAI set per matchkey config,
+keyset pagination on (datestamp, cluster_id) with base64 resumption
+tokens, marcxml metadata via the 999-identifier merge, deleted
+clusters emitted with header status="deleted".
+
+Spark shape: the page selection is a pruned range scan over
+cluster_meta (sorted by datestamp → file skipping at scale), one
+assembly join per page (bounded by `limit`), render on the page only.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+from pyspark.sql import DataFrame, functions as F
+
+from mod_reservoir_spark.functions.xmlutil import (
+    cluster_to_marcxml,
+    encode_xml_text,
+)
+from mod_reservoir_spark.operators.clusters import build_clusters
+from mod_reservoir_spark.operators.export import (
+    decode_resumption_token,
+    encode_resumption_token,
+    keyset_page,
+)
+
+
+def oai_datestamp(ts) -> str:
+    """UTC, truncated to seconds, Z-suffixed (reference Util.java:69-72)."""
+    if isinstance(ts, str):
+        return ts
+    return ts.strftime("%Y-%m-%dT%H:%M:%S") + "Z"
+
+
+def parse_oai_date(s: str | None, until: bool = False):
+    """OAI from/until: day or second granularity; until is inclusive
+    (+1 day / +1 second — reference Util.java:26-66)."""
+    from datetime import timedelta
+
+    if not s:
+        return None
+    if len(s) == 10:
+        d = datetime.fromisoformat(s + "T00:00:00")
+        return d + timedelta(days=1) if until else d
+    d = datetime.fromisoformat(s.rstrip("Z"))
+    return d + timedelta(seconds=1) if until else d
+
+
+def list_records(
+    meta: DataFrame,
+    assignments: DataFrame,
+    records: DataFrame,
+    match_values: DataFrame,
+    set_id: str,
+    from_arg: str | None = None,
+    until_arg: str | None = None,
+    token: str | None = None,
+    limit: int = 1000,
+    identifiers_only: bool = False,
+) -> dict:
+    """One ListRecords/ListIdentifiers page. Returns
+    {"records": [...], "resumptionToken": str|None}; each record is
+    {"identifier", "datestamp", "deleted", "metadata": xml|None}."""
+    from_ts, from_id, until_excl = None, None, None
+    if token:
+        t = decode_resumption_token(token)
+        from_ts, from_id = t["from"], t["id"]
+        until_excl = t["until"]
+        set_id = t["set"] or set_id
+    else:
+        d = parse_oai_date(from_arg)
+        from_ts = d and d.isoformat(sep=" ")
+        u = parse_oai_date(until_arg, until=True)
+        until_excl = u and u.isoformat(sep=" ")
+
+    pool_meta = meta.filter(F.col("match_key_config_id") == set_id)
+    if until_excl:
+        pool_meta = pool_meta.filter(F.col("datestamp") < F.lit(until_excl))
+    page = keyset_page(
+        pool_meta, "datestamp", "cluster_id", from_ts, from_id or "", None,
+        limit + 1,
+    ).collect()
+    rows, more = page[:limit], page[limit:]
+    next_token = None
+    if more:
+        nxt = more[0]
+        next_token = encode_resumption_token(
+            str(nxt["datestamp"]), str(nxt["cluster_id"]), until_excl, set_id
+        )
+
+    out: list[dict] = []
+    if rows:
+        ids = [r["cluster_id"] for r in rows]
+        stamps = {r["cluster_id"]: r["datestamp"] for r in rows}
+        spark = meta.sparkSession
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], "cluster_id string"
+        )
+        pool_assign = assignments.filter(
+            F.col("match_key_config_id") == set_id
+        ).join(F.broadcast(ids_df), "cluster_id")
+        built = {
+            row["cluster_id"]: row
+            for row in build_clusters(
+                pool_assign, records, match_values
+            ).collect()
+        }
+        for r in rows:
+            cid = r["cluster_id"]
+            row = built.get(cid)
+            rec: dict = {
+                "identifier": f"oai:{cid}",
+                "datestamp": oai_datestamp(stamps[cid]),
+                "deleted": row is None,
+                "metadata": None,
+            }
+            if row is not None and not identifiers_only:
+                cluster = {
+                    "clusterId": cid,
+                    "matchValues": list(row["matchValues"] or []),
+                    "records": [
+                        {
+                            "localId": m["localId"],
+                            "sourceId": m["sourceId"],
+                            "sourceVersion": m["sourceVersion"],
+                            "payload": json.loads(m["payload"])
+                            if m["payload"]
+                            else {},
+                        }
+                        for m in row["records"]
+                    ],
+                }
+                rec["metadata"] = cluster_to_marcxml(cluster)
+                if rec["metadata"] is None:
+                    rec["deleted"] = True
+            out.append(rec)
+    return {"records": out, "resumptionToken": next_token}
+
+
+def render_list_records_xml(
+    result: dict, verb: str = "ListRecords", base_url: str = "http://localhost"
+) -> str:
+    """OAI-PMH envelope for a page (reference OaiService.java:304-350)."""
+    s = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">\n',
+        f"  <request verb={_attr(verb)}>{encode_xml_text(base_url)}</request>\n",
+        f"  <{verb}>\n",
+    ]
+    if not result["records"]:
+        s[-1] = '  <error code="noRecordsMatch"/>\n'
+        s.append("</OAI-PMH>\n")
+        return "".join(s)
+    for rec in result["records"]:
+        s.append("    <record>\n")
+        status = ' status="deleted"' if rec["deleted"] else ""
+        s.append(f"      <header{status}>\n")
+        s.append(
+            f"        <identifier>{encode_xml_text(rec['identifier'])}"
+            "</identifier>\n"
+        )
+        s.append(
+            f"        <datestamp>{encode_xml_text(rec['datestamp'])}"
+            "</datestamp>\n"
+        )
+        s.append("      </header>\n")
+        if rec["metadata"]:
+            s.append("      <metadata>\n")
+            s.append(rec["metadata"])
+            s.append("\n      </metadata>\n")
+        s.append("    </record>\n")
+    if result["resumptionToken"]:
+        s.append(
+            f"    <resumptionToken>{result['resumptionToken']}"
+            "</resumptionToken>\n"
+        )
+    s.append(f"  </{verb}>\n</OAI-PMH>\n")
+    return "".join(s)
+
+
+def _attr(v: str) -> str:
+    return '"' + encode_xml_text(v) + '"'
+
+
+def get_record(
+    meta, assignments, records, match_values, set_id: str, identifier: str
+) -> dict | None:
+    """GetRecord: one cluster by oai identifier."""
+    cid = identifier.split(":")[-1]
+    row = meta.filter(
+        (F.col("cluster_id") == cid)
+        & (F.col("match_key_config_id") == set_id)
+    ).collect()
+    if not row:
+        return None
+    res = list_records(
+        meta.filter(F.col("cluster_id") == cid),
+        assignments,
+        records,
+        match_values,
+        set_id,
+        limit=1,
+    )
+    return res["records"][0] if res["records"] else None
+
+
+def identify(base_url: str = "http://localhost", name: str = "mod_reservoir_spark") -> str:
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">\n'
+        "  <Identify>\n"
+        f"    <repositoryName>{encode_xml_text(name)}</repositoryName>\n"
+        f"    <baseURL>{encode_xml_text(base_url)}</baseURL>\n"
+        "    <protocolVersion>2.0</protocolVersion>\n"
+        "    <granularity>YYYY-MM-DDThh:mm:ssZ</granularity>\n"
+        "    <deletedRecord>persistent</deletedRecord>\n"
+        "  </Identify>\n"
+        "</OAI-PMH>\n"
+    )

@@ -1,0 +1,144 @@
+"""OAI export + harvest tests against the reference's protocol
+fixtures (oai-response-1..5.xml) and the cluster tables."""
+
+import json
+import os
+
+import pytest
+
+from mod_reservoir_spark.functions.xmlutil import (
+    cluster_to_marcxml,
+    encode_xml_text,
+    json_to_marcxml,
+)
+from mod_reservoir_spark.operators.export import (
+    decode_resumption_token,
+    encode_resumption_token,
+)
+from mod_reservoir_spark.streaming.oai_client import (
+    HarvestState,
+    harvest,
+    parse_oai_response,
+)
+
+RES = "/root/reference/util/src/test/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(RES), reason="reference fixtures not present"
+)
+
+
+def test_encode_xml_text():
+    assert encode_xml_text('a&b<c>"d\'') == "a&amp;b&lt;c&gt;&quot;d&apos;"
+    assert encode_xml_text("©") == "&#xa9;"
+    assert encode_xml_text("\x01") == "&#xFFFD;"
+    assert encode_xml_text("ok\tfine\n") == "ok\tfine\n"
+
+
+def test_json_to_marcxml_roundtrip():
+    from mod_reservoir_spark.sources.marcxml import parse_marcxml
+
+    marc = {
+        "leader": "00942nam a22002531a 4504",
+        "fields": [
+            {"001": "id1"},
+            {
+                "245": {
+                    "ind1": "1",
+                    "ind2": "0",
+                    "subfields": [{"a": "T & T"}, {"b": "sub<>"}],
+                }
+            },
+        ],
+    }
+    xml = json_to_marcxml(marc)
+    back = list(parse_marcxml(xml.encode()))
+    assert back == [marc]
+
+
+def test_resumption_token_roundtrip():
+    tok = encode_resumption_token("2024-01-01 00:00:00", "c1", "2024-02-01", "issn")
+    dec = decode_resumption_token(tok)
+    assert dec["from"] == "2024-01-01" or dec["from"].startswith("2024-01-01")
+    assert dec["id"] == "c1"
+    assert dec["set"] == "issn"
+
+
+def test_cluster_999_merge():
+    cluster = {
+        "clusterId": "c-1",
+        "matchValues": ["k1", "k2"],
+        "records": [
+            {
+                "localId": "L1",
+                "sourceId": "S1",
+                "sourceVersion": 1,
+                "payload": {"marc": {"leader": "x" * 24, "fields": [{"001": "L1"}]}},
+            },
+            {
+                "localId": "L2",
+                "sourceId": "S2",
+                "sourceVersion": 2,
+                "payload": {"marc": {"leader": "y" * 24, "fields": [{"001": "L2"}]}},
+            },
+        ],
+    }
+    xml = cluster_to_marcxml(cluster)
+    assert '<subfield code="i">c-1</subfield>' in xml
+    assert xml.count('<subfield code="m">') == 2
+    assert '<subfield code="l">L1</subfield>' in xml
+    assert '<subfield code="s">S2</subfield>' in xml
+    assert '<subfield code="v">2</subfield>' in xml
+    # base is the FIRST member's marc
+    assert "<controlfield tag=\"001\">L1</controlfield>" in xml
+    assert "<controlfield tag=\"001\">L2</controlfield>" not in xml
+    # deleted cluster → None
+    assert cluster_to_marcxml({"clusterId": "c", "records": []}) is None
+
+
+def test_parse_oai_response_fixture_1():
+    page = parse_oai_response(open(f"{RES}/oai-response-1.xml", "rb").read())
+    assert page["error"] is None
+    assert page["resumptionToken"] == "MzM5OzE7Ozt2MS4w"
+    assert len(page["records"]) == 4
+    deleted = [r for r in page["records"] if r["deleted"]]
+    assert len(deleted) == 1
+    assert deleted[0]["identifier"] == "998212783503681"
+    live = [r for r in page["records"] if not r["deleted"]]
+    assert all(r["marc"] and r["marc"]["fields"] for r in live)
+
+
+def test_harvest_loop_end_to_end(spark, warehouse, tmp_path):
+    """Drive the harvest loop over the reference's fixture pages with a
+    fake fetch; verify ingest, counters, from-advance, token chain."""
+    pages = [
+        open(f"{RES}/oai-response-1.xml", "rb").read(),
+        open(f"{RES}/oai-response-2.xml", "rb").read(),
+    ]
+    calls = []
+
+    def fetch(params):
+        calls.append(dict(params))
+        return pages[len(calls) - 1]
+
+    cfg = {
+        "id": "oai001",
+        "method": "jsonpath",
+        "params": json.dumps({"expr": "$.marc.fields[*].001"}),
+        "update": "ingest",
+    }
+    state = HarvestState(str(tmp_path / "state.json"))
+    counters = harvest(
+        spark, warehouse, [cfg], fetch, state, source_id="STAN", max_pages=2
+    )
+    assert calls[0]["verb"] == "ListRecords"
+    assert "resumptionToken" in calls[1]
+    assert counters["totalRequests"] == 2
+    assert counters["totalRecords"] > 0
+    assert state.data["from"] is not None
+    recs = warehouse.read("global_records")
+    assert recs.count() > 0
+    assert recs.filter("source_id = 'STAN'").count() == recs.count()
+    # state checkpoint restarts cleanly
+    state2 = HarvestState(str(tmp_path / "state.json"))
+    assert state2.data["counters"]["totalRequests"] == 2
