@@ -390,6 +390,23 @@ def q_embedding_lsh_topk(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode plumbing end-to-end with the deterministic
+    fake decoder (sha-derived metadata — media libs not in container);
+    the oracle recomputes the same bytes from sha256 hex in SQL."""
+    from mod_reservoir_spark.pipeline import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.to_media_table(docs, "doc_id", F.col("text").cast("binary"), "image", "image/png")
+    feats = mm.extract_features(media, decoder=mm.fake_decode)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "content_sha256",
+    )
+
+
 def q_multimodal_binary(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + typed metadata.
     text→binary stands in for image/audio bytes; the md5/byte-length
@@ -512,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "multimodal_binary": q_multimodal_binary,
+        "multimodal_features": q_multimodal_features,
         "sessionize": q_sessionize,
         "hourly_rollup": q_hourly_rollup,
         "topk_per_type": q_topk_per_type,
@@ -816,6 +834,13 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, neighbor_id) AS rn
               FROM scored)
             WHERE rn <= 5
+        """,
+        "multimodal_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   64 + ('0x' || substr(sha256(text), 1, 2))::BIGINT % 192 AS width,
+                   64 + ('0x' || substr(sha256(text), 3, 2))::BIGINT % 192 AS height,
+                   sha256(text) AS content_sha256
+            FROM documents
         """,
         "multimodal_binary": """
             SELECT doc_id,

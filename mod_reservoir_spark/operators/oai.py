@@ -63,6 +63,7 @@ def list_records(
     token: str | None = None,
     limit: int = 1000,
     identifiers_only: bool = False,
+    transformer=None,
 ) -> dict:
     """One ListRecords/ListIdentifiers page. Returns
     {"records": [...], "resumptionToken": str|None}; each record is
@@ -136,7 +137,22 @@ def list_records(
                         for m in row["records"]
                     ],
                 }
-                rec["metadata"] = cluster_to_marcxml(cluster)
+                if transformer is not None:
+                    # export-time transformer module hook (reference
+                    # ClusterRecordStream.java:88-127): cluster dict →
+                    # transformed MARC-in-JSON dict
+                    from mod_reservoir_spark.functions.xmlutil import (
+                        json_to_marcxml,
+                    )
+
+                    transformed = transformer(cluster)
+                    rec["metadata"] = (
+                        json_to_marcxml(transformed)
+                        if transformed is not None
+                        else None
+                    )
+                else:
+                    rec["metadata"] = cluster_to_marcxml(cluster)
                 if rec["metadata"] is None:
                     rec["deleted"] = True
             out.append(rec)

@@ -1,0 +1,164 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched pandas functions over
+``mapInPandas``.
+
+The Spark-side plumbing here is real and tested — schema contract,
+partition sizing, batch shapes, UDF signatures. The actual media
+decoding (PIL/ffmpeg/torchaudio) is NOT in this container, so the
+decode step is pluggable: pass a ``decoder`` callable, or rely on the
+default deterministic fake (marked clearly) / NotImplementedError for
+the strict path.
+
+Scale notes (100 TB of media):
+- media bytes travel in their own column so column pruning keeps
+  metadata-only queries from ever reading them (parquet column split);
+- ``spark.sql.files.maxPartitionBytes`` and per-row size guardrails
+  keep a task's Arrow batch within executor memory — enforce with
+  ``fit_batches`` (rows per batch bounded by byte budget);
+- derived features (thumbnails, frames, embeddings) write to their own
+  table keyed by content hash, so re-encodes dedupe for free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, content binary, "
+    "mime string, n_bytes long, content_sha256 string"
+)
+
+
+def to_media_table(
+    df: DataFrame, id_col: str, bytes_col, kind: str, mime: str
+) -> DataFrame:
+    """Normalize any (id, binary) input into the canonical media table:
+    (media_id, kind, content, mime, n_bytes, content_sha256)."""
+    blob = bytes_col if not isinstance(bytes_col, str) else F.col(bytes_col)
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        blob.alias("content"),
+        F.lit(mime).alias("mime"),
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha256"),
+    )
+
+
+def fake_decode(content: bytes, kind: str) -> dict:
+    """Deterministic FAKE decoder (media libs not in this container):
+    derives plausible metadata purely from the bytes. Replace with a
+    real decoder in production — the Spark plumbing is identical."""
+    h = hashlib.sha256(content).digest()
+    if kind == "image":
+        return {
+            "width": 64 + h[0] % 192,
+            "height": 64 + h[1] % 192,
+            "channels": 3,
+            "n_frames": 1,
+            "duration_ms": 0,
+        }
+    if kind == "audio":
+        return {
+            "width": 0,
+            "height": 0,
+            "channels": 1 + h[0] % 2,
+            "n_frames": 0,
+            "duration_ms": 1000 + int.from_bytes(h[2:4], "big") % 600000,
+        }
+    if kind == "video":
+        return {
+            "width": 320 + h[0] % 320,
+            "height": 240 + h[1] % 240,
+            "channels": 3,
+            "n_frames": 24 * (1 + h[2] % 300),
+            "duration_ms": 1000 * (1 + h[2] % 300),
+        }
+    raise NotImplementedError(f"no decoder for kind={kind!r}")
+
+
+def strict_decode(content: bytes, kind: str) -> dict:
+    """The production seam: raises until a real media library is wired
+    in (PIL / av / soundfile — not available in this container)."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in "
+        "this environment; pass decoder=fake_decode for plumbing tests"
+    )
+
+
+FEATURE_SCHEMA = (
+    "media_id string, kind string, width int, height int, channels int, "
+    "n_frames int, duration_ms long, content_sha256 string"
+)
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], dict] = strict_decode,
+    rows_per_batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Decode/inspect media → typed feature rows. mapInPandas keeps the
+    binary payload off the driver and lets the decoder amortize per
+    Arrow batch; rows_per_batch_bytes bounds batch memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, acc = [], 0
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                meta = decoder(content, row["kind"])
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "width": meta.get("width", 0),
+                        "height": meta.get("height", 0),
+                        "channels": meta.get("channels", 0),
+                        "n_frames": meta.get("n_frames", 0),
+                        "duration_ms": meta.get("duration_ms", 0),
+                        "content_sha256": row["content_sha256"],
+                    }
+                )
+                acc += len(content)
+                if acc >= rows_per_batch_bytes:
+                    yield pd.DataFrame(out)
+                    out, acc = [], 0
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    features: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Plan rows for video frame sampling: one row per (media_id,
+    frame_ts_ms). The decode of each frame is the same pluggable seam;
+    the PLAN is pure Spark (sequence + explode — no Python)."""
+    return (
+        features.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact media dedup on content hash — groupBy on the 32-byte
+    digest, never on the payload bytes."""
+    return media.groupBy("content_sha256", "kind").agg(
+        F.count("*").alias("copies"),
+        F.min("media_id").alias("keeper_media_id"),
+        F.max("n_bytes").alias("n_bytes"),
+    )

@@ -1,0 +1,127 @@
+"""Training-data pipeline operator tests: dedup invariants, similarity
+recall, multimodal plumbing. (Exact cross-engine values are pinned by
+tools/oracle_check.py; these tests pin semantic invariants.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mod_reservoir_spark.pipeline import multimodal as mm
+from mod_reservoir_spark.pipeline.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from mod_reservoir_spark.pipeline.similarity import cosine_topk, lsh_topk
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (3, "completely different text about spark engines"),
+    (4, "spark engines process completely different text about"),  # perm of 3
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = {
+        r.fingerprint: (r.group_size, r.keeper_doc_id)
+        for r in exact_duplicates(docs).collect()
+    }
+    assert (2, 0) in groups.values()  # docs 0,1 collapse, keeper = min id
+    assert len(groups) == 4
+
+
+def test_jaccard_pairs_finds_near_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard_ppm
+        for r in jaccard_pairs(
+            docs, threshold_ppm=500000, max_block_df=5
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1000000  # identical word sets
+    assert pairs[(0, 2)] == 777777  # jumps→leaps: 7 shared of 9 union
+    assert pairs[(3, 4)] == 857142  # doc 4 adds one word: 6 of 7
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_verified_jaccard(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): (r.est_ppm, r.jaccard_ppm)
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=16, bands=8, shingle_n=2, threshold_ppm=300000
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)][1] == 1000000
+    # bigram shingles penalize reordering: 4 shared bigrams of 7 union
+    if (3, 4) in pairs:
+        assert pairs[(3, 4)][1] == 571428
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(docs).collect()}
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    import math
+
+    # 20 deterministic vectors in 8d: two tight groups + noise
+    rows = []
+    for i in range(20):
+        base = [1.0, 0, 0, 0, 0, 0, 0, 0] if i % 2 == 0 else [0, 1.0, 0, 0, 0, 0, 0, 0]
+        vec = [
+            round(b + 0.01 * math.sin(i * 7 + d), 6) for d, b in enumerate(base)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = cosine_topk(emb, queries, k=3)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    # top neighbors of an even vec are even (same group)
+    assert got[(0, 1)] % 2 == 0
+    assert got[(1, 1)] % 2 == 1
+    ann = lsh_topk(emb, queries, k=3, n_planes=6, n_tables=8, dim=8)
+    ann_rows = ann.collect()
+    assert ann_rows, "LSH returned no candidates"
+    exact_top1 = {r.query_id: r.neighbor_id for r in exact.collect() if r.rank == 1}
+    ann_top1 = {r.query_id: r.neighbor_id for r in ann_rows if r.rank == 1}
+    hits = sum(
+        1 for q, n in ann_top1.items() if exact_top1.get(q) == n
+    )
+    assert hits >= len(ann_top1) // 2  # recall ≥ 50% with 8 tables
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, b"\x89PNG fake bytes"), (2, b"RIFF fake wav"), (3, b"\x89PNG fake bytes")],
+        "media_id long, content binary",
+    )
+    media = mm.to_media_table(docs, "media_id", "content", "image", "image/png")
+    row = media.filter("media_id = '1'").collect()[0]
+    assert row.n_bytes == 15 and len(row.content_sha256) == 64
+
+    feats = mm.extract_features(media, decoder=mm.fake_decode).collect()
+    assert len(feats) == 3
+    assert all(f.width > 0 and f.channels == 3 for f in feats)
+
+    # strict decoder raises until a real media lib is wired in
+    with pytest.raises(Exception, match="NotImplemented|media decoding"):
+        mm.extract_features(media).collect()
+
+    dedup = mm.media_dedup(media).collect()
+    assert {(r.copies, r.keeper_media_id) for r in dedup} == {(2, "1"), (1, "2")}
+
+
+def test_frame_sample_plan(spark):
+    feats = spark.createDataFrame(
+        [("v1", "video", 320, 240, 3, 72, 3000, "h1")],
+        mm.FEATURE_SCHEMA,
+    )
+    plan = mm.frame_sample_plan(feats, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in plan] == [0, 1000, 2000]

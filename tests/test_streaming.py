@@ -1,0 +1,98 @@
+"""Structured Streaming ingest + module registry tests."""
+
+import json
+
+from mod_reservoir_spark.functions.modules import (
+    Module,
+    ModuleRegistry,
+    register_defaults,
+)
+
+
+def test_module_registry_jsonpath_and_python():
+    reg = ModuleRegistry()
+    reg.put(Module(id="issn", type="jsonpath", script="$.inventory.issn[*]"))
+    fn = reg.resolve("issn::extract")
+    assert fn({"inventory": {"issn": ["1", "2"]}}) == ["1", "2"]
+    reg.put(Module(id="up", type="python", fn=lambda p: [p["x"].upper()]))
+    assert reg.resolve("up")({"x": "ab"}) == ["AB"]
+    reg.delete("issn")
+    assert len(reg.list()) == 1
+    defaults = register_defaults()
+    assert defaults.resolve("goldrush::matchkey")
+
+
+def test_transformer_hook_in_oai(spark, warehouse):
+    from mod_reservoir_spark.streaming.ingest import ingest_batch
+    from mod_reservoir_spark.operators.oai import list_records
+
+    payload = json.dumps(
+        {"marc": {"leader": "x" * 24, "fields": [{"001": "T1"}]},
+         "inventory": {"issn": ["5"]}}
+    )
+    inc = spark.createDataFrame(
+        [("T1", "S", 1, payload, None)],
+        "local_id string, source_id string, source_version int, "
+        "payload string, delete boolean",
+    )
+    cfg = {
+        "id": "issn",
+        "method": "jsonpath",
+        "params": json.dumps({"expr": "$.inventory.issn[*]"}),
+        "update": "ingest",
+    }
+    ingest_batch(warehouse, inc, [cfg])
+
+    def transformer(cluster):
+        # marc-transformer.mjs analog: inject a 900 field
+        marc = cluster["records"][0]["payload"]["marc"]
+        marc["fields"].append(
+            {"900": {"ind1": " ", "ind2": " ",
+                     "subfields": [{"a": cluster["clusterId"]}]}}
+        )
+        return marc
+
+    res = list_records(
+        warehouse.read("cluster_meta"),
+        warehouse.read("cluster_assignments"),
+        warehouse.read("global_records"),
+        warehouse.read("record_match_values"),
+        "issn",
+        transformer=transformer,
+    )
+    assert len(res["records"]) == 1
+    assert '<datafield tag="900' in res["records"][0]["metadata"]
+
+
+def test_stream_ingest_available_now(spark, warehouse, tmp_path):
+    from mod_reservoir_spark.streaming.stream_ingest import start_stream_ingest
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [
+        {"local_id": f"R{i}", "source_id": "S", "source_version": 1,
+         "payload": json.dumps({"inventory": {"issn": [str(i % 2)]}}),
+         "delete": None}
+        for i in range(6)
+    ]
+    with open(indir / "batch1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cfg = {
+        "id": "issn",
+        "method": "jsonpath",
+        "params": json.dumps({"expr": "$.inventory.issn[*]"}),
+        "update": "ingest",
+    }
+    q = start_stream_ingest(
+        spark, warehouse, str(indir), [cfg],
+        str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    recs = warehouse.read("global_records")
+    assert recs.count() == 6
+    clusters = (
+        warehouse.read("cluster_assignments")
+        .select("cluster_id").distinct().count()
+    )
+    assert clusters == 2
