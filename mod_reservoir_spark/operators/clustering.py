@@ -77,10 +77,16 @@ def connected_components(
         .dropDuplicates(["_n", "_v"])
         .persist()
     )
-    # comp starts as the node's own id; one checkpointed materialization
-    # + one cheap convergence probe per iteration
+    # Seed with the first hop unrolled: comp(n) = min over n's values of
+    # the value's min node (with identity labels the first loop pass
+    # computes exactly this, so seeding saves one full iteration —
+    # star-shaped components, the common case for match keys, then
+    # converge in the single confirming pass).
+    vmin0 = e.groupBy("_v").agg(F.min("_n").alias("_vc"))
     comp = (
-        e.select("_n").distinct().withColumn("_c", F.col("_n"))
+        e.join(vmin0, "_v")
+        .groupBy("_n")
+        .agg(F.min("_vc").alias("_c"))
         .localCheckpoint(eager=True)
     )
 

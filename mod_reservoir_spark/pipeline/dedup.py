@@ -57,20 +57,27 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document."""
+    """(doc_id, shingle) — distinct word n-grams per document.
+
+    Built from n shifted slices folded with zip_with, NOT per-element
+    element_at lambdas: a lambda that references the tokenization
+    expression re-evaluates it per element (no common-subexpression
+    elimination inside higher-order functions), turning shingling
+    O(tokens²) per document. Slices evaluate the token array a constant
+    n times per row."""
     t = tokens(text_col)
     if n == 1:
         sh = F.array_distinct(t)
     else:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
-        sh = F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
-                ),
+        width = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        acc = F.slice(t, 1, width)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(t, j + 1, width),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             )
-        )
+        sh = F.array_distinct(acc)
     return docs.select("doc_id", F.explode(sh).alias("shingle")).filter(
         F.col("shingle") != ""
     )
@@ -163,12 +170,17 @@ def minhash_signatures(
     shingles. One narrow pass: explode shingles, md5-hash once, then
     num_hashes affine permutations aggregated with min — a single
     groupBy(doc_id), map-side combinable."""
-    sh = word_shingles(docs, text_col, shingle_n)
-    h = hex7_to_long(F.col("shingle"))
+    # hash each shingle ONCE in a projection; the 16 permutations then
+    # operate on the long (md5 inside an agg expression would re-run
+    # per aggregate — 16× the hashing cost)
+    hashed = word_shingles(docs, text_col, shingle_n).select(
+        "doc_id", hex7_to_long(F.col("shingle")).alias("_h")
+    )
     aggs = [
-        F.min(minhash_expr(i, h)).alias(f"h{i}") for i in range(num_hashes)
+        F.min(minhash_expr(i, F.col("_h"))).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = hashed.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -237,7 +249,10 @@ def minhash_lsh_pairs(
         )
         .select("doc_a", "doc_b", "est_ppm")
     )
-    sh = word_shingles(docs, text_col, shingle_n)
+    # the verify pass touches the shingle table three times (a-side,
+    # b-side, sizes) — persist one materialization instead of
+    # re-exploding the corpus per use
+    sh = word_shingles(docs, text_col, shingle_n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     out = (
         _verified_jaccard(est, sh, sizes)

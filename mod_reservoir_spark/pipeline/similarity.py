@@ -48,29 +48,47 @@ def cosine_topk(
     """Brute-force cosine top-k: for each query vector, the k nearest
     corpus vectors (excluding itself).
 
+    The scalable brute-force shape: the (small) query matrix is
+    broadcast; the corpus streams through mapInPandas partition-wise
+    and each Arrow batch is one numpy matmul — no shuffle of the
+    corpus, work scales linearly with corpus partitions. (The previous
+    zip_with/aggregate formulation ran interpreted per pair — ~100×
+    slower.)
+
     Output: (query_id, neighbor_id, score, rank) — score rounded to 6
-    decimals, rank dense by (score desc, neighbor_id asc).
+    decimals (double precision, matches the SQL oracle), rank by
+    (score desc, neighbor_id asc).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                6,
-            ).alias("score"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qm * qm).sum(axis=1))
+    bq = embeddings.sparkSession.sparkContext.broadcast((qids, qm, qnorm))
+
+    def score(batches):
+        bqids, bqm, bqnorm = bq.value
+        for pdf in batches:
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            cnorm = np.sqrt((cm * cm).sum(axis=1))
+            s = (bqm @ cm.T) / (bqnorm[:, None] * cnorm[None, :])
+            qcol = np.repeat(bqids, len(nids))
+            ncol = np.tile(nids, len(bqids))
+            sflat = np.round(s.ravel(), 6)
+            mask = qcol != ncol
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol[mask],
+                    "neighbor_id": ncol[mask],
+                    "score": sflat[mask],
+                }
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
