@@ -491,6 +491,53 @@ def q_topk_per_type(spark, sf_dir):
     )
 
 
+def q_cluster_members(spark, sf_dir):
+    """Full cluster assembly output shape (ClusterBuilder analog,
+    SURVEY §1.4) on the synthetic CC pools: one row per cluster with
+    member count and the deterministically sorted member list."""
+    assignments = q_cluster_cc(spark, sf_dir)
+    return (
+        assignments.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("record_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("member_csv"),
+        )
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """Schema-on-read JSON access (the payload-access pattern,
+    SURVEY §1.2): aggregate a JSON property of events.props."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
+def q_running_total(spark, sf_dir):
+    """Cumulative window aggregation per user over event time."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("cum_events"),
+        F.sum(_cents(F.col("value"))).over(w).alias("cum_cents"),
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -516,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets": q_facets,
         "collect_set": q_collect_set,
         "cluster_cc": q_cluster_cc,
+        "cluster_members": q_cluster_members,
+        "json_props": q_json_props,
+        "running_total": q_running_total,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -737,6 +787,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS record_id, min(r) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "cluster_members": """
+            WITH RECURSIVE vals AS (
+              SELECT c_custkey AS id,
+                     'g10:' || CAST(c_custkey // 10 AS VARCHAR) AS v
+              FROM customer
+              UNION ALL
+              SELECT c_custkey, 'g20:' || CAST(c_custkey // 20 AS VARCHAR)
+              FROM customer
+            ), edges AS (
+              SELECT DISTINCT a.id AS src, b.id AS dst
+              FROM vals a JOIN vals b ON a.v = b.v
+            ), reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+            ), comp AS (
+              SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT cluster_id, count(*) AS n_members,
+                   string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_csv
+            FROM comp GROUP BY cluster_id
+        """,
+        "json_props": """
+            SELECT event_type,
+                   sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+                   count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                              THEN 1 END) AS n_with_k
+            FROM events GROUP BY event_type
+        """,
+        "running_total": f"""
+            SELECT user_id, event_id,
+                   count(*) OVER w AS cum_events,
+                   sum(CAST(round(value*100, 0) AS BIGINT)) OVER w AS cum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "token_stats": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)

@@ -288,3 +288,36 @@ def test_connected_components_direct(spark):
     comp = connected_components(edges)
     got = {r.global_id: r.cluster_id for r in comp.collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_manual_pool_untouched_at_ingest(spark, warehouse):
+    # reference testMatchKeysManual:1816 — update=manual pools are only
+    # populated by initialize (full rebuild), never at ingest
+    import json as _json
+    from mod_reservoir_spark.streaming.ingest import initialize_pool
+
+    manual_cfg = {
+        "id": "man",
+        "method": "jsonpath",
+        "params": _json.dumps({"expr": "$.inventory.issn[*]"}),
+        "update": "manual",
+    }
+    incoming = spark.createDataFrame(
+        [
+            ("M1", "B", 1, payload(issn=["7"]), None),
+            ("M2", "B", 1, payload(issn=["7"]), None),
+        ],
+        "local_id string, source_id string, source_version int, "
+        "payload string, delete boolean",
+    )
+    stats = ingest_batch(warehouse, incoming, [ISSN_CFG, manual_cfg])
+    assert stats["processed"] == 2
+    assigns = warehouse.read("cluster_assignments")
+    assert assigns.filter("match_key_config_id = 'issn'").count() == 2
+    assert assigns.filter("match_key_config_id = 'man'").count() == 0
+
+    initialize_pool(warehouse, manual_cfg)
+    assigns2 = warehouse.read("cluster_assignments")
+    man = assigns2.filter("match_key_config_id = 'man'")
+    assert man.count() == 2
+    assert man.select("cluster_id").distinct().count() == 1
