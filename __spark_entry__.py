@@ -648,6 +648,157 @@ def _simhash_oracle(bits: int = 24) -> str:
     """
 
 
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4,
+                        threshold_ppm: int = 300000) -> str:
+    rows = num_hashes // bands
+    sig_terms = ",\n        ".join(
+        f"min((h * {dd._A[i]} + {dd._B[i]}) % 2147483647) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = ",\n      ".join(
+        "({b}, md5({concat}))".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_distinct(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1]))
+      ) AS shingle
+      FROM t WHERE len(toks) >= 2
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+        {sig_terms}
+      FROM hashed GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT doc_id, band, bucket
+      FROM sig, (VALUES {band_rows}) AS bb(band, bucket_expr),
+      LATERAL (SELECT bb.bucket_expr AS bucket) x
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             (({eq_terms}) * 1000000) // {num_hashes} AS est_ppm
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT e.doc_a, e.doc_b, e.est_ppm,
+           (COALESCE(co.n_common, 0) * 1000000)
+             // (sa.n_sh + sb.n_sh - COALESCE(co.n_common, 0)) AS jaccard_ppm
+    FROM est e
+    LEFT JOIN common co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    WHERE (COALESCE(co.n_common, 0) * 1000000)
+            // (sa.n_sh + sb.n_sh - COALESCE(co.n_common, 0)) >= {threshold_ppm}
+    """
+
+
+def _simhash_pairs_oracle(bits: int = 24, max_hamming: int = 6,
+                          block_bits: int = 8) -> str:
+    n_bands = bits // block_bits
+    band_rows = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tk), 1, 7))::BIGINT AS h FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS bpos,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, LATERAL range(0, {bits}) b(b)
+      GROUP BY doc_id, b.b
+    ),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bpos) ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT doc_id, simhash, bb.band,
+             (simhash >> (bb.band * {block_bits})) & {(1 << block_bits) - 1} AS bucket
+      FROM sh, (VALUES {band_rows}) AS bb(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _embedding_lsh_oracle(k: int = 5, n_planes: int = 10,
+                          n_tables: int = 4, dim: int = 64) -> str:
+    from mod_reservoir_spark.pipeline.similarity import _plane_component
+
+    def plane_lit(t, p):
+        vals = ", ".join(repr(_plane_component(t, p, d)) for d in range(dim))
+        return f"[{vals}]"
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(t, p)}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        bucket_exprs.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    buckets_sql = "\n      UNION ALL ".join(bucket_exprs)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      {buckets_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(q.v, n.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(n.v, n.v))), 6) AS score
+      FROM cand c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN e n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, score, rn AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= {k}
+    """
+
+
 def _langid_oracle() -> str:
     score_cols = ",\n      ".join(
         f"len(list_filter(toks, x -> list_contains({_LANGS_SQL[lang]}, x))) AS s_{lang}"
@@ -900,6 +1051,9 @@ def oracle_sql() -> dict[str, str]:
                     // (sa.n_sh + sb.n_sh - co.n_common) >= 400000
         """,
         "minhash_signatures": _minhash_oracle(),
+        "minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 300000),
+        "simhash_pairs": _simhash_pairs_oracle(24, 6, 8),
+        "embedding_lsh_topk": _embedding_lsh_oracle(5, 10, 4, 64),
         "simhash": _simhash_oracle(24),
         "embedding_topk": """
             WITH q AS (
