@@ -30,6 +30,24 @@ from mod_reservoir_spark.core.model import TABLE_SCHEMAS
 
 NATURAL_KEY = ["local_id", "source_id", "source_version"]
 
+
+def normalize_source_ids(df: DataFrame) -> DataFrame:
+    """Uppercase + validate source ids (reference util/.../SourceId.java:
+    6-23: `^[a-zA-Z0-9:/-]{1,16}$`, uppercased). Invalid ids raise at
+    action time via ANSI raise_error — same contract as the reference's
+    400 response."""
+    from mod_reservoir_spark.core.model import SOURCE_ID_PATTERN
+
+    validated = F.when(
+        F.col("source_id").rlike(SOURCE_ID_PATTERN),
+        F.upper(F.col("source_id")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("invalid sourceId: "), F.col("source_id"))
+        )
+    )
+    return df.withColumn("source_id", validated)
+
 NAMESPACE = uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8")  # uuid5 ns
 
 

@@ -32,6 +32,17 @@ class Iso2709Error(ValueError):
     pass
 
 
+
+def _maybe_gunzip(path: str, data: bytes) -> bytes:
+    """binaryFile does not decompress; the reference accepts gzip input
+    (AsyncCodec.java:22-59, HTTP decompression MainVerticle.java:40-41).
+    Sniff by suffix or magic bytes."""
+    if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(data)
+    return data
+
 def frame_records(data: bytes) -> Iterator[bytes]:
     """Split a byte stream into raw records by the 5-digit length
     prefix, skipping up to MAX_JUNK garbage bytes between records."""
@@ -149,7 +160,7 @@ def read_iso2709(spark, path: str):
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                for i, rec in enumerate(parse_iso2709(bytes(row["content"]))):
+                for i, rec in enumerate(parse_iso2709(_maybe_gunzip(row["path"] if "path" in row else "", bytes(row["content"])))):
                     out.append(
                         {
                             "file": row["path"],

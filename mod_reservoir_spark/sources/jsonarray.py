@@ -24,6 +24,17 @@ from collections.abc import Iterator
 from mod_reservoir_spark.functions.marc import is_delete, local_id
 
 
+
+def _maybe_gunzip(path: str, data: bytes) -> bytes:
+    """binaryFile does not decompress; the reference accepts gzip input
+    (AsyncCodec.java:22-59, HTTP decompression MainVerticle.java:40-41).
+    Sniff by suffix or magic bytes."""
+    if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(data)
+    return data
+
 def _record_payload(rec: dict) -> dict:
     payload = {}
     if "payload" in rec and isinstance(rec["payload"], dict):
@@ -72,7 +83,7 @@ def read_json_envelopes(spark, path: str):
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                for ing in parse_envelope(bytes(row["content"])):
+                for ing in parse_envelope(_maybe_gunzip(row["path"] if "path" in row else "", bytes(row["content"]))):
                     if ing["local_id"]:
                         out.append(ing)
             yield pd.DataFrame(

@@ -106,6 +106,9 @@ def ingest_batch(
     now_col = now if now is not None else F.current_timestamp()
     existing = wh.read("global_records")
 
+    from mod_reservoir_spark.core.storage import normalize_source_ids
+
+    incoming = normalize_source_ids(incoming)
     processed = incoming.count()
     tombstones = incoming.filter(F.col("delete") == True)  # noqa: E712
     upserts = incoming.filter(

@@ -136,3 +136,27 @@ def test_spark_end_to_end_marcxml_ingest(spark, warehouse):
         .count()
         == 10
     )
+
+
+def test_gzip_input(spark, tmp_path):
+    import gzip
+
+    from mod_reservoir_spark.sources.marcxml import read_marcxml
+
+    gz = tmp_path / "records.xml.gz"
+    gz.write_bytes(gzip.compress(read(f"{RES}/record10.xml")))
+    recs = read_marcxml(spark, str(gz))
+    assert recs.count() == 10
+
+
+def test_source_id_validation(spark):
+    from mod_reservoir_spark.core.storage import normalize_source_ids
+
+    df = spark.createDataFrame([("a", "bib1", 1)], "local_id string, source_id string, source_version int")
+    out = normalize_source_ids(df).collect()
+    assert out[0].source_id == "BIB1"
+    bad = spark.createDataFrame([("a", "has space!", 1)], "local_id string, source_id string, source_version int")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="invalid sourceId"):
+        normalize_source_ids(bad).collect()
