@@ -1,0 +1,205 @@
+"""MARC-8 to Unicode conversion.
+
+The reference decodes binary MARC through marc4j's permissive reader
+with ``convertToUTF8=true`` (reference util/.../readstream/
+Marc4jMapper.java:78 ``new MarcPermissiveStreamReader(inputStream,
+true, true)``), which applies the Library of Congress MARC-8 code
+tables.  This module re-implements the conversion natively:
+
+- G0/G1 graphic-set state machine with the MARC-21 escape sequences
+  (ESC b/g/p/s single-byte forms; ESC ( ) , - $ designations).
+- Full ANSEL (Extended Latin) table, Greek-symbol, subscript and
+  superscript sets.
+- MARC-8 places combining diacritics BEFORE the base character;
+  Unicode wants them after — the decoder queues combining marks and
+  emits them following the next base character (marc4j
+  AnselToUnicode behavior).
+- The ligature and double-tilde HALF marks (ANSEL 0xEB/0xEC and
+  0xFA/0xFB) are merged into the single spanning characters U+0361 /
+  U+0360 exactly like marc4j's permissive reader (the reference's
+  marc3.xml golden output contains U+0360/U+0361, not U+FE20-FE23).
+- Character sets whose tables are not carried (basic/extended
+  Cyrillic, Arabic, Hebrew, Greek, EACC/CJK) are consumed with the
+  correct byte width (3 bytes per EACC char) and emit U+FFFD — the
+  same visible degradation marc4j yields for unmapped code points.
+  Documented limitation; extendable by adding entries to ``_SETS``.
+
+Tables transcribed from the public LoC MARC-8 code tables
+(https://www.loc.gov/marc/specifications/codetables.xml).
+"""
+
+from __future__ import annotations
+
+ESC = 0x1B
+
+# Sets are keyed by LOW byte (0x21-0x7E).  A set used as G1 receives
+# bytes 0xA1-0xFE and is indexed via (byte & 0x7F).  Combining marks
+# carry True in the second tuple slot.
+
+_ASCII = {b: (chr(b), False) for b in range(0x21, 0x7F)}
+
+_ANSEL_SPACING = {
+    0x21: 0x0141, 0x22: 0x00D8, 0x23: 0x0110, 0x24: 0x00DE,
+    0x25: 0x00C6, 0x26: 0x0152, 0x27: 0x02B9, 0x28: 0x00B7,
+    0x29: 0x266D, 0x2A: 0x00AE, 0x2B: 0x00B1, 0x2C: 0x01A0,
+    0x2D: 0x01AF, 0x2E: 0x02BC, 0x30: 0x02BB, 0x31: 0x0142,
+    0x32: 0x00F8, 0x33: 0x0111, 0x34: 0x00FE, 0x35: 0x00E6,
+    0x36: 0x0153, 0x37: 0x02BA, 0x38: 0x0131, 0x39: 0x00A3,
+    0x3A: 0x00F0, 0x3C: 0x01A1, 0x3D: 0x01B0, 0x40: 0x00B0,
+    0x41: 0x2113, 0x42: 0x2117, 0x43: 0x00A9, 0x44: 0x266F,
+    0x45: 0x00BF, 0x46: 0x00A1, 0x47: 0x00DF, 0x48: 0x20AC,
+}
+_ANSEL_COMBINING = {
+    0x60: 0x0309, 0x61: 0x0300, 0x62: 0x0301, 0x63: 0x0302,
+    0x64: 0x0303, 0x65: 0x0304, 0x66: 0x0306, 0x67: 0x0307,
+    0x68: 0x0308, 0x69: 0x030C, 0x6A: 0x030A, 0x6B: 0xFE20,
+    0x6C: 0xFE21, 0x6D: 0x0315, 0x6E: 0x030B, 0x6F: 0x0310,
+    0x70: 0x0327, 0x71: 0x0328, 0x72: 0x0323, 0x73: 0x0324,
+    0x74: 0x0325, 0x75: 0x0333, 0x76: 0x0332, 0x77: 0x0326,
+    0x78: 0x031C, 0x79: 0x032E, 0x7A: 0xFE22, 0x7B: 0xFE23,
+    0x7E: 0x0313,
+}
+_ANSEL = {b: (chr(cp), False) for b, cp in _ANSEL_SPACING.items()}
+_ANSEL.update({b: (chr(cp), True) for b, cp in _ANSEL_COMBINING.items()})
+
+_GREEK_SYMBOLS = {
+    0x61: ("\N{GREEK SMALL LETTER ALPHA}", False),
+    0x62: ("\N{GREEK SMALL LETTER BETA}", False),
+    0x63: ("\N{GREEK SMALL LETTER GAMMA}", False),
+}
+_SUBSCRIPT = {
+    0x28: (chr(0x208D), False), 0x29: (chr(0x208E), False),
+    0x2B: (chr(0x208A), False), 0x2D: (chr(0x208B), False),
+    **{0x30 + d: (chr(0x2080 + d), False) for d in range(10)},
+}
+_SUPERSCRIPT = {
+    0x28: (chr(0x207D), False), 0x29: (chr(0x207E), False),
+    0x2B: (chr(0x207A), False), 0x2D: (chr(0x207B), False),
+    0x30: (chr(0x2070), False), 0x31: (chr(0x00B9), False),
+    0x32: (chr(0x00B2), False), 0x33: (chr(0x00B3), False),
+    **{0x34 + d: (chr(0x2074 + d), False) for d in range(6)},
+}
+
+# final byte of a designation sequence -> (set table | None, bytes per char)
+# None table => unmapped set: consume, emit U+FFFD per character.
+_SETS = {
+    0x42: (_ASCII, 1),        # B  Basic Latin
+    0x45: (_ANSEL, 1),        # E  Extended Latin (ANSEL); designated ESC ( ! E etc.
+    0x73: (_ASCII, 1),        # s  (also a bare single-byte escape)
+    0x62: (_SUBSCRIPT, 1),    # b
+    0x70: (_SUPERSCRIPT, 1),  # p
+    0x67: (_GREEK_SYMBOLS, 1),# g
+    0x31: (None, 3),          # 1  EACC (CJK) — 3-byte chars, unmapped
+    0x32: (None, 1),          # 2  Basic Hebrew — unmapped
+    0x33: (None, 1),          # 3  Basic Arabic — unmapped
+    0x34: (None, 1),          # 4  Extended Arabic — unmapped
+    0x4E: (None, 1),          # N  Basic Cyrillic — unmapped
+    0x51: (None, 1),          # Q  Extended Cyrillic — unmapped
+    0x53: (None, 1),          # S  Basic Greek — unmapped
+}
+
+_G0_INTERMEDIATES = {0x28, 0x2C}      # ( ,
+_G1_INTERMEDIATES = {0x29, 0x2D}      # ) -
+_SINGLE_ESCAPES = {0x62, 0x67, 0x70, 0x73, 0x42, 0x45}  # b g p s B E
+
+_DOUBLE_HALVES = {0xFE20: ("͡", 0xFE21), 0xFE22: ("͠", 0xFE23)}
+
+REPLACEMENT = "�"
+
+
+def _parse_escape(data: bytes, i: int):
+    """Parse an escape sequence starting at data[i] == ESC.
+
+    Returns (next_index, target, (table, width)) where target is
+    "g0"/"g1"/None (None = malformed, skip the ESC byte only).
+    """
+    n = len(data)
+    j = i + 1
+    intermediates = []
+    while j < n and 0x20 <= data[j] <= 0x2F:
+        intermediates.append(data[j])
+        j += 1
+    if j >= n:
+        return i + 1, None, None
+    final = data[j]
+    if not intermediates:
+        # single-byte escapes: ESC b/g/p designate G0; ESC s resets G0
+        if final in _SINGLE_ESCAPES:
+            return j + 1, "g0", _SETS[final if final != 0x73 else 0x42]
+        return i + 1, None, None
+    target = "g1" if any(b in _G1_INTERMEDIATES for b in intermediates) else "g0"
+    width = 3 if 0x24 in intermediates else 1
+    entry = _SETS.get(final)
+    if entry is None:
+        return j + 1, target, (None, width)
+    table, twidth = entry
+    return j + 1, target, (table, max(width, twidth))
+
+
+def marc8_to_unicode(data: bytes) -> str:
+    """Convert a MARC-8 byte string to a Unicode string."""
+    g0 = _SETS[0x42]   # (table, width)
+    g1 = _SETS[0x45]
+    out: list[str] = []
+    pending: list[str] = []   # queued combining marks (precede base in MARC-8)
+    skip_half: int | None = None  # expect-and-drop codepoint of a 2nd half mark
+
+    def emit_base(ch: str) -> None:
+        out.append(ch)
+        if pending:
+            out.extend(pending)
+            pending.clear()
+
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b == ESC:
+            i, target, entry = _parse_escape(data, i)
+            if target == "g0":
+                g0 = entry
+            elif target == "g1":
+                g1 = entry
+            continue
+        if b == 0x20 or b == 0x7F or b < 0x21:
+            emit_base(chr(b))
+            i += 1
+            continue
+        if b < 0x80:
+            table, width = g0
+            low = b
+        elif 0xA1 <= b <= 0xFE:
+            table, width = g1
+            low = b & 0x7F
+        else:  # 0x80-0xA0, 0xFF: no graphic assignment
+            emit_base(REPLACEMENT)
+            i += 1
+            continue
+        if table is None:
+            emit_base(REPLACEMENT)
+            i += width
+            continue
+        hit = table.get(low)
+        if hit is None:
+            emit_base(REPLACEMENT)
+            i += width
+            continue
+        ch, combining = hit
+        cp = ord(ch)
+        if skip_half is not None and cp == skip_half:
+            skip_half = None
+        elif cp in (0xFE21, 0xFE23):
+            # orphan second-half mark without its opener: marc4j's
+            # permissive reader drops it (marc3.xml golden, 500 field)
+            pass
+        elif combining:
+            if cp in _DOUBLE_HALVES:
+                spanning, second = _DOUBLE_HALVES[cp]
+                pending.append(spanning)
+                skip_half = second
+            else:
+                pending.append(ch)
+        else:
+            emit_base(ch)
+        i += width
+    out.extend(pending)
+    return "".join(out)

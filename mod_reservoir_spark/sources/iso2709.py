@@ -76,10 +76,22 @@ def decode_record(raw: bytes) -> dict:
     inconsistent, like marc4j's permissive reader)."""
     leader = raw[:24].decode("ascii", "replace")
     utf8 = len(leader) > 9 and leader[9] == "a"
-    enc = "utf-8" if utf8 else "latin-1"
+    if utf8:
 
-    def dec(b: bytes) -> str:
-        return strip_nul(b.decode(enc, "replace"))
+        def dec(b: bytes) -> str:
+            return strip_nul(b.decode("utf-8", "replace"))
+
+    else:
+        # MARC-8 → UTF-8, like the reference's marc4j permissive reader
+        # (Marc4jMapper.java:78, convertToUTF8=true).  marc4j rewrites
+        # leader[9] to 'a' on conversion — so do we (marc3.xml golden).
+        from mod_reservoir_spark.functions.marc8 import marc8_to_unicode
+
+        def dec(b: bytes) -> str:
+            return strip_nul(marc8_to_unicode(b))
+
+        if len(leader) >= 10:
+            leader = leader[:9] + "a" + leader[10:]
 
     try:
         base = int(raw[12:17])

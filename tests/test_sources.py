@@ -24,22 +24,18 @@ def read(p):
 
 
 def test_iso2709_marc3_roundtrip_vs_xml():
-    """ISO2709 and MARCXML decodes of the same records agree.
+    """ISO2709 and MARCXML decodes of the same records agree byte-exact.
 
-    Records 1-2 are ASCII: full field equality. Record 3 is MARC-8
-    with escape sequences — the reference converts via marc4j's MARC-8
-    tables (not yet ported; documented limitation), so only structure
-    (tag sequence, control fields) is compared there."""
+    Record 3 is MARC-8 with the full ANSEL repertoire plus greek /
+    sub / superscript escapes — conversion via functions/marc8.py must
+    reproduce the reference's marc4j output (marc3.xml), including the
+    leader[9] → 'a' rewrite and U+0360/U+0361 double-mark merging."""
     iso = list(parse_iso2709(read(f"{RES}/marc3.marc")))
     xml = list(parse_marcxml(read(f"{RES}/marc3.xml")))
     assert len(iso) == len(xml) == 3
-    for a, b in zip(iso[:2], xml[:2]):
+    for a, b in zip(iso, xml):
+        assert a["leader"] == b["leader"]
         assert a["fields"] == b["fields"]
-    tags = lambda r: [t for f in r["fields"] for t in f]  # noqa: E731
-    assert tags(iso[2]) == tags(xml[2])
-    # control fields are ASCII even in the MARC-8 record
-    ctl = lambda r: [f for f in r["fields"] for t in f if t < "010"]  # noqa: E731
-    assert ctl(iso[2]) == ctl(xml[2])
 
 
 def test_iso2709_framing_tolerates_junk():
@@ -160,3 +156,27 @@ def test_source_id_validation(spark):
 
     with _pytest.raises(Exception, match="invalid sourceId"):
         normalize_source_ids(bad).collect()
+
+
+def test_marc8_conversion_edges():
+    from mod_reservoir_spark.functions.marc8 import marc8_to_unicode
+
+    # combining diacritic precedes base in MARC-8, follows in Unicode
+    assert marc8_to_unicode(b"p\xe2erez") == "pe\u0301rez"
+    # ligature / double-tilde halves merge to spanning marks after
+    # the first base character (marc4j permissive behavior)
+    assert marc8_to_unicode(b"\xebt\xecs") == "t\u0361s"
+    assert marc8_to_unicode(b"\xfan\xfbg") == "n\u0360g"
+    # single-byte G0 escapes: subscript / superscript / greek / reset
+    assert marc8_to_unicode(b"H\x1bb2\x1bsO") == "H\u2082O"
+    assert marc8_to_unicode(b"x\x1bp2\x1bs") == "x\u00b2"
+    assert marc8_to_unicode(b"\x1bga\x1bs") == "\u03b1"
+    # multi-char designations: ESC ( B -> ASCII G0, ESC ) ! E -> ANSEL G1
+    assert marc8_to_unicode(b"\x1b(Babc") == "abc"
+    assert marc8_to_unicode(b"\x1b)!E\xa5") == "\u00c6"
+    # unmapped set (basic cyrillic) degrades to replacement chars
+    assert marc8_to_unicode(b"\x1b(NAB\x1b(BAB") == "\ufffd\ufffdAB"
+    # EACC consumes 3 bytes per char
+    assert marc8_to_unicode(b"\x1b$1!!!\x1b(BA") == "\ufffdA"
+    # truncated escape at end of data does not loop or throw
+    assert marc8_to_unicode(b"abc\x1b") == "abc"
