@@ -9,10 +9,15 @@ exactly the clusters whose membership changed — reproducing the
 observable invariant (datestamp bumps on insert/update/delete/merge)
 without per-row locking.
 
-Scale note: full-pool CC per batch is fine at metadata scale (the
-PALCI sizing note is 36M bibs / 110M match entries — one modest CC
-job); for much larger pools restrict the recompute to components
-reachable from the batch's match values (`affected_subgraph`).
+Scale note: `ingest_batch` restricts the per-batch recompute to the
+components the batch can actually change (`affected_subgraph`): CC
+iterations — the multi-pass, shuffle-heavy part — run only over the
+affected subgraph, so a 10k-record batch against a 36M-record pool
+re-clusters thousands of rows, not millions. The remaining full-table
+work is a constant number of single-pass joins (no iteration), which
+at cluster scale co-locate if `cluster_assignments` and
+`record_match_values` are bucketed by `global_id`.
+`initialize_pool` remains the full rebuild (new/changed configs).
 """
 
 from __future__ import annotations
@@ -91,6 +96,71 @@ def advance_meta(
     )
 
 
+def affected_subgraph(
+    values: DataFrame,
+    old_assign: DataFrame,
+    batch_ids: DataFrame,
+    all_record_ids: DataFrame,
+    pool_ids: list[str],
+) -> DataFrame:
+    """Per-pool record set whose cluster assignment can change this
+    batch: (global_id, match_key_config_id), distinct.
+
+    Closure argument: non-batch records' edges are unchanged, so in
+    the new graph a batch record's component is a union of OLD
+    components bridged by the batch's values, and a component can only
+    split if it loses a batch record. Seeds are therefore the batch
+    records plus every record sharing a current match value with one;
+    expanding each seed to its ENTIRE old cluster closes the set — if
+    a member of an included cluster shared a value with an outside
+    record, both edges predate the batch and the two would already be
+    one old cluster. Affected =
+
+    - the batch records themselves (new records included), per pool;
+    - every member of an old cluster containing a seed (covers merges
+      the batch's values introduce — wholly, so a bridged cluster's
+      far members relabel too — and updates/deletes splitting a
+      remainder);
+    - records with no assignment in the pool yet (fresh pool /
+      pre-config records — degrades to a full rebuild exactly when
+      one is needed).
+    """
+    pools = F.explode(
+        F.array(*[F.lit(p) for p in pool_ids])
+    ).alias("match_key_config_id")
+    batch_pools = batch_ids.select("global_id", pools)
+
+    old_pool_assign = old_assign.filter(
+        F.col("match_key_config_id").isin(pool_ids)
+    )
+    batch_values = values.join(batch_ids, "global_id", "left_semi").select(
+        "match_key_config_id", "match_value"
+    ).distinct()
+    value_sharers = values.join(
+        batch_values, ["match_key_config_id", "match_value"], "left_semi"
+    ).select("global_id", "match_key_config_id")
+    seeds = batch_pools.unionByName(value_sharers)
+
+    seed_clusters = old_pool_assign.join(
+        seeds, ["global_id", "match_key_config_id"], "left_semi"
+    ).select("match_key_config_id", "cluster_id").distinct()
+    cluster_members = old_pool_assign.join(
+        seed_clusters, ["match_key_config_id", "cluster_id"], "left_semi"
+    ).select("global_id", "match_key_config_id")
+
+    unassigned = all_record_ids.select("global_id", pools).join(
+        old_pool_assign,
+        ["global_id", "match_key_config_id"],
+        "left_anti",
+    )
+
+    return (
+        seeds.unionByName(cluster_members)
+        .unionByName(unassigned)
+        .distinct()
+    )
+
+
 def ingest_batch(
     wh: Warehouse,
     incoming: DataFrame,
@@ -128,6 +198,23 @@ def ingest_batch(
         "left_semi",
     ).count()
 
+    # the batch's global ids: upserted rows (post-merge, so new records
+    # have their ids) plus every version the tombstones removed —
+    # materialized BEFORE the overwrite below invalidates `existing`
+    batch_keys = incoming.select("local_id", "source_id").distinct()
+    batch_ids = (
+        merged.join(batch_keys, ["local_id", "source_id"], "left_semi")
+        .select("global_id")
+        .unionByName(
+            existing.join(
+                tombstones.select("local_id", "source_id").distinct(),
+                ["local_id", "source_id"],
+                "left_semi",
+            ).select("global_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     merged = merged.localCheckpoint(eager=True)
     wh.write("global_records", merged, partition_by=["source_id"])
 
@@ -141,61 +228,121 @@ def ingest_batch(
         "deleted": deleted,
     }
     if ingest_configs:
-        recluster_pools(wh, merged, ingest_configs, now_col)
+        recluster_pools(wh, merged, ingest_configs, now_col, batch_ids=batch_ids)
     return stats_out
 
 
 def recluster_pools(
-    wh: Warehouse, records: DataFrame, configs: list[dict], now=None
+    wh: Warehouse,
+    records: DataFrame,
+    configs: list[dict],
+    now=None,
+    batch_ids: DataFrame | None = None,
 ) -> None:
     """Recompute match values + CC for the given pools and merge the
-    results into the cluster tables, bumping changed clusters' meta."""
+    results into the cluster tables, bumping changed clusters' meta.
+
+    With ``batch_ids`` (a `global_id` frame), only the affected
+    subgraph is re-clustered — match values are re-extracted for the
+    batch records alone and CC runs over the components the batch can
+    reach; everything else keeps its assignment (provably identical to
+    a full recompute: min-label depends only on a component's member
+    set, and unaffected components keep theirs). Without it, the full
+    rebuild runs (`initialize_pool`)."""
     now = now if now is not None else F.current_timestamp()
     pool_ids = [c["id"] for c in configs]
-
-    values = truncate_match_values(
-        extract_match_values(records, configs)
-    ).localCheckpoint(eager=True)
-    clustered = cluster_all_pools(values, pool_ids)
-    # the reference assigns EVERY record a cluster per pool, including
-    # records whose matcher produced no values (singleton cluster, empty
-    # matchValues — Storage.java:441-484); CC only covers records with
-    # edges, so add the valueless records as self-clusters
-    singletons = []
     all_ids = records.select("global_id").distinct()
-    for pid in pool_ids:
-        pool_ids_with_values = (
-            values.filter(F.col("match_key_config_id") == pid)
-            .select("global_id")
-            .distinct()
-        )
-        singletons.append(
-            all_ids.join(pool_ids_with_values, "global_id", "left_anti")
-            .select(
-                "global_id",
-                F.lit(pid).alias("match_key_config_id"),
-                F.col("global_id").alias("cluster_id"),
-            )
-        )
-    for s in singletons:
-        clustered = clustered.unionByName(s)
-    assignments = clustered.localCheckpoint(eager=True)
-
     old_values = wh.read("record_match_values")
-    keep_values = old_values.filter(~F.col("match_key_config_id").isin(pool_ids))
-    wh.write(
-        "record_match_values",
-        keep_values.unionByName(values).localCheckpoint(eager=True),
-    )
-
     old_assign = wh.read("cluster_assignments")
     old_pool_assign = old_assign.filter(
         F.col("match_key_config_id").isin(pool_ids)
     )
-    # materialize before the assignments overwrite below invalidates the
-    # old snapshot files this plan reads
-    changed = changed_clusters(old_pool_assign, assignments).localCheckpoint(
-        eager=True
+
+    if batch_ids is None:
+        values = truncate_match_values(
+            extract_match_values(records, configs)
+        ).localCheckpoint(eager=True)
+        clustered = cluster_all_pools(values, pool_ids)
+        # the reference assigns EVERY record a cluster per pool, including
+        # records whose matcher produced no values (singleton cluster, empty
+        # matchValues — Storage.java:441-484); CC only covers records with
+        # edges, so add the valueless records as self-clusters
+        pools = F.explode(
+            F.array(*[F.lit(p) for p in pool_ids])
+        ).alias("match_key_config_id")
+        singletons = (
+            all_ids.select("global_id", pools)
+            .join(
+                values.select("global_id", "match_key_config_id").distinct(),
+                ["global_id", "match_key_config_id"],
+                "left_anti",
+            )
+            .withColumn("cluster_id", F.col("global_id"))
+        )
+        assignments = clustered.unionByName(singletons).localCheckpoint(
+            eager=True
+        )
+        # materialize before the overwrite below invalidates the old
+        # snapshot files this plan reads
+        changed = changed_clusters(old_pool_assign, assignments).localCheckpoint(
+            eager=True
+        )
+    else:
+        # incremental: re-extract values for the batch only
+        new_vals = truncate_match_values(
+            extract_match_values(
+                records.join(batch_ids, "global_id", "left_semi"), configs
+            )
+        )
+        kept_vals = old_values.filter(
+            F.col("match_key_config_id").isin(pool_ids)
+        ).join(batch_ids, "global_id", "left_anti")
+        values = kept_vals.unionByName(
+            new_vals.select(*kept_vals.columns)
+        ).localCheckpoint(eager=True)
+
+        affected = affected_subgraph(
+            values, old_assign, batch_ids, all_ids, pool_ids
+        ).localCheckpoint(eager=True)
+        aff_values = values.join(
+            affected, ["global_id", "match_key_config_id"], "left_semi"
+        )
+        clustered_aff = cluster_all_pools(aff_values, pool_ids)
+        # affected-but-valueless records that still exist → self-clusters
+        # (the semi join excludes deleted batch ids, which must vanish)
+        singletons = (
+            affected.join(all_ids, "global_id", "left_semi")
+            .join(
+                aff_values.select(
+                    "global_id", "match_key_config_id"
+                ).distinct(),
+                ["global_id", "match_key_config_id"],
+                "left_anti",
+            )
+            .withColumn("cluster_id", F.col("global_id"))
+        )
+        new_aff = clustered_aff.unionByName(
+            singletons.select(*clustered_aff.columns)
+        ).localCheckpoint(eager=True)
+        changed = changed_clusters(
+            old_pool_assign.join(
+                affected, ["global_id", "match_key_config_id"], "left_semi"
+            ),
+            new_aff,
+        ).localCheckpoint(eager=True)
+        assignments = (
+            old_pool_assign.join(
+                affected, ["global_id", "match_key_config_id"], "left_anti"
+            )
+            .unionByName(new_aff)
+            .localCheckpoint(eager=True)
+        )
+
+    keep_values = old_values.filter(~F.col("match_key_config_id").isin(pool_ids))
+    wh.write(
+        "record_match_values",
+        keep_values.unionByName(values.select(*keep_values.columns))
+        .localCheckpoint(eager=True),
     )
 
     keep_assign = old_assign.filter(~F.col("match_key_config_id").isin(pool_ids))

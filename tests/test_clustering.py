@@ -321,3 +321,75 @@ def test_manual_pool_untouched_at_ingest(spark, warehouse):
     man = assigns2.filter("match_key_config_id = 'man'")
     assert man.count() == 2
     assert man.select("cluster_id").distinct().count() == 1
+
+
+def test_incremental_recluster_equals_full_rebuild(spark, warehouse):
+    """ingest_batch re-clusters only the affected subgraph; after
+    merges, an update that splits a chain, and a tombstone, the
+    assignments (including cluster ids) must equal a full rebuild."""
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "local_id string, source_id string, source_version int, "
+            "payload string, delete boolean",
+        )
+
+    ingest_batch(
+        warehouse,
+        batch(
+            [
+                ("A", "S", 1, payload(issn=["1"]), None),
+                ("B", "S", 1, payload(issn=["1"]), None),
+                ("C", "S", 1, payload(issn=["2"]), None),
+                ("D", "S", 1, payload(issn=["2", "3"]), None),
+                ("E", "S", 1, payload(issn=["3"]), None),
+                ("F", "S", 1, payload(), None),
+            ]
+        ),
+        [ISSN_CFG],
+    )
+    # D gains a v2 with issn 4 (old version's values persist — global
+    # ids are per (local, source, version)); G joins {A,B}
+    ingest_batch(
+        warehouse,
+        batch(
+            [
+                ("D", "S", 2, payload(issn=["4"]), None),
+                ("G", "S", 1, payload(issn=["1"]), None),
+            ]
+        ),
+        [ISSN_CFG],
+    )
+    # tombstone B (removes every version); X bridges issn 2 and 4 —
+    # merging {C,D1,E} with {D2}: the far member E must relabel even
+    # though it shares no value with the batch (full-cluster closure)
+    ingest_batch(
+        warehouse,
+        batch(
+            [
+                ("B", "S", 2, None, True),
+                ("X", "S", 1, payload(issn=["2", "4"]), None),
+            ]
+        ),
+        [ISSN_CFG],
+    )
+
+    recs = warehouse.read("global_records")
+    incr = warehouse.read("cluster_assignments")
+    sets = set(memberships(incr, recs).values())
+    assert sets == {
+        frozenset({"A", "G"}),
+        frozenset({"C", "D", "E", "X"}),
+        frozenset({"F"}),
+    }
+
+    incr_rows = {(r.global_id, r.cluster_id) for r in incr.collect()}
+    from mod_reservoir_spark.streaming.ingest import initialize_pool
+
+    initialize_pool(warehouse, ISSN_CFG)
+    full_rows = {
+        (r.global_id, r.cluster_id)
+        for r in warehouse.read("cluster_assignments").collect()
+    }
+    assert incr_rows == full_rows
