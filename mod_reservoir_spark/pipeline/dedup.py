@@ -56,8 +56,8 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document.
+def shingle_array(text_col: str, n: int) -> "F.Column":
+    """Array of distinct word n-grams (empties removed).
 
     Built from n shifted slices folded with zip_with, NOT per-element
     element_at lambdas: a lambda that references the tokenization
@@ -78,8 +78,13 @@ def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFr
                 lambda a, b: F.concat(a, F.lit(" "), b),
             )
         sh = F.array_distinct(acc)
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).filter(
-        F.col("shingle") != ""
+    return F.filter(sh, lambda s: s != "")
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    return docs.select(
+        "doc_id", F.explode(shingle_array(text_col, n)).alias("shingle")
     )
 
 
@@ -167,23 +172,38 @@ def minhash_signatures(
     shingle_n: int = 2,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures over word
-    shingles. One narrow pass: explode shingles, md5-hash once, then
-    num_hashes affine permutations aggregated with min — a single
-    groupBy(doc_id), map-side combinable."""
-    # hash each shingle ONCE in a projection; the 16 permutations then
-    # operate on the long (md5 inside an agg expression would re-run
-    # per aggregate — 16× the hashing cost)
-    hashed = word_shingles(docs, text_col, shingle_n).select(
-        "doc_id", hex7_to_long(F.col("shingle")).alias("_h")
-    )
-    aggs = [
-        F.min(minhash_expr(i, F.col("_h"))).alias(f"h{i}")
+    shingles.
+
+    Fully NARROW plan — no explode, no shuffle: the shingle array is
+    md5-hashed element-wise into a materialized column, then each of
+    the num_hashes permutations is an `array_min(transform(...))` over
+    it. The hashed array is its own projection so md5 runs once per
+    shingle (CollapseProject keeps a non-cheap alias referenced
+    num_hashes times as a separate projection; the permutation lambdas
+    touch only their lambda variable, so nothing re-evaluates per
+    element). Per-document cost is O(shingles × num_hashes) integer
+    ops; at cluster scale signatures pipeline straight from the
+    parquet scan with zero exchange. Documents with no shingles are
+    dropped (same as the former explode + groupBy plan)."""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            shingle_array(text_col, shingle_n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast(
+                "long"
+            ),
+        ).alias("_h"),
+    ).filter(F.size("_h") > 0)
+    def _perm(i):
+        # a 2-arg lambda would be interpreted as (element, index) by
+        # F.transform — bind i via closure instead
+        return lambda h: minhash_expr(i, h)
+
+    mins = [
+        F.array_min(F.transform(F.col("_h"), _perm(i)))
         for i in range(num_hashes)
     ]
-    sig = hashed.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
-    )
+    return hashed.select("doc_id", F.array(*mins).alias("sig"))
 
 
 def minhash_lsh_pairs(
