@@ -177,26 +177,44 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
+    # exact re-score, Arrow-batched: the (small) query matrix is
+    # broadcast and each candidate batch is one vectorized numpy
+    # einsum — same float64 + round-6 strategy as cosine_topk, so the
+    # scores are identical to the SQL oracle's. (The previous
+    # zip_with/aggregate per-pair formulation ran interpreted — it
+    # dominated the query at low n_planes where buckets are large.)
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qidx = {r[0]: i for i, r in enumerate(q_rows)}
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qm * qm).sum(axis=1))
+    bq = embeddings.sparkSession.sparkContext.broadcast((qidx, qm, qnorm))
+
+    def score(batches):
+        bqidx, bqm, bqnorm = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            qi = np.array([bqidx[q] for q in pdf["query_id"]], dtype=np.int64)
+            s = np.einsum("ij,ij->i", bqm[qi], cm) / (
+                bqnorm[qi] * np.sqrt((cm * cm).sum(axis=1))
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": np.round(s, 6),
+                }
+            )
+
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                6,
-            ).alias("score"),
-        )
+    scored = cand.join(c, "neighbor_id").mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
