@@ -643,7 +643,8 @@ def _simhash_oracle(bits: int = 24) -> str:
       GROUP BY doc_id, b.b
     )
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << bpos) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bpos) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """
 
@@ -827,11 +828,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS sum_qty_cents,
-                   sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_base_cents,
-                   sum(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS sum_disc_cents,
+                   CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    count(*) AS count_order,
-                   (sum(CAST(round(l_quantity*100, 0) AS BIGINT)) * 1000000) // count(*) AS avg_qty_ppm
+                   CAST((sum(CAST(round(l_quantity*100, 0) AS BIGINT)) * 1000000) // count(*) AS BIGINT) AS avg_qty_ppm
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
@@ -889,7 +890,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "three_table_join": """
             SELECT n_name, count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -963,7 +964,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props": """
             SELECT event_type,
-                   sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+                   CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
                    count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
                               THEN 1 END) AS n_with_k
             FROM events GROUP BY event_type
@@ -971,7 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "running_total": f"""
             SELECT user_id, event_id,
                    count(*) OVER w AS cum_events,
-                   sum(CAST(round(value*100, 0) AS BIGINT)) OVER w AS cum_cents
+                   CAST(sum(CAST(round(value*100, 0) AS BIGINT)) OVER w AS BIGINT) AS cum_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
@@ -1113,19 +1114,20 @@ def oracle_sql() -> dict[str, str]:
               FROM sess GROUP BY user_id, sess_id)
             SELECT user_id, count(*) AS n_sessions,
                    max(n_events) AS max_session_events,
-                   sum(n_events) AS total_events
+                   CAST(sum(n_events) AS BIGINT) AS total_events
             FROM per GROUP BY user_id
         """,
         "hourly_rollup": f"""
             SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour,
                    event_type, count(*) AS n,
-                   sum(CAST(round(value*100, 0) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
         """,
         "topk_per_type": """
             WITH totals AS (
               SELECT event_type, user_id,
-                     sum(CAST(round(value*100, 0) AS BIGINT)) AS total_cents
+                     CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+                       AS total_cents
               FROM events GROUP BY event_type, user_id)
             SELECT event_type, user_id, total_cents, rn AS rnk
             FROM (

@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pyarrow as pa
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -24,22 +25,51 @@ TABLES = [
 ]
 
 
-def norm_cell(v) -> str:
+def type_tag(t: pa.DataType) -> str:
+    """Coarse Arrow type class. Hashing includes this tag so a DuckDB
+    HUGEINT/DECIMAL (arrow decimal128) never hash-matches a Spark BIGINT
+    (arrow int64) — mirroring the driver's typed comparison, which the old
+    str()-based checker hid (8 silent round-1 failures)."""
+    if pa.types.is_boolean(t):
+        return "b"
+    if pa.types.is_integer(t):
+        return "i"
+    if pa.types.is_floating(t):
+        return "f"
+    if pa.types.is_decimal(t):
+        return "d"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "t"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "s"
+    return "o"
+
+
+def norm_cell(v, tag: str = "o") -> str:
     if v is None:
         return ""
     if isinstance(v, bool):
-        return "true" if v else "false"
+        return f"{tag}:true" if v else f"{tag}:false"
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
-    return str(v)
+            return f"{tag}:{int(v)}"
+        return f"{tag}:{v!r}"
+    return f"{tag}:{v}"
 
 
-def table_hash(rows: list[tuple], cols: list[str]) -> str:
+def arrow_rows(table: pa.Table) -> tuple[list[str], list[tuple], list[str]]:
+    """(column names, python rows, per-column type tags) from an Arrow table."""
+    cols = table.column_names
+    tags = [type_tag(f.type) for f in table.schema]
+    pylists = [c.to_pylist() for c in table.columns]
+    rows = list(zip(*pylists)) if cols else []
+    return cols, rows, tags
+
+
+def table_hash(rows: list[tuple], cols: list[str], tags: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
-        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+        "\x01".join(norm_cell(r[i], tags[i]) for i in order) for r in rows
     )
     h = hashlib.sha256()
     for line in lines:
@@ -78,8 +108,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            scols, srows, stags = arrow_rows(sdf.toArrow())
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {str(e)[:400]}")
@@ -90,9 +119,7 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows, no oracle ({spark_t:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows, dtags = arrow_rows(con.execute(oracles[name]).arrow())
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {str(e)[:400]}")
@@ -103,14 +130,17 @@ def main() -> int:
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
-            sh, dh = table_hash(srows, scols), table_hash(drows, dcols)
+            sh = table_hash(srows, scols, stags)
+            dh = table_hash(drows, dcols, dtags)
             if sh != dh:
                 problems.append(f"hash spark={sh} duck={dh}")
                 # show a few differing lines for debugging
                 so = sorted(range(len(scols)), key=lambda i: scols[i])
                 do = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                sset = {"\x01".join(norm_cell(r[i]) for i in so) for r in srows}
-                dset = {"\x01".join(norm_cell(r[i]) for i in do) for r in drows}
+                sset = {"\x01".join(norm_cell(r[i], stags[i]) for i in so)
+                        for r in srows}
+                dset = {"\x01".join(norm_cell(r[i], dtags[i]) for i in do)
+                        for r in drows}
                 for x in list(sset - dset)[:3]:
                     print(f"      spark-only: {x[:200]!r}")
                 for x in list(dset - sset)[:3]:
