@@ -371,8 +371,11 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    # 3 bands of 8 bits guarantee recall at hamming <= 2 (pigeonhole,
+    # n_bands >= max_hamming+1); 8-bit buckets keep per-band candidate
+    # fan-in bounded at scale (256 buckets/band).
     return dd.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), bits=24, max_hamming=6, block_bits=8
+        _t(spark, sf_dir, "documents"), bits=24, max_hamming=2, n_bands=3
     )
 
 
@@ -721,10 +724,12 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4,
     """
 
 
-def _simhash_pairs_oracle(bits: int = 24, max_hamming: int = 6,
-                          block_bits: int = 8) -> str:
-    n_bands = bits // block_bits
-    band_rows = ", ".join(f"({b})" for b in range(n_bands))
+def _simhash_pairs_oracle(bits: int = 24, max_hamming: int = 2,
+                          n_bands: int = 3) -> str:
+    band_rows = ", ".join(
+        f"({b}, {off}, {(1 << width) - 1})"
+        for b, (off, width) in enumerate(dd.band_layout(bits, n_bands))
+    )
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
@@ -739,16 +744,17 @@ def _simhash_pairs_oracle(bits: int = 24, max_hamming: int = 6,
     ),
     sh AS (
       SELECT doc_id,
-             sum(CASE WHEN v > 0 THEN (1::BIGINT << bpos) ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bpos) ELSE 0 END)
+                  AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id
     ),
     buckets AS (
       SELECT doc_id, simhash, bb.band,
-             (simhash >> (bb.band * {block_bits})) & {(1 << block_bits) - 1} AS bucket
-      FROM sh, (VALUES {band_rows}) AS bb(band)
+             (simhash >> bb.off) & bb.mask AS bucket
+      FROM sh, (VALUES {band_rows}) AS bb(band, off, mask)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM buckets a JOIN buckets b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
@@ -1053,7 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_oracle(),
         "minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 300000),
-        "simhash_pairs": _simhash_pairs_oracle(24, 6, 8),
+        "simhash_pairs": _simhash_pairs_oracle(24, 2, 3),
         "embedding_lsh_topk": _embedding_lsh_oracle(5, 10, 4, 64),
         "simhash": _simhash_oracle(24),
         "embedding_topk": """

