@@ -50,13 +50,23 @@ def keyset_page(
 def encode_resumption_token(
     from_ts: str, from_id: str, until: str | None = None, set_id: str | None = None
 ) -> str:
-    """base64("from id until set") — reference ResumptionToken.java:23-60."""
-    # datestamps are space-free ISO (T separator) so the token's
-    # space-delimited layout (reference ResumptionToken.java:23-60)
-    # round-trips; Spark casts the T form back to timestamp fine
-    raw = " ".join(
-        [from_ts.replace(" ", "T"), from_id, until or "", set_id or ""]
-    )
+    """base64("from id until set") — reference ResumptionToken.java:23-60.
+
+    EVERY timestamp field is normalized to the space-free T form before
+    joining (round-1 bug: only from_ts was, so an until built via
+    isoformat(sep=' ') split into two fields on decode, clobbering
+    set_id and truncating multi-page until-bounded harvests). Remaining
+    fields must not contain the delimiter."""
+    fields = [
+        from_ts.replace(" ", "T"),
+        from_id,
+        (until or "").replace(" ", "T"),
+        set_id or "",
+    ]
+    for f in fields[1:]:
+        if " " in f:
+            raise ValueError(f"resumption-token field contains space: {f!r}")
+    raw = " ".join(fields)
     return base64.urlsafe_b64encode(raw.encode()).decode()
 
 

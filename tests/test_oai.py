@@ -64,6 +64,19 @@ def test_resumption_token_roundtrip():
     assert dec["set"] == "issn"
 
 
+def test_resumption_token_full_datetime_until():
+    """Round-1 bug: an until with a space (isoformat sep=' ') split into
+    two token fields on decode, clobbering set_id."""
+    tok = encode_resumption_token(
+        "2024-01-01 00:00:00", "c1", "2024-02-02 00:00:00", "issn"
+    )
+    dec = decode_resumption_token(tok)
+    assert dec["from"] == "2024-01-01T00:00:00"
+    assert dec["id"] == "c1"
+    assert dec["until"] == "2024-02-02T00:00:00"
+    assert dec["set"] == "issn"
+
+
 def test_cluster_999_merge():
     cluster = {
         "clusterId": "c-1",

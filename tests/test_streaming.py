@@ -64,6 +64,55 @@ def test_transformer_hook_in_oai(spark, warehouse):
     assert '<datafield tag="900' in res["records"][0]["metadata"]
 
 
+def test_list_records_until_multipage(spark, warehouse):
+    """Round-1 regression (ADVICE high): an until-bounded ListRecords
+    spanning >1 page corrupted the resumption token (space in the until
+    field split it in two, clobbering set_id) and silently truncated the
+    harvest at page 2."""
+    from mod_reservoir_spark.streaming.ingest import ingest_batch
+    from mod_reservoir_spark.operators.oai import list_records
+
+    rows = [
+        (f"U{i}", "S", 1,
+         json.dumps({"marc": {"leader": "x" * 24,
+                              "fields": [{"001": f"U{i}"}]},
+                     "inventory": {"issn": [str(i)]}}),
+         None)
+        for i in range(5)
+    ]
+    inc = spark.createDataFrame(
+        rows,
+        "local_id string, source_id string, source_version int, "
+        "payload string, delete boolean",
+    )
+    cfg = {
+        "id": "issn",
+        "method": "jsonpath",
+        "params": json.dumps({"expr": "$.inventory.issn[*]"}),
+        "update": "ingest",
+    }
+    ingest_batch(warehouse, inc, [cfg])
+
+    args = (
+        warehouse.read("cluster_meta"),
+        warehouse.read("cluster_assignments"),
+        warehouse.read("global_records"),
+        warehouse.read("record_match_values"),
+    )
+    got, pages = [], 0
+    res = list_records(*args, "issn", until_arg="2999-01-01T00:00:00Z", limit=2)
+    while True:
+        pages += 1
+        got.extend(res["records"])
+        token = res["resumptionToken"]
+        if not token:
+            break
+        res = list_records(*args, "issn", token=token, limit=2)
+    assert pages == 3
+    assert len(got) == 5
+    assert len({r["identifier"] for r in got}) == 5
+
+
 def test_stream_ingest_available_now(spark, warehouse, tmp_path):
     from mod_reservoir_spark.streaming.stream_ingest import start_stream_ingest
 
