@@ -88,16 +88,18 @@ def latest_version_per_source(
     members: DataFrame,
     cluster_col: str = "cluster_id",
 ) -> DataFrame:
-    """Within a cluster keep only max source_version per (source_id,
-    local_id) — reference ClusterBuilder.latest (ClusterBuilder.java:72-96).
-    """
-    w = Window.partitionBy(
-        cluster_col, "source_id", "local_id"
-    ).orderBy(F.col("source_version").desc())
+    """Within a cluster keep every record at its source's MAX version —
+    reference ClusterBuilder.latest (ClusterBuilder.java:72-96): the
+    max-version map is keyed by sourceId ALONE, so a stale localId of
+    the same source is dropped even if it is that localId's newest row,
+    and ALL records tied at the max version are kept (no row_number).
+    An unordered max window needs no sort — cheaper than the round-1
+    row_number variant and semantically exact."""
+    w = Window.partitionBy(cluster_col, "source_id")
     return (
-        members.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        members.withColumn("_maxv", F.max("source_version").over(w))
+        .filter(F.col("source_version") == F.col("_maxv"))
+        .drop("_maxv")
     )
 
 

@@ -182,6 +182,29 @@ def test_latest_version_per_source(spark):
     assert got == {("S1", 2), ("S2", 1)}
 
 
+def test_latest_version_source_wide_max_and_ties(spark):
+    """ADVICE r1: ClusterBuilder.latest keys its max-version map by
+    sourceId ALONE — a stale localId of the same source drops even at
+    its own newest version — and keeps ALL records tied at the max."""
+    recs = records_df(
+        spark,
+        [
+            ("L1", "SRC", 1, payload(issn=["9"])),  # stale vs source max
+            ("L2", "SRC", 2, payload(issn=["9"])),  # at source max
+            ("L3", "SRC", 2, payload(issn=["9"])),  # tied at source max
+            ("LX", "OTH", 5, payload(issn=["9"])),  # other source
+        ],
+    )
+    values = extract_match_values(recs, [ISSN_CFG])
+    assignments = cluster_all_pools(values)
+    members = latest_version_per_source(assignments.join(recs, "global_id"))
+    got = {
+        (r.local_id, r.source_version)
+        for r in members.select("local_id", "source_version").collect()
+    }
+    assert got == {("L2", 2), ("L3", 2), ("LX", 5)}
+
+
 def test_cluster_output_shape(spark):
     recs = records_df(
         spark,
