@@ -85,10 +85,10 @@ def q_pricing_summary(spark, sf_dir):
 
 
 ORDER_CQL_FIELDS = {
-    "orderKey": "o_orderkey",
-    "custKey": "o_custkey",
+    "orderKey": ("o_orderkey", "numeric"),
+    "custKey": ("o_custkey", "numeric"),
     "orderStatus": "o_orderstatus",
-    "totalPrice": "o_totalprice",
+    "totalPrice": ("o_totalprice", "numeric"),
     "orderPriority": "o_orderpriority",
 }
 ORDERS_CQL = 'orderStatus = "O" AND totalPrice >= 150000 sortBy orderKey'

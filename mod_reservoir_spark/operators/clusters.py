@@ -22,20 +22,22 @@ from pyspark.sql import DataFrame, Window, functions as F
 from mod_reservoir_spark.plans.cql import Query, parse_cql
 
 # field → column bindings per endpoint (reference CqlFields.java:3-16,
-# ReservoirService.java:104-175)
+# ReservoirService.java:104-175). Plain string = text comparison (the
+# reference's PG text columns, incl. id-like fields — 'localId = 0001'
+# is the string '0001'); ('col', 'numeric') = numeric literal.
 RECORD_FIELDS = {
     "id": "global_id",
     "globalId": "global_id",
     "localId": "local_id",
     "sourceId": "source_id",
-    "sourceVersion": "source_version",
+    "sourceVersion": ("source_version", "numeric"),
 }
 CLUSTER_FIELDS = {
     "clusterId": "cluster_id",
     "globalId": "global_id",
     "localId": "local_id",
     "sourceId": "source_id",
-    "sourceVersion": "source_version",
+    "sourceVersion": ("source_version", "numeric"),
     "matchValue": "match_value",
 }
 CONFIG_FIELDS = {"id": "id", "method": "method", "matcher": "matcher"}

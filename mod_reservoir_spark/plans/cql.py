@@ -28,6 +28,20 @@ class CqlError(ValueError):
     pass
 
 
+def bound(fields: dict, name: str) -> tuple[str, str]:
+    """Resolve a binding value to (column, kind). A binding is either a
+    plain column name (kind 'text') or a ('column', 'numeric') tuple.
+    Typing literals per bound column matches the reference, where
+    cql-java emits text comparisons for id-like PG text columns —
+    'localId = 0001' must compare as the STRING '0001', not the int 1
+    (ADVICE r1: the looks-numeric heuristic matched local_id '1' or
+    threw under ANSI string↔int casts)."""
+    v = fields[name]
+    if isinstance(v, tuple):
+        return v
+    return (v, "text")
+
+
 # ---------------------------------------------------------------- AST
 
 @dataclass
@@ -54,24 +68,29 @@ class Term(Node):
     op: str  # = <> < > <= >=
     value: str
 
-    def _column_name(self, fields: dict[str, str]) -> str:
+    def _binding(self, fields: dict) -> tuple[str, str]:
         try:
-            return fields[self.field]
+            return bound(fields, self.field)
         except KeyError:
             raise CqlError(
                 f"unsupported CQL field: {self.field!r} "
                 f"(queryable: {sorted(fields)})"
             ) from None
 
-    def _literal(self):
-        # numeric if it looks numeric, else string
+    def _literal(self, kind: str):
+        if kind != "numeric":
+            return self.value
         if re.fullmatch(r"-?\d+(\.\d+)?", self.value):
             return float(self.value) if "." in self.value else int(self.value)
-        return self.value
+        raise CqlError(
+            f"numeric field {self.field!r} compared to non-numeric "
+            f"value {self.value!r}"
+        )
 
     def to_column(self, fields):
-        col = F.col(self._column_name(fields))
-        lit = F.lit(self._literal())
+        name, kind = self._binding(fields)
+        col = F.col(name)
+        lit = F.lit(self._literal(kind))
         return {
             "=": col == lit,
             "==": col == lit,
@@ -83,8 +102,8 @@ class Term(Node):
         }[self.op]
 
     def to_sql(self, fields):
-        name = self._column_name(fields)
-        lit = self._literal()
+        name, kind = self._binding(fields)
+        lit = self._literal(kind)
         if isinstance(lit, str):
             lit = "'" + lit.replace("'", "''") + "'"
         op = "=" if self.op == "==" else self.op
@@ -140,14 +159,14 @@ class Query:
     def order_by(self, fields: dict[str, str]) -> list[Column]:
         cols = []
         for s in self.sort:
-            name = fields.get(s.field, s.field)
+            name = bound(fields, s.field)[0] if s.field in fields else s.field
             cols.append(F.col(name).desc() if s.descending else F.col(name).asc())
         return cols
 
     def order_by_sql(self, fields: dict[str, str]) -> str:
         parts = []
         for s in self.sort:
-            name = fields.get(s.field, s.field)
+            name = bound(fields, s.field)[0] if s.field in fields else s.field
             parts.append(f"{name} DESC" if s.descending else f"{name} ASC")
         return ", ".join(parts)
 

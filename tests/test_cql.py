@@ -7,7 +7,7 @@ from mod_reservoir_spark.plans.cql import CqlError, parse_cql
 FIELDS = {
     "localId": "local_id",
     "sourceId": "source_id",
-    "sourceVersion": "source_version",
+    "sourceVersion": ("source_version", "numeric"),
 }
 
 
@@ -44,6 +44,27 @@ def test_sortby():
 def test_unknown_field_rejected():
     with pytest.raises(CqlError):
         parse_cql("bogus = 1").to_sql(FIELDS)
+
+
+def test_text_field_keeps_numeric_looking_literal():
+    """ADVICE r1: id-like fields are PG text in the reference —
+    'localId = 0001' compares the string '0001', never the int 1."""
+    assert parse_cql("localId = 0001").to_sql(FIELDS) == "(local_id = '0001')"
+
+
+def test_numeric_field_rejects_non_numeric_literal():
+    with pytest.raises(CqlError):
+        parse_cql("sourceVersion = abc").to_sql(FIELDS)
+
+
+def test_text_literal_not_coerced_on_spark_side(spark):
+    df = spark.createDataFrame(
+        [("0001", "B", 1), ("1", "B", 1)],
+        "local_id string, source_id string, source_version int",
+    )
+    q = parse_cql("localId = 0001")
+    got = {r.local_id for r in df.filter(q.to_column(FIELDS)).collect()}
+    assert got == {"0001"}
 
 
 def test_spark_column_matches_sql(spark):
