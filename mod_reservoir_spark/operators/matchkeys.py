@@ -70,8 +70,16 @@ def _matcher_fn(config: dict) -> Callable[[dict], list[str]]:
     raise ValueError(f"matchkey config {config.get('id')!r} has no matcher/method")
 
 
-def matcher_udf(config: dict):
+def matcher_udf(config: dict, on_error: str = "raise"):
+    """Arrow-batched payload→keys UDF.
+
+    on_error='raise' (default) re-raises a matcher exception, failing
+    the ingest job — the reference contract, where a throwing JS matcher
+    fails the request rather than silently degrading (ADVICE r1).
+    on_error='ignore' emits [] for the failing record (documented
+    deviation for salvage runs; pair with match_value_errors to count)."""
     fn = _matcher_fn(config)
+    cfg_id = config.get("id")
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def extract(payload: pd.Series) -> pd.Series:
@@ -84,7 +92,11 @@ def matcher_udf(config: dict):
                 return []
             try:
                 vals = fn(obj)
-            except Exception:
+            except Exception as e:
+                if on_error == "raise":
+                    raise RuntimeError(
+                        f"matcher {cfg_id!r} failed: {e!r}"
+                    ) from e
                 return []
             out = []
             for v in vals or []:
@@ -99,18 +111,46 @@ def matcher_udf(config: dict):
     return extract
 
 
+def matcher_error_udf(config: dict):
+    """Per-record matcher error (string) or None — the diagnostic
+    companion to matcher_udf(on_error='ignore')."""
+    fn = _matcher_fn(config)
+
+    @F.pandas_udf(T.StringType())
+    def probe(payload: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None:
+                return None
+            try:
+                obj = json.loads(s)
+            except (ValueError, TypeError) as e:
+                return f"bad payload json: {e}"
+            try:
+                fn(obj)
+                return None
+            except Exception as e:
+                return repr(e)
+
+        return payload.map(one)
+
+    return probe
+
+
 def extract_match_values(
-    records: DataFrame, configs: list[dict]
+    records: DataFrame, configs: list[dict], on_error: str = "raise"
 ) -> DataFrame:
     """Run every (ingest-mode) matcher over the records and union the
     edge tables: (global_id, match_key_config_id, match_value).
 
     One pass per pool; each is a narrow map + explode (no shuffle).
     Values are deduped per record (set semantics, Storage.java:356-358).
-    """
+    The empty string is a REGULAR clusterable value — the reference
+    inserts '' through truncatedKeys like any other key
+    (Storage.java:353-361), so records whose matcher yields only ''
+    cluster together rather than becoming singletons (ADVICE r1)."""
     parts = []
     for cfg in configs:
-        udf = matcher_udf(cfg)
+        udf = matcher_udf(cfg, on_error=on_error)
         parts.append(
             records.select(
                 "global_id",
@@ -118,7 +158,30 @@ def extract_match_values(
                 F.explode(
                     F.array_distinct(udf(F.col("payload")))
                 ).alias("match_value"),
-            ).filter(F.col("match_value").isNotNull() & (F.col("match_value") != ""))
+            ).filter(F.col("match_value").isNotNull())
+        )
+    if not parts:
+        raise ValueError("no matchkey configs supplied")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def match_value_errors(
+    records: DataFrame, configs: list[dict]
+) -> DataFrame:
+    """(global_id, match_key_config_id, error) for every record whose
+    matcher raised — surface for operators running on_error='ignore'."""
+    parts = []
+    for cfg in configs:
+        probe = matcher_error_udf(cfg)
+        parts.append(
+            records.select(
+                "global_id",
+                F.lit(cfg["id"]).alias("match_key_config_id"),
+                probe(F.col("payload")).alias("error"),
+            ).filter(F.col("error").isNotNull())
         )
     if not parts:
         raise ValueError("no matchkey configs supplied")

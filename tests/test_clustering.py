@@ -3,6 +3,7 @@
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from mod_reservoir_spark.operators.clustering import (
@@ -180,6 +181,47 @@ def test_latest_version_per_source(spark):
         for r in members.select("local_id", "source_version").collect()
     }
     assert got == {("S1", 2), ("S2", 1)}
+
+
+def test_empty_string_match_value_clusters(spark):
+    """ADVICE r1: '' is a regular clusterable value (reference
+    Storage.java truncatedKeys inserts it like any key) — records whose
+    matcher yields only '' cluster together, not as singletons."""
+    recs = records_df(
+        spark,
+        [
+            ("E1", "S1", 1, payload(issn=[""])),
+            ("E2", "S2", 1, payload(issn=[""])),
+        ],
+    )
+    values = extract_match_values(recs, [ISSN_CFG])
+    assert values.count() == 2
+    assignments = cluster_all_pools(values)
+    sets = set(memberships(assignments, recs).values())
+    assert sets == {frozenset({"E1", "E2"})}
+
+
+def test_matcher_exception_raises_then_collects(spark):
+    """ADVICE r1: a throwing matcher fails the ingest (reference
+    contract) rather than silently emitting no keys; on_error='ignore'
+    degrades and match_value_errors surfaces the per-record error."""
+    from mod_reservoir_spark.operators.matchkeys import (
+        match_value_errors,
+        register_module,
+    )
+
+    def boom(_payload):
+        raise ValueError("kaboom")
+
+    register_module("boom::matchkey", boom)
+    cfg = {"id": "boom", "matcher": "boom::matchkey", "update": "ingest"}
+    recs = records_df(spark, [("B1", "S1", 1, payload(issn=["1"]))])
+    with pytest.raises(Exception, match="kaboom"):
+        extract_match_values(recs, [cfg]).collect()
+    assert extract_match_values(recs, [cfg], on_error="ignore").count() == 0
+    errs = match_value_errors(recs, [cfg]).collect()
+    assert len(errs) == 1
+    assert "kaboom" in errs[0].error
 
 
 def test_latest_version_source_wide_max_and_ties(spark):
