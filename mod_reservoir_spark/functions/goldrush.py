@@ -289,6 +289,153 @@ def matchkey(record: str) -> str:
     return key.lower()
 
 
+# ---------------------------------------------------------------------
+# GoldRush September-2021 variant (v1.1.0) — reference
+# js/matchkeys/goldrush/goldrush.mjs:391-423, golden corpus
+# js/test/assertions-goldrush2021.json. Differences from December2024_0:
+# getField (first field only) instead of getRelevantSubField; title
+# keeps word gaps (spaces → '_' at padding); a 5-wide GMD component
+# after the title; publication year tries 008 date2 THEN date1 with no
+# dateType branch and accepts any [0-9]{4}; edition statement searches
+# digits unanchored, maps the raw first-3 chars, and has NO '1'
+# fallback; author is 20 wide from 100/110/111 only (no 130) with '_'
+# replacement and no alnum filter.
+
+
+def do_title_2021(parts: list) -> str:
+    s = "".join(
+        strip_punctuation(p, " ").strip() for p in parts if p is not None
+    )
+    s = normalize_and_unaccent(s)  # 2021 keeps spaces; padding maps → '_'
+    return pad_content(s, 70)
+
+
+def do_gmd(p) -> str:
+    """General medium designator (245$h) — 2021-only component."""
+    out = ""
+    if p is not None:
+        out = _re.sub(r"[^a-zA-Z0-9]", "", normalize_and_unaccent(p))
+    return pad_content(out, 5)
+
+
+_YEAR_RE_2021 = _re.compile(r"[0-9]{4}")
+
+
+def do_publication_year_2021(parts: list) -> str:
+    out = ""
+    for n, p in enumerate(parts):
+        if p is None:
+            continue
+        p = str(p)
+        if n == 0:
+            digits = _re.sub(r"[^0-9]", "", p[11:15])  # date2 first
+            if _YEAR_RE_2021.search(digits) and digits != "9999":
+                out = digits
+                break
+            digits = _re.sub(r"[^0-9]", "", p[7:11])  # then date1
+            if _YEAR_RE_2021.search(digits) and digits != "9999":
+                out = digits
+                break
+        else:
+            digits = _re.sub(r"[^0-9]", "", p)
+            if _YEAR_RE_2021.search(digits) and digits != "9999":
+                out = digits
+                break
+    return pad_content(out or "0000", 4)
+
+
+def do_edition_statement_2021(p) -> str:
+    out = ""
+    if p is not None:
+        s = normalize_and_unaccent(p)  # no trim in 2021
+        for n in (3, 2, 1):
+            m = _re.search(r"([0-9]{%d})" % n, s)  # unanchored
+            if m:
+                out = m.group(1)
+                break
+        if not out:
+            out = EDITION_WORDS.get(s[:3].lower(), "")  # no '1' default
+    return pad_content(out, 3)
+
+
+def do_author_2021(parts: list) -> str:
+    out = ""
+    for p in parts:
+        if p is not None:
+            out += normalize_and_unaccent(strip_punctuation(p, "_"))
+    return pad_content(out, 20)
+
+
+def do_electronic_indicator_2021(marc: dict) -> str:
+    checks = [
+        ("245", "h", r"\belectronic resource\b"),
+        ("590", "a", r"\belectronic reproduction\b"),
+        ("533", "a", r"\belectronic reproduction\b"),
+        ("300", "a", r"\bonline resource\b"),
+    ]
+    for tag, sf, pattern in checks:
+        field = normalize_and_unaccent(get_field(marc, tag, sf))
+        if field and _re.search(pattern, field, _re.IGNORECASE):
+            return "e"
+    f007 = get_field(marc, "007")
+    if f007 and isinstance(f007, str) and f007[:1] == "c":
+        return "e"
+    f337a = get_field(marc, "337", "a")
+    if f337a and isinstance(f337a, str) and f337a[:1] == "c":
+        return "e"
+    if has_field(marc, "086") and has_field(marc, "856"):
+        return "e"
+    return "p"
+
+
+def matchkey2021(record: str) -> str:
+    """payload JSON string → GoldRush v1.1.0 (September 2021) key."""
+    marc = load_marc_json(record)
+    key = ""
+    key += do_title_2021([
+        get_field(marc, "245", "a"),
+        get_field(marc, "245", "b"),
+        get_field(marc, "245", "p"),
+    ])
+    key += do_gmd(get_field(marc, "245", "h"))
+    key += do_publication_year_2021([
+        get_field(marc, "008"),
+        get_field(marc, "264", "c"),
+        get_field(marc, "260", "c"),
+    ])
+    key += do_pagination(get_field(marc, "300", "a"))
+    key += do_edition_statement_2021(get_field(marc, "250", "a"))
+    key += do_publisher_name([
+        get_field(marc, "264", "b"),
+        get_field(marc, "260", "b"),
+    ])
+    key += do_type_of_record(marc["leader"])
+    key += do_title_part(get_multi_subfields(marc, "245", "p"))
+    key += do_title_number(get_field(marc, "245", "n"))
+    key += do_author_2021([
+        get_field(marc, "100", "a"),
+        get_field(marc, "110", "a"),
+        get_field(marc, "111", "a"),
+    ])
+    key += do_inclusive_dates(get_field(marc, "245", "f"))
+    key += do_gdcn(get_field(marc, "086", "a"))
+    key += do_electronic_indicator_2021(marc)
+    return key.lower()
+
+
+def matchkey2021_or_error(record: str) -> str:
+    try:
+        return matchkey2021(record)
+    except Exception as e:  # noqa: BLE001
+        return str(e)
+
+
+def goldrush2021_keys(payload_obj: dict) -> list[str]:
+    """Matcher-module contract — registered as ``goldrush2021::matchkey``
+    for tenants pinned to the September-2021 specification."""
+    return [matchkey2021(json.dumps(payload_obj))]
+
+
 def matchkey_or_error(record: str) -> str:
     """Contract of the reference's test harness: invalid inputs yield
     the error message as the key string (js/test/goldrush2024.mjs)."""

@@ -30,10 +30,15 @@ _PY_MODULES: dict[str, Callable[[dict], list[str]]] = {}
 def _register_builtins():
     """Built-in matcher modules (the reference ships goldrush as a JS
     code module; ours is the Python port, same invocation name)."""
-    from mod_reservoir_spark.functions.goldrush import goldrush_keys
+    from mod_reservoir_spark.functions.goldrush import (
+        goldrush2021_keys,
+        goldrush_keys,
+    )
 
     _PY_MODULES.setdefault("goldrush::matchkey", goldrush_keys)
     _PY_MODULES.setdefault("goldrush", goldrush_keys)
+    _PY_MODULES.setdefault("goldrush2021::matchkey", goldrush2021_keys)
+    _PY_MODULES.setdefault("goldrush2021", goldrush2021_keys)
 
 
 def register_module(name: str, fn: Callable[[dict], list[str]]):

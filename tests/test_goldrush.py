@@ -10,11 +10,13 @@ import pytest
 from mod_reservoir_spark.functions.goldrush import (
     goldrush_udf,
     matchkey,
+    matchkey2021_or_error,
     matchkey_or_error,
 )
 
 REF = "/root/reference/js"
 ASSERTIONS = f"{REF}/test/assertions-goldrush2024.json"
+ASSERTIONS_2021 = f"{REF}/test/assertions-goldrush2021.json"
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(ASSERTIONS), reason="reference corpus not present"
@@ -48,6 +50,39 @@ def test_golden_corpus_exact():
         if got != expected:
             mismatches.append((path, expected, got))
     assert not mismatches, mismatches
+
+
+def test_golden_corpus_2021_exact():
+    """GoldRush v1.1.0 (September 2021) — byte-exact against
+    js/test/assertions-goldrush2021.json (same harness contract as the
+    2024 corpus; errors surface as the key string)."""
+    assertions = json.load(open(ASSERTIONS_2021))
+    mismatches = []
+    for path, expected in assertions.items():
+        raw = open(f"{REF}/{path}").read()
+        try:
+            got = matchkey2021_or_error(json.dumps({"marc": json.loads(raw)}))
+        except json.JSONDecodeError:
+            got = "<json-error>"
+        if "broken-json" in path:
+            assert got == "<json-error>"
+            continue
+        if got != expected:
+            mismatches.append((path, expected, got))
+    assert not mismatches, mismatches
+
+
+def test_goldrush2021_registered_as_matcher():
+    from mod_reservoir_spark.operators.matchkeys import get_module
+
+    fn = get_module("goldrush2021::matchkey")
+    keys = fn({"marc": {"fields": [
+        {"245": {"ind1": " ", "ind2": " ",
+                 "subfields": [{"a": "Symphony"}, {"h": "[sound recording]"}]}},
+    ]}})
+    assert len(keys) == 1
+    # 2021 key carries the 5-wide GMD slot right after the 70-wide title
+    assert keys[0][70:75] == "sound"
 
 
 def test_error_messages_match_reference():
