@@ -77,9 +77,29 @@ DEFAULT_REGISTRY = ModuleRegistry()
 
 
 def register_defaults() -> ModuleRegistry:
-    from mod_reservoir_spark.functions.goldrush import goldrush_keys
+    from mod_reservoir_spark.functions.goldrush import (
+        goldrush2021_keys,
+        goldrush_keys,
+    )
+    from mod_reservoir_spark.functions.transformers import marc_transformer
 
     DEFAULT_REGISTRY.put(
         Module(id="goldrush", type="python", function="matchkey", fn=goldrush_keys)
+    )
+    DEFAULT_REGISTRY.put(
+        Module(
+            id="goldrush2021",
+            type="python",
+            function="matchkey",
+            fn=goldrush2021_keys,
+        )
+    )
+    DEFAULT_REGISTRY.put(
+        Module(
+            id="marc-transformer",
+            type="python",
+            function="transform",
+            fn=marc_transformer,
+        )
     )
     return DEFAULT_REGISTRY

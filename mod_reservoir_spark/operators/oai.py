@@ -127,6 +127,7 @@ def list_records(
                     "matchValues": list(row["matchValues"] or []),
                     "records": [
                         {
+                            "globalId": m["globalId"],
                             "localId": m["localId"],
                             "sourceId": m["sourceId"],
                             "sourceVersion": m["sourceVersion"],
