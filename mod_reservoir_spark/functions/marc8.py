@@ -18,11 +18,16 @@ tables.  This module re-implements the conversion natively:
   0xFA/0xFB) are merged into the single spanning characters U+0361 /
   U+0360 exactly like marc4j's permissive reader (the reference's
   marc3.xml golden output contains U+0360/U+0361, not U+FE20-FE23).
-- Character sets whose tables are not carried (basic/extended
-  Cyrillic, Arabic, Hebrew, Greek, EACC/CJK) are consumed with the
-  correct byte width (3 bytes per EACC char) and emit U+FFFD — the
-  same visible degradation marc4j yields for unmapped code points.
-  Documented limitation; extendable by adding entries to ``_SETS``.
+- Basic Cyrillic (ISO 5427 layout, the KOI-7/KOI-8 letter order),
+  extended Cyrillic (Ukrainian/Serbian/Macedonian letters + archaic
+  yat/fita/izhitsa/big-yus), basic Hebrew (consonants + points incl.
+  the Judeo-Spanish varika) and basic Arabic (ISO 8859-6 letter
+  layout + Arabic-Indic digits and punctuation) are carried in full.
+- Character sets whose tables are not carried (extended Arabic,
+  basic Greek, EACC/CJK) are consumed with the correct byte width
+  (3 bytes per EACC char) and emit U+FFFD — the same visible
+  degradation marc4j yields for unmapped code points. Documented
+  limitation; extendable by adding entries to ``_SETS``.
 
 Tables transcribed from the public LoC MARC-8 code tables
 (https://www.loc.gov/marc/specifications/codetables.xml).
@@ -80,6 +85,89 @@ _SUPERSCRIPT = {
     **{0x34 + d: (chr(0x2074 + d), False) for d in range(6)},
 }
 
+# --- Basic Cyrillic (LoC code 4E "N"; ISO 5427 — the KOI-7/KOI-8
+# letter order: 0x40-0x5F lowercase, 0x60-0x7E uppercase, shifted
+# +0x80 this is exactly the KOI8-R letter block).
+_CYR_LOWER = [  # 0x40..0x5F
+    0x044E, 0x0430, 0x0431, 0x0446, 0x0434, 0x0435, 0x0444, 0x0433,
+    0x0445, 0x0438, 0x0439, 0x043A, 0x043B, 0x043C, 0x043D, 0x043E,
+    0x043F, 0x044F, 0x0440, 0x0441, 0x0442, 0x0443, 0x0436, 0x0432,
+    0x044C, 0x044B, 0x0437, 0x0448, 0x044D, 0x0449, 0x0447, 0x044A,
+]
+_BASIC_CYRILLIC = {b: (chr(b), False) for b in range(0x21, 0x40)}
+_BASIC_CYRILLIC.update(
+    {0x40 + i: (chr(cp), False) for i, cp in enumerate(_CYR_LOWER)}
+)
+_BASIC_CYRILLIC.update(
+    # uppercase mirrors lowercase at +0x20 and codepoint -0x20;
+    # capital hard sign has no slot (0x7F is DEL) — LoC omits it too
+    {0x60 + i: (chr(cp - 0x20), False) for i, cp in enumerate(_CYR_LOWER[:31])}
+)
+
+# --- Extended Cyrillic (LoC code 51 "Q"): national letters + archaic
+# yat / fita / izhitsa / big yus; uppercase at +0x20.
+_CYR_EXT_LOWER = {  # 0x21..0x32
+    0x21: 0x0491, 0x22: 0x0452, 0x23: 0x0453, 0x24: 0x0454,
+    0x25: 0x0455, 0x26: 0x0456, 0x27: 0x0457, 0x28: 0x0458,
+    0x29: 0x0459, 0x2A: 0x045A, 0x2B: 0x045B, 0x2C: 0x045C,
+    0x2D: 0x045E, 0x2E: 0x045F, 0x2F: 0x0463, 0x30: 0x0473,
+    0x31: 0x0475, 0x32: 0x046B,
+}
+_EXT_CYRILLIC = {b: (chr(cp), False) for b, cp in _CYR_EXT_LOWER.items()}
+_EXT_CYRILLIC.update(
+    # uppercase counterparts: modern letters are codepoint -0x50
+    # (0x045x → 0x040x), archaic pairs are -1 (lower is odd)
+    {
+        b + 0x20: (
+            chr(cp - 0x50 if 0x0450 <= cp <= 0x045F else cp - 1),
+            False,
+        )
+        for b, cp in _CYR_EXT_LOWER.items()
+        if b != 0x21
+    }
+)
+_EXT_CYRILLIC[0x41] = (chr(0x0490), False)  # Ґ (ghe with upturn)
+
+# --- Basic Hebrew (LoC code 32 "2"): consonants in the ISO 8859-8
+# order at 0x60-0x7A; points (niqqud, combining) at 0x40-0x4F in the
+# LoC pedagogical order ending with the Judeo-Spanish varika.
+_HEBREW_POINTS = {  # combining
+    0x40: 0x05B7, 0x41: 0x05B8, 0x42: 0x05B6, 0x43: 0x05B5,
+    0x44: 0x05B4, 0x45: 0x05B9, 0x46: 0x05BB, 0x47: 0x05B0,
+    0x48: 0x05B2, 0x49: 0x05B3, 0x4A: 0x05B1, 0x4B: 0x05BC,
+    0x4C: 0x05BF, 0x4D: 0x05C1, 0x4E: 0x05C2, 0x4F: 0xFB1E,
+}
+_BASIC_HEBREW = {b: (chr(b), False) for b in range(0x21, 0x40)}
+_BASIC_HEBREW.update(
+    {b: (chr(cp), True) for b, cp in _HEBREW_POINTS.items()}
+)
+_BASIC_HEBREW.update(
+    {0x60 + i: (chr(0x05D0 + i), False) for i in range(27)}  # א..ת
+)
+
+# --- Basic Arabic (LoC code 33 "3"): letters in the ISO 8859-6
+# layout (low byte = 8859-6 byte - 0x80); Arabic-Indic digits at
+# 0x30-0x39; Arabic comma/semicolon/question/percent/star; harakat
+# (combining) at 0x6B-0x72.
+_BASIC_ARABIC = {b: (chr(b), False) for b in range(0x21, 0x40)}
+_BASIC_ARABIC.update({
+    0x2C: (chr(0x060C), False), 0x3B: (chr(0x061B), False),
+    0x3F: (chr(0x061F), False), 0x25: (chr(0x066A), False),
+    0x2A: (chr(0x066D), False),
+})
+_BASIC_ARABIC.update(
+    {0x30 + d: (chr(0x0660 + d), False) for d in range(10)}
+)
+_BASIC_ARABIC.update(
+    {0x41 + i: (chr(0x0621 + i), False) for i in range(26)}  # ء..غ
+)
+_BASIC_ARABIC.update(
+    {0x60 + i: (chr(0x0640 + i), False) for i in range(11)}  # ـ..ي
+)
+_BASIC_ARABIC.update(
+    {0x6B + i: (chr(0x064B + i), True) for i in range(8)}  # fathatan..sukun
+)
+
 # final byte of a designation sequence -> (set table | None, bytes per char)
 # None table => unmapped set: consume, emit U+FFFD per character.
 _SETS = {
@@ -90,11 +178,11 @@ _SETS = {
     0x70: (_SUPERSCRIPT, 1),  # p
     0x67: (_GREEK_SYMBOLS, 1),# g
     0x31: (None, 3),          # 1  EACC (CJK) — 3-byte chars, unmapped
-    0x32: (None, 1),          # 2  Basic Hebrew — unmapped
-    0x33: (None, 1),          # 3  Basic Arabic — unmapped
+    0x32: (_BASIC_HEBREW, 1), # 2  Basic Hebrew
+    0x33: (_BASIC_ARABIC, 1), # 3  Basic Arabic
     0x34: (None, 1),          # 4  Extended Arabic — unmapped
-    0x4E: (None, 1),          # N  Basic Cyrillic — unmapped
-    0x51: (None, 1),          # Q  Extended Cyrillic — unmapped
+    0x4E: (_BASIC_CYRILLIC, 1),  # N  Basic Cyrillic
+    0x51: (_EXT_CYRILLIC, 1),    # Q  Extended Cyrillic
     0x53: (None, 1),          # S  Basic Greek — unmapped
 }
 

@@ -174,9 +174,44 @@ def test_marc8_conversion_edges():
     # multi-char designations: ESC ( B -> ASCII G0, ESC ) ! E -> ANSEL G1
     assert marc8_to_unicode(b"\x1b(Babc") == "abc"
     assert marc8_to_unicode(b"\x1b)!E\xa5") == "\u00c6"
-    # unmapped set (basic cyrillic) degrades to replacement chars
-    assert marc8_to_unicode(b"\x1b(NAB\x1b(BAB") == "\ufffd\ufffdAB"
+    # mapped non-Latin set: basic cyrillic 0x41/0x42 are lowercase
+    assert marc8_to_unicode(b"\x1b(NAB\x1b(BAB") == "\u0430\u0431AB"
     # EACC consumes 3 bytes per char
     assert marc8_to_unicode(b"\x1b$1!!!\x1b(BA") == "\ufffdA"
     # truncated escape at end of data does not loop or throw
     assert marc8_to_unicode(b"abc\x1b") == "abc"
+
+
+def test_marc8_extended_sets():
+    """Basic/extended Cyrillic, Hebrew, Arabic tables (LoC code
+    tables). Anchor bytes are derived independently of the tables via
+    the KOI-7 / ISO 8859-8 / ISO 8859-6 layout correspondences."""
+    from mod_reservoir_spark.functions.marc8 import marc8_to_unicode
+
+    esc = bytes([0x1B])
+    # Cyrillic G0 (ESC ( N): "Moskva" in the KOI-7 letter order
+    data = esc + b"(N" + bytes([0x6D, 0x4F, 0x53, 0x4B, 0x57, 0x41])
+    assert marc8_to_unicode(data) == "\u041c\u043e\u0441\u043a\u0432\u0430"
+    # Ukrainian yi from extended Cyrillic mid-word: "Kyiv"
+    data = (esc + b"(N" + bytes([0x6B, 0x49])
+            + esc + b"(Q" + bytes([0x27])
+            + esc + b"(N" + bytes([0x57]))
+    assert marc8_to_unicode(data) == "\u041a\u0438\u0457\u0432"
+    # extended Cyrillic uppercase pairs incl. ghe-with-upturn and yat
+    data = esc + b"(Q" + bytes([0x41, 0x21, 0x4F, 0x2F])
+    assert marc8_to_unicode(data) == "\u0490\u0491\u0462\u0463"
+    # Hebrew (ESC ( 2): "shalom"
+    data = esc + b"(2" + bytes([0x79, 0x6C, 0x65, 0x6D])
+    assert marc8_to_unicode(data) == "\u05e9\u05dc\u05d5\u05dd"
+    # Hebrew point (combining, precedes base in MARC-8): dagesh + bet
+    data = esc + b"(2" + bytes([0x4B, 0x61])
+    assert marc8_to_unicode(data) == "\u05d1\u05bc"
+    # Arabic (ESC ( 3): "kitab" + space + Arabic-Indic digits 19
+    data = esc + b"(3" + bytes([0x63, 0x4A, 0x47, 0x48, 0x20, 0x31, 0x39])
+    assert marc8_to_unicode(data) == "\u0643\u062a\u0627\u0628 \u0661\u0669"
+    # Arabic shadda (combining) over lam
+    data = esc + b"(3" + bytes([0x71, 0x64])
+    assert marc8_to_unicode(data) == "\u0644\u0651"
+    # switch back to Latin
+    data = esc + b"(N" + bytes([0x61]) + esc + b"(B" + b"abc"
+    assert marc8_to_unicode(data) == "\u0410abc"
