@@ -54,13 +54,23 @@ def group_ingest_records(
         yield current
 
 
-def marc_df_to_ingest(marc_df, source_id: str, source_version: int = 1):
+def marc_df_to_ingest(
+    marc_df, source_id: str, source_version: int = 1,
+    with_inventory: bool = False,
+):
     """(file, seq, marc_json) DataFrame → ingest-record DataFrame
     (local_id, source_id, source_version, payload, delete). Records
-    with no localId are ignored (reference: marc3-no-id.xml case)."""
+    with no localId are ignored (reference: marc3-no-id.xml case).
+
+    with_inventory=True additionally populates payload.inventory via
+    the marc2inventory transform (functions/inventory.py — the
+    reference client's XSLT chain, Client.java:197-260), inside the
+    same Arrow batch: no extra pass over the data."""
     import pandas as pd
 
     def to_ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mod_reservoir_spark.functions.inventory import marc_to_inventory
+
         for pdf in batches:
             out = []
             for _, grp in pdf.sort_values("seq").groupby("file", sort=False):
@@ -68,6 +78,10 @@ def marc_df_to_ingest(marc_df, source_id: str, source_version: int = 1):
                 for ing in group_ingest_records(records):
                     if not ing["localId"]:
                         continue
+                    if with_inventory and "inventory" not in ing["payload"]:
+                        ing["payload"]["inventory"] = marc_to_inventory(
+                            ing["payload"]["marc"]
+                        )
                     out.append(
                         {
                             "local_id": ing["localId"],
