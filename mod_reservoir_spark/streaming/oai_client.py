@@ -75,7 +75,8 @@ def parse_oai_response(data: bytes) -> dict:
 
 class HarvestState:
     """Checkpointed client state (reference oai_pmh_clients row:
-    config + job columns, Storage.java:201-203)."""
+    config + job columns incl. the (stop, owner) fence,
+    Storage.java:201-203, OaiPmhClientService.java:371-393)."""
 
     def __init__(self, path: str):
         self.path = path
@@ -83,6 +84,8 @@ class HarvestState:
             "resumptionToken": None,
             "from": None,
             "until": None,
+            "owner": None,
+            "stop": False,
             "counters": {
                 "totalRecords": 0,
                 "totalInserted": 0,
@@ -91,8 +94,11 @@ class HarvestState:
                 "totalRequests": 0,
             },
         }
-        if os.path.exists(path):
-            with open(path) as f:
+        self.reload()
+
+    def reload(self):
+        if os.path.exists(self.path):
+            with open(self.path) as f:
                 self.data.update(json.load(f))
 
     def save(self):
@@ -100,6 +106,14 @@ class HarvestState:
         with open(tmp, "w") as f:
             json.dump(self.data, f)
         os.replace(tmp, self.path)
+
+
+def request_stop(state: HarvestState) -> None:
+    """Ask the live harvest loop (whoever owns it) to stop at the next
+    page boundary — the reference's stop flag (PUT .../stop)."""
+    state.reload()
+    state.data["stop"] = True
+    state.save()
 
 
 def harvest(
@@ -117,11 +131,33 @@ def harvest(
 ) -> dict:
     """Run the harvest loop until no resumptionToken (or stop()/
     max_pages). `fetch(params) -> bytes` abstracts the HTTP GET, so
-    tests and air-gapped runs can inject page sources."""
+    tests and air-gapped runs can inject page sources.
+
+    Owner fencing (reference OaiPmhClientService.java:371-393,
+    681-691): starting a harvest stamps a fresh owner token into the
+    checkpoint; each page boundary reloads the checkpoint and the loop
+    exits silently if another harvester has taken ownership, or idles
+    (clearing the flag) if a stop was requested. One live loop per
+    checkpoint, guaranteed at page granularity — the same fence the
+    reference enforces via its (stop, owner) row."""
+    import uuid
+
     from mod_reservoir_spark.streaming.ingest import ingest_batch
+
+    owner = uuid.uuid4().hex
+    state.data["owner"] = owner
+    state.data["stop"] = False
+    state.save()
 
     pages = 0
     while True:
+        state.reload()
+        if state.data.get("owner") != owner:
+            break  # another harvester took over — do not touch state
+        if state.data.get("stop"):
+            state.data["stop"] = False
+            state.save()
+            break
         if stop is not None and stop():
             break
         params = {"verb": "ListRecords"}
@@ -186,6 +222,14 @@ def harvest(
             c["totalUpdated"] += stats["updated"]
             c["totalDeleted"] += stats["deleted"]
 
+        # merge the fence fields from disk before persisting progress:
+        # a takeover or stop requested MID-page must survive this save
+        # (the reference's job update writes progress columns only,
+        # never the stop/owner fence)
+        fence = HarvestState(state.path)
+        if fence.data.get("owner") != owner:
+            break  # takeover mid-page: discard progress, don't clobber
+        state.data["stop"] = fence.data.get("stop", False)
         state.data["resumptionToken"] = page["resumptionToken"]
         if max_stamp:
             state.data["from"] = max_stamp

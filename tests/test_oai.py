@@ -155,3 +155,76 @@ def test_harvest_loop_end_to_end(spark, warehouse, tmp_path):
     # state checkpoint restarts cleanly
     state2 = HarvestState(str(tmp_path / "state.json"))
     assert state2.data["counters"]["totalRequests"] == 2
+
+
+def _harvest_fixture(tmp_path, usurp=None, stop_after_first=False):
+    pages = [
+        open(f"{RES}/oai-response-1.xml", "rb").read(),
+        open(f"{RES}/oai-response-2.xml", "rb").read(),
+    ]
+    state_path = str(tmp_path / "state.json")
+    calls = []
+
+    def fetch(params):
+        calls.append(dict(params))
+        page = pages[len(calls) - 1]
+        if len(calls) == 1 and usurp is not None:
+            usurp(state_path)
+        if len(calls) == 1 and stop_after_first:
+            from mod_reservoir_spark.streaming.oai_client import request_stop
+
+            request_stop(HarvestState(state_path))
+        return page
+
+    cfg = {
+        "id": "oai001",
+        "method": "jsonpath",
+        "params": json.dumps({"expr": "$.marc.fields[*].001"}),
+        "update": "ingest",
+    }
+    return state_path, calls, fetch, cfg
+
+
+def test_harvest_owner_fencing(spark, warehouse, tmp_path):
+    """Reference OaiPmhClientService.java:681-691: when a competing
+    harvester stamps a new owner into the shared checkpoint, the old
+    loop exits silently at the next page boundary without touching
+    state — one live loop per checkpoint."""
+
+    def usurp(state_path):
+        s = HarvestState(state_path)
+        s.data["owner"] = "usurper"
+        s.save()
+
+    state_path, calls, fetch, cfg = _harvest_fixture(tmp_path, usurp=usurp)
+    state = HarvestState(state_path)
+    harvest(spark, warehouse, [cfg], fetch, state, source_id="STAN")
+    # page 1 fetched and ingested; the fenced loop never pulled page 2
+    assert len(calls) == 1
+    persisted = HarvestState(state_path)
+    assert persisted.data["owner"] == "usurper"
+    # the fenced loop did not clobber the usurper's checkpoint: the
+    # page-1 token it obtained was never written
+    assert persisted.data["resumptionToken"] is None
+
+
+def test_harvest_stop_flag(spark, warehouse, tmp_path):
+    """A requested stop idles the loop at the page boundary, clears the
+    flag, and preserves the token so a restart resumes at page 2."""
+    state_path, calls, fetch, cfg = _harvest_fixture(
+        tmp_path, stop_after_first=True
+    )
+    state = HarvestState(state_path)
+    harvest(spark, warehouse, [cfg], fetch, state, source_id="STAN")
+    assert len(calls) == 1
+    persisted = HarvestState(state_path)
+    assert persisted.data["stop"] is False
+    assert persisted.data["resumptionToken"]  # resumes at page 2
+    # restarting drains the remaining page
+    counters = harvest(
+        spark, warehouse, [cfg], fetch, HarvestState(state_path),
+        source_id="STAN",
+    )
+    assert len(calls) == 2
+    assert "resumptionToken" in calls[1]
+    assert counters["totalRequests"] == 2
