@@ -54,8 +54,13 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
     qs = entry_mod.queries()
 
+    # every contract query is timed (regressions in OAI/export paths
+    # stay visible); the headline metric sums the HEADLINE subset so
+    # it remains comparable round-over-round
+    order = HEADLINE + [n for n in qs if n not in HEADLINE]
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         fn = qs[name]
         # untimed warmup at the smallest SF: populates codegen/JIT and
         # Python-worker caches so the timed run measures steady-state
@@ -72,7 +77,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
