@@ -6,7 +6,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as em
-from tools.oracle_check import TABLES, table_hash
+from tools.oracle_check import TABLES, arrow_rows, table_hash
 
 SF = "/root/testdata/sf0.001"
 
@@ -38,10 +38,8 @@ def test_oracle_sample(spark, name):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
     sdf = em.queries()[name](spark, SF)
-    srows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(em.oracle_sql()[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    assert sorted(sdf.columns) == sorted(dcols)
+    scols, srows, stags = arrow_rows(sdf.toArrow())
+    dcols, drows, dtags = arrow_rows(con.execute(em.oracle_sql()[name]).arrow())
+    assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
-    assert table_hash(srows, sdf.columns) == table_hash(drows, dcols)
+    assert table_hash(srows, scols, stags) == table_hash(drows, dcols, dtags)
