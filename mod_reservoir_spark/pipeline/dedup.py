@@ -345,7 +345,11 @@ def simhash_near_pairs(
             f"n_bands={n_bands} cannot guarantee recall at hamming "
             f"≤ {max_hamming}; need ≥ {max_hamming + 1}"
         )
-    s = simhash(docs, text_col, bits)
+    # persist the signatures: the bucket self-join otherwise recomputes
+    # the whole tokenize→hash→vote pipeline on BOTH sides (the plan
+    # shows two full parquet scans) — at scale that doubles the
+    # heaviest stage for a table of (doc_id, int64) rows
+    s = simhash(docs, text_col, bits).persist()
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),

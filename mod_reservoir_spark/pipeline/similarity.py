@@ -162,8 +162,14 @@ def _lsh_candidates(
     dim: int,
 ) -> DataFrame:
     """(query_id, neighbor_id) pairs sharing an LSH bucket in any
-    table — the bucket equi-join shared by both re-score paths."""
-    sig = lsh_signatures(embeddings, n_planes, n_tables, id_col, vec_col, dim)
+    table — the bucket equi-join shared by both re-score paths.
+
+    Signatures are persisted: they feed the query-side semi-join AND
+    the corpus side of the bucket join, and recomputing means two full
+    passes of the projection pipeline over the corpus."""
+    sig = lsh_signatures(
+        embeddings, n_planes, n_tables, id_col, vec_col, dim
+    ).persist()
     qsig = sig.join(
         queries.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
     ).select(
