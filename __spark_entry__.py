@@ -385,6 +385,15 @@ def q_embedding_topk(spark, sf_dir):
     return sim.cosine_topk(emb, queries, k=5).withColumnRenamed("rank", "rnk")
 
 
+def q_embedding_lsh_self(spark, sf_dir):
+    """Self-join ANN (queries == corpus) through the fully-distributed
+    path — no driver collect of the query set (VERDICT r1 #6)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk_distributed(
+        emb, emb, k=3, n_planes=10, n_tables=4
+    ).withColumnRenamed("rank", "rnk")
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -581,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_lsh_self": q_embedding_lsh_self,
         "multimodal_binary": q_multimodal_binary,
         "multimodal_features": q_multimodal_features,
         "sessionize": q_sessionize,
@@ -762,7 +772,8 @@ def _simhash_pairs_oracle(bits: int = 24, max_hamming: int = 2,
 
 
 def _embedding_lsh_oracle(k: int = 5, n_planes: int = 10,
-                          n_tables: int = 4, dim: int = 64) -> str:
+                          n_tables: int = 4, dim: int = 64,
+                          query_where: str = "a.vec_id % 50 = 0") -> str:
     from mod_reservoir_spark.pipeline.similarity import _plane_component
 
     def plane_lit(t, p):
@@ -788,7 +799,7 @@ def _embedding_lsh_oracle(k: int = 5, n_planes: int = 10,
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
       FROM buckets a JOIN buckets b
         ON a.tbl = b.tbl AND a.bucket = b.bucket
-      WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+      WHERE {query_where + ' AND ' if query_where else ''}a.vec_id <> b.vec_id),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
              round(list_dot_product(q.v, n.v) /
@@ -1061,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 300000),
         "simhash_pairs": _simhash_pairs_oracle(24, 2, 3),
         "embedding_lsh_topk": _embedding_lsh_oracle(5, 10, 4, 64),
+        "embedding_lsh_self": _embedding_lsh_oracle(3, 10, 4, 64, query_where=""),
         "simhash": _simhash_oracle(24),
         "embedding_topk": """
             WITH q AS (
