@@ -394,6 +394,17 @@ def q_embedding_lsh_self(spark, sf_dir):
     ).withColumnRenamed("rank", "rnk")
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN (SURVEY/brief: 'IVF or LSH-bucketed variant as the
+    scale path'): deterministic seed centroids, nprobe cell probing,
+    exact re-score — pipeline/similarity.py ivf_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=4
+    ).withColumnRenamed("rank", "rnk")
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -591,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_lsh_self": q_embedding_lsh_self,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "multimodal_binary": q_multimodal_binary,
         "multimodal_features": q_multimodal_features,
         "sessionize": q_sessionize,
@@ -808,6 +820,56 @@ def _embedding_lsh_oracle(k: int = 5, n_planes: int = 10,
       FROM cand c
       JOIN e q ON q.vec_id = c.query_id
       JOIN e n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, score, rn AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+def _embedding_ivf_oracle(k: int = 5, n_centroids: int = 16,
+                          nprobe: int = 4) -> str:
+    cos = (
+        "round(list_dot_product(e.v, c.cv) /"
+        " (sqrt(list_dot_product(e.v, e.v)) *"
+        " sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM e ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos} DESC, c.cell) AS rn
+        FROM e, c)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos} DESC, c.cell) AS rn
+        FROM e, c WHERE e.vec_id % 50 = 0)
+      WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             round(list_dot_product(q.v, n.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(n.v, n.v))), 6) AS score
+      FROM cand cd
+      JOIN e q ON q.vec_id = cd.query_id
+      JOIN e n ON n.vec_id = cd.neighbor_id)
     SELECT query_id, neighbor_id, score, rn AS rnk
     FROM (
       SELECT *, row_number() OVER (
@@ -1073,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_oracle(24, 2, 3),
         "embedding_lsh_topk": _embedding_lsh_oracle(5, 10, 4, 64),
         "embedding_lsh_self": _embedding_lsh_oracle(3, 10, 4, 64, query_where=""),
+        "embedding_ivf_topk": _embedding_ivf_oracle(5, 16, 4),
         "simhash": _simhash_oracle(24),
         "embedding_topk": """
             WITH q AS (

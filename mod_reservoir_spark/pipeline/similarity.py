@@ -258,6 +258,159 @@ def lsh_topk_distributed(
     return _topk(scored, k)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid by cosine (ties → lowest centroid id).
+
+    Centroids are the vectors with the `n_centroids` smallest ids — a
+    deterministic, cross-engine-reproducible seed choice (a production
+    deployment would run Lloyd iterations to refine them; each
+    iteration is the same assign + groupBy-mean shape, so this function
+    is the building block). The centroid matrix is tiny and broadcast;
+    assignment is one Arrow-batched argmax pass over the corpus — no
+    shuffle.
+
+    Output: (vec_id, cell).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        (
+            r[0],
+            list(r[1]),
+        )
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    cm = np.array([v for _i, v in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cm * cm).sum(axis=1))
+    bc = embeddings.sparkSession.sparkContext.broadcast((cm, cnorm))
+
+    def assign(batches):
+        bcm, bcnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            s = (vm @ bcm.T) / (vnorm[:, None] * bcnorm[None, :])
+            s = np.round(s, 6)  # cross-engine tie behavior
+            # argmax with lowest-index tie-break (np.argmax is already
+            # first-max, matching the SQL row_number ORDER BY cell)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "cell": s.argmax(axis=1)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema="vec_id long, cell long"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: queries probe their `nprobe` nearest cells;
+    candidates are the vectors assigned to those cells; exact cosine
+    re-score on candidates only.
+
+    Scale shape: cell assignment is a narrow broadcast-argmax pass;
+    the probe table is (queries × nprobe) rows; candidates come from
+    one equi-join on the cell id — the same bucketed silhouette as the
+    LSH path, with data-adaptive cells instead of random planes."""
+    import numpy as np
+    import pandas as pd
+
+    cells = ivf_assign(embeddings, n_centroids, id_col, vec_col).persist()
+
+    cent_rows = sorted(
+        (r[0], list(r[1]))
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    cm = np.array([v for _i, v in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cm * cm).sum(axis=1))
+    bc = embeddings.sparkSession.sparkContext.broadcast((cm, cnorm))
+
+    def probe(batches):
+        bcm, bcnorm = bc.value
+        npb = min(nprobe, len(bcm))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            s = np.round(
+                (vm @ bcm.T) / (vnorm[:, None] * bcnorm[None, :]), 6
+            )
+            # top-nprobe cells per query, ties → lowest cell id
+            # (lexsort on (-sim, cell))
+            order = np.lexsort(
+                (np.tile(np.arange(s.shape[1]), (len(vm), 1)), -s), axis=1
+            )[:, :npb]
+            qcol = np.repeat(pdf[id_col].to_numpy(), npb)
+            yield pd.DataFrame(
+                {"query_id": qcol, "cell": order.ravel()}
+            )
+
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe, schema="query_id long, cell long"
+    )
+    cand = (
+        probes.join(
+            cells.withColumnRenamed("vec_id", "neighbor_id"), "cell"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    paired = cand.join(qv, "query_id").join(cv, "neighbor_id")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            nm = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            s = np.einsum("ij,ij->i", qm, nm) / (
+                np.sqrt((qm * qm).sum(axis=1))
+                * np.sqrt((nm * nm).sum(axis=1))
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": np.round(s, 6),
+                }
+            )
+
+    scored = paired.mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double"
+    )
+    return _topk(scored, k)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

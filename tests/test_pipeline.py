@@ -133,6 +133,35 @@ def test_cosine_topk_and_lsh_recall(spark):
     assert hits >= len(ann_top1) // 2  # recall ≥ 50% with 8 tables
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with cells covering both clusters finds the same top-1 as
+    exact brute force for most queries (nprobe=2 of 4 cells)."""
+    import math
+
+    from mod_reservoir_spark.pipeline.similarity import ivf_topk
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 2] = 1.0
+        vec = [
+            round(b + 0.01 * math.sin(i * 7 + d), 6) for d, b in enumerate(base)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(emb, queries, k=1).collect()
+        if r.rank == 1
+    }
+    ann = ivf_topk(emb, queries, k=1, n_centroids=4, nprobe=2).collect()
+    got = {r.query_id: r.neighbor_id for r in ann if r.rank == 1}
+    assert got, "IVF returned no candidates"
+    hits = sum(1 for q, n in got.items() if exact.get(q) == n)
+    assert hits >= len(got) // 2
+
+
 def test_lsh_self_join_distributed_matches_broadcast(spark):
     """VERDICT r1 #6: queries == corpus (self-join ANN, the dedup-by-ANN
     shape) through the distributed path — no driver collect of the
