@@ -331,6 +331,12 @@ def q_fingerprint(spark, sf_dir):
     return tx.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints — pipeline/text.py
+    winnow_fingerprints."""
+    return tx.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -593,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "winnow": q_winnow,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -1093,6 +1100,33 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(toks, ' ')) AS fingerprint,
                    length(array_to_string(toks, ' ')) AS n_chars_normalized
             FROM t
+        """,
+        "winnow": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CAST(greatest(length(norm) - 4, 0) AS INTEGER) AS n_grams,
+                     CASE WHEN length(norm) >= 5 THEN
+                       list_transform(range(1, length(norm) - 3),
+                         i -> ('0x' || substr(md5(substr(norm, i, 5)), 1, 7))::BIGINT)
+                     ELSE [] END AS hashes
+              FROM t),
+            wn AS (
+              SELECT doc_id, n_grams,
+                     CASE WHEN n_grams = 0 THEN []
+                          WHEN n_grams < 4 THEN [list_min(hashes)]
+                          ELSE list_transform(range(1, n_grams - 2),
+                                 i -> list_min(hashes[i:i+3]))
+                     END AS wins
+              FROM g)
+            SELECT doc_id, n_grams,
+                   CAST(len(list_distinct(wins)) AS INTEGER) AS n_fingerprints,
+                   md5(array_to_string(list_sort(list_distinct(wins)), ','))
+                     AS fp_md5
+            FROM wn
         """,
         "dedup_exact": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)

@@ -119,3 +119,71 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         F.length(normalized).alias("n_chars_normalized"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): char k-gram
+    rolling hashes over the alnum-normalized text, minimum hash per
+    window of w, distinct set.
+
+    Guarantee: any match of length ≥ k + w - 1 shares at least one
+    fingerprint, so the fingerprint set supports containment /
+    partial-overlap detection that whole-document hashes cannot.
+
+    All-JVM narrow plan: normalize → k-gram hash array → windowed
+    array_min → distinct. Each HOF lambda references a MATERIALIZED
+    column (not an expression) — Spark higher-order functions get no
+    common-subexpression elimination, so an inline expression would
+    re-evaluate per element (round-1 lesson). Short docs: fewer than w
+    grams (but ≥ 1) form one window; empty normalized text yields an
+    empty set.
+
+    Output: (doc_id, n_grams, n_fingerprints, fp_md5) where fp_md5 is
+    the md5 of the comma-joined sorted fingerprint values — a compact,
+    cross-engine-stable set digest.
+    """
+    from mod_reservoir_spark.pipeline.dedup import hex7_to_long
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    d1 = docs.select("doc_id", norm.alias("norm"))
+    n_grams = F.greatest(F.length("norm") - (k - 1), F.lit(0))
+    d2 = d1.select("doc_id", n_grams.alias("n_grams"), "norm")
+    grams_idx = F.when(
+        F.col("n_grams") > 0, F.sequence(F.lit(1), F.col("n_grams"))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        grams_idx, lambda i: hex7_to_long(F.col("norm").substr(i, F.lit(k)))
+    )
+    d3 = d2.select("doc_id", "n_grams", hashes.alias("hashes"))
+    n_win = (
+        F.when(F.col("n_grams") == 0, F.lit(0))
+        .when(F.col("n_grams") < w, F.lit(1))
+        .otherwise(F.col("n_grams") - (w - 1))
+    )
+    # windowed min WITHOUT indexing the array inside a lambda: an
+    # `array_min(slice(hashes, i, w))` lambda lets CollapseProject
+    # inline the whole hash-array expression into the lambda body,
+    # recomputing every gram hash PER WINDOW (O(n²) md5s — measured
+    # 38 s on 500 tiny docs). Element-wise least over w shifted slices
+    # keeps lambdas on their arguments only, and the w references to
+    # `hashes` stop the optimizer from inlining the non-cheap array.
+    wins = F.slice(F.col("hashes"), 1, n_win)
+    for shift in range(1, w):
+        wins = F.zip_with(
+            wins,
+            F.slice(F.col("hashes"), shift + 1, n_win),
+            lambda x, y: F.least(x, y),
+        )
+    d4 = d3.select("doc_id", "n_grams", wins.alias("wins"))
+    fps = F.array_sort(F.array_distinct(F.col("wins")))
+    return d4.select(
+        "doc_id",
+        "n_grams",
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(
+            F.array_join(F.transform(fps, lambda h: h.cast("string")), ",")
+        ).alias("fp_md5"),
+    )

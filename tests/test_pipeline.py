@@ -133,6 +133,54 @@ def test_cosine_topk_and_lsh_recall(spark):
     assert hits >= len(ann_top1) // 2  # recall ≥ 50% with 8 tables
 
 
+def test_winnow_fingerprints_vs_python_reference(spark):
+    """Winnowing (MOSS): Spark plan vs a direct Python implementation,
+    including the short-doc (< w windows) and empty-doc edges."""
+    import hashlib
+    import re
+
+    from mod_reservoir_spark.pipeline.text import winnow_fingerprints
+
+    k, w = 5, 4
+    docs_rows = [
+        (0, "The quick brown fox jumps over the lazy dog!"),
+        (1, "the quick brown fox Jumps over the lazy dog"),  # same norm
+        (2, "ab"),        # shorter than k → no grams
+        (3, ""),          # empty
+        (4, "abcdef"),    # 2 grams < w → one window
+        (5, "x" * 60),    # degenerate repeats → 1 distinct fingerprint
+    ]
+
+    def py_winnow(text):
+        norm = re.sub(r"[^a-z0-9]", "", text.lower())
+        grams = [norm[i:i + k] for i in range(max(len(norm) - k + 1, 0))]
+        hashes = [
+            int(hashlib.md5(g.encode()).hexdigest()[:7], 16) for g in grams
+        ]
+        if not hashes:
+            wins = []
+        elif len(hashes) < w:
+            wins = [min(hashes)]
+        else:
+            wins = [min(hashes[i:i + w]) for i in range(len(hashes) - w + 1)]
+        fps = sorted(set(wins))
+        digest = hashlib.md5(",".join(str(h) for h in fps).encode()).hexdigest()
+        return len(grams), len(fps), digest
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_fingerprints, r.fp_md5)
+        for r in winnow_fingerprints(docs, k=k, w=w).collect()
+    }
+    for doc_id, text in docs_rows:
+        assert got[doc_id] == py_winnow(text), (doc_id, text)
+    # identical normalized text → identical fingerprint digests
+    assert got[0] == got[1]
+    # a match of length >= k+w-1 shares at least one fingerprint: docs
+    # 0 and 1 share ALL; degenerate repeat doc has exactly one
+    assert got[5][1] == 1
+
+
 def test_ivf_topk_recall(spark):
     """IVF with cells covering both clusters finds the same top-1 as
     exact brute force for most queries (nprobe=2 of 4 cells)."""
