@@ -1,0 +1,175 @@
+"""Watermarked streaming analytics over event streams.
+
+Two operators the batch engine already exposes (`hourly_rollup`,
+`sessionize` contract queries) re-expressed for unbounded input:
+
+- `streaming_hourly_rollup`: readStream → withWatermark → windowed
+  aggregate. Late events within the watermark update their window;
+  events older than the watermark are dropped (bounded state — the
+  property that matters at 100 TB/day).
+- `streaming_sessionize`: gap-based sessions via
+  ``applyInPandasWithState`` — the custom-stateful-operator escape
+  hatch for semantics windowed aggregates can't express. State per
+  user is (start, last, count); an event-time timeout at
+  last + gap emits the closed session once the watermark passes it.
+
+Both share the JSONL event schema used by the batch `events` table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F, types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def streaming_hourly_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    query_name: str = "hourly_rollup_stream",
+):
+    """Per-(hour, event_type) counts and cents over a file stream,
+    update-mode memory sink for inspection. Watermark bounds both
+    state size and lateness acceptance."""
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+SESSION_OUTPUT = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+SESSION_STATE = "start_us long, last_us long, n_events long"
+
+
+def _session_fn(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+        if not ts_us:
+            return
+        ts_us.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0], 0
+        closed = []
+        for t in ts_us:
+            if t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        # event-time timeout: fire when the watermark passes last+gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _e, _n in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _s, e, _n in closed
+                    ],
+                    "n_events": [n_ for _s, _e, n_ in closed],
+                }
+            )
+
+    return fn
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+    query_name: str = "sessionize_stream",
+):
+    """Gap-based sessionization with per-user state and event-time
+    timeouts (``applyInPandasWithState``). A session closes when its
+    user is silent for `gap_seconds` of EVENT time — emitted either by
+    a later in-batch event past the gap or by the timeout once the
+    watermark passes session_end + gap."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            SESSION_OUTPUT,
+            SESSION_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,98 @@
+"""Watermarked streaming rollup + stateful sessionization tests.
+Micro-batches are driven one file at a time (maxFilesPerTrigger=1 +
+processAllAvailable between writes) so watermark advancement is
+deterministic."""
+
+import json
+
+from mod_reservoir_spark.streaming.windowed import (
+    streaming_hourly_rollup,
+    streaming_sessionize,
+)
+
+
+def _write(path, rows):
+    with open(path, "w") as f:
+        for i, (ts, etype, uid, val) in enumerate(rows):
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": i,
+                        "ts": ts,
+                        "event_type": etype,
+                        "user_id": uid,
+                        "value": val,
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_streaming_hourly_rollup_watermark_drops_late(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    q = streaming_hourly_rollup(
+        spark, str(indir), str(tmp_path / "ckpt"),
+        watermark="2 hours", query_name="rollup_t",
+    )
+    try:
+        _write(indir / "b1.jsonl", [
+            ("2024-01-01 10:00:00", "A", 1, 1.0),
+            ("2024-01-01 10:30:00", "A", 1, 2.0),
+            ("2024-01-01 11:10:00", "B", 2, 3.0),
+        ])
+        q.processAllAvailable()  # watermark → 09:10
+        _write(indir / "b2.jsonl", [("2024-01-01 14:00:00", "A", 1, 1.0)])
+        q.processAllAvailable()  # watermark → 12:00
+        # older than the watermark → dropped, never emitted
+        _write(indir / "b3.jsonl", [("2024-01-01 09:30:00", "A", 1, 5.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM rollup_t").collect()
+        hours = {str(r.hour) for r in rows}
+        assert "2024-01-01 09:00:00" not in hours
+        a10 = [
+            r for r in rows
+            if str(r.hour) == "2024-01-01 10:00:00" and r.event_type == "A"
+        ]
+        assert a10 and max(r.n for r in a10) == 2
+        assert max(r.value_cents for r in a10) == 300
+    finally:
+        q.stop()
+
+
+def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    q = streaming_sessionize(
+        spark, str(indir), str(tmp_path / "ckpt"),
+        gap_seconds=1800, watermark="10 minutes", query_name="sess_t",
+    )
+    try:
+        _write(indir / "b1.jsonl", [
+            ("2024-01-01 10:00:00", "A", 1, 0.0),
+            ("2024-01-01 10:10:00", "A", 1, 0.0),
+        ])
+        q.processAllAvailable()
+        # 12:00 is > gap past 10:10 → session 1 closes in-batch;
+        # user 2 at 13:00 advances the watermark to 12:50
+        _write(indir / "b2.jsonl", [
+            ("2024-01-01 12:00:00", "A", 1, 0.0),
+            ("2024-01-01 13:00:00", "A", 2, 0.0),
+        ])
+        q.processAllAvailable()
+        # watermark 12:50 > 12:00+gap=12:30 → user 1's second session
+        # times out and is emitted
+        _write(indir / "b3.jsonl", [("2024-01-01 15:00:00", "A", 2, 0.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_t").collect()
+        u1 = sorted(
+            (str(r.session_start), str(r.session_end), r.n_events)
+            for r in rows
+            if r.user_id == 1
+        )
+        assert u1 == [
+            ("2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+            ("2024-01-01 12:00:00", "2024-01-01 12:00:00", 1),
+        ]
+    finally:
+        q.stop()
