@@ -337,6 +337,15 @@ def q_winnow(spark, sf_dir):
     return tx.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Containment candidates from shared winnowed fingerprints
+    (df-cap blocked equi-join — no all-pairs stage)."""
+    return tx.winnow_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=5, w=4, max_block_df=30, threshold_ppm=400000,
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -600,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "winnow": q_winnow,
+        "winnow_pairs": q_winnow_pairs,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -1127,6 +1137,49 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(wins)), ','))
                      AS fp_md5
             FROM wn
+        """,
+        "winnow_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CAST(greatest(length(norm) - 4, 0) AS INTEGER) AS n_grams,
+                     CASE WHEN length(norm) >= 5 THEN
+                       list_transform(range(1, length(norm) - 3),
+                         i -> ('0x' || substr(md5(substr(norm, i, 5)), 1, 7))::BIGINT)
+                     ELSE [] END AS hashes
+              FROM t),
+            wn AS (
+              SELECT doc_id,
+                     CASE WHEN n_grams = 0 THEN []
+                          WHEN n_grams < 4 THEN [list_min(hashes)]
+                          ELSE list_transform(range(1, n_grams - 2),
+                                 i -> list_min(hashes[i:i+3]))
+                     END AS wins
+              FROM g),
+            fp AS (
+              SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wn),
+            sizes AS (
+              SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+            blocking AS (
+              SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 30),
+            blocked AS (SELECT fp.* FROM fp JOIN blocking USING (fp)),
+            shared AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_shared
+              FROM blocked a JOIN blocked b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT s.doc_a, s.doc_b, s.n_shared,
+                   (s.n_shared * 1000000) // least(sa.n_fp, sb.n_fp)
+                     AS overlap_ppm
+            FROM shared s
+            JOIN sizes sa ON sa.doc_id = s.doc_a
+            JOIN sizes sb ON sb.doc_id = s.doc_b
+            WHERE (s.n_shared * 1000000) // least(sa.n_fp, sb.n_fp)
+                    >= 400000
         """,
         "dedup_exact": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)

@@ -145,6 +145,22 @@ def winnow_fingerprints(
     the md5 of the comma-joined sorted fingerprint values — a compact,
     cross-engine-stable set digest.
     """
+    d4 = _winnow_windows(docs, text_col, k, w)
+    fps = F.array_sort(F.array_distinct(F.col("wins")))
+    return d4.select(
+        "doc_id",
+        "n_grams",
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(
+            F.array_join(F.transform(fps, lambda h: h.cast("string")), ",")
+        ).alias("fp_md5"),
+    )
+
+
+def _winnow_windows(
+    docs: DataFrame, text_col: str, k: int, w: int
+) -> DataFrame:
+    """(doc_id, n_grams, wins) — the winnowed window-min array."""
     from mod_reservoir_spark.pipeline.dedup import hex7_to_long
 
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
@@ -177,13 +193,73 @@ def winnow_fingerprints(
             F.slice(F.col("hashes"), shift + 1, n_win),
             lambda x, y: F.least(x, y),
         )
-    d4 = d3.select("doc_id", "n_grams", wins.alias("wins"))
-    fps = F.array_sort(F.array_distinct(F.col("wins")))
-    return d4.select(
-        "doc_id",
-        "n_grams",
-        F.size(fps).alias("n_fingerprints"),
-        F.md5(
-            F.array_join(F.transform(fps, lambda h: h.cast("string")), ",")
-        ).alias("fp_md5"),
+    return d3.select("doc_id", "n_grams", wins.alias("wins"))
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    max_block_df: int = 30,
+    threshold_ppm: int = 400000,
+) -> DataFrame:
+    """Containment/near-dup candidate pairs from shared winnowed
+    fingerprints: docs sharing any fingerprint whose document frequency
+    is in [2, max_block_df] become candidates; overlap is
+    n_shared / min(|A|, |B|) in ppm — the CONTAINMENT measure, which
+    (unlike Jaccard) still scores a small doc embedded in a large one.
+
+    Scale shape: the join key is the fingerprint value with a bounded
+    document frequency (the same df-cap blocking as jaccard_pairs) —
+    no all-pairs stage anywhere.
+
+    Output: (doc_a, doc_b, n_shared, overlap_ppm), overlap ≥ threshold.
+    """
+    fp_rows = (
+        _winnow_windows(docs, text_col, k, w)
+        .select("doc_id", F.explode(F.array_distinct("wins")).alias("fp"))
+        .persist()
     )
+    sizes = fp_rows.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    blocking = (
+        fp_rows.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_block_df))
+        .select("fp")
+    )
+    blocked = fp_rows.join(blocking, "fp")
+    shared = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "overlap_ppm",
+            ppm(F.col("n_shared"), F.least(F.col("n_a"), F.col("n_b"))),
+        )
+        .filter(F.col("overlap_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "n_shared", "overlap_ppm")
+    )
+    return out

@@ -181,6 +181,36 @@ def test_winnow_fingerprints_vs_python_reference(spark):
     assert got[5][1] == 1
 
 
+def test_winnow_pairs_containment(spark):
+    """A short doc fully contained in a long doc scores ~100%
+    containment overlap — the case symmetric Jaccard under-scores."""
+    from mod_reservoir_spark.pipeline.text import winnow_pairs
+
+    snippet = "the winnowing algorithm selects minimum hashes per window"
+    filler = (
+        "completely unrelated filler content about spark engines and "
+        "distributed query planning with plenty of extra words to make "
+        "the container document much longer than the snippet it embeds"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, snippet),
+            (1, filler + " " + snippet + " " + filler),
+            (2, "entirely different third document with its own text"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.overlap_ppm
+        for r in winnow_pairs(
+            docs, k=5, w=4, max_block_df=10, threshold_ppm=400000
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] >= 900000  # snippet ⊂ container
+    assert all(2 not in p for p in pairs)
+
+
 def test_ivf_topk_recall(spark):
     """IVF with cells covering both clusters finds the same top-1 as
     exact brute force for most queries (nprobe=2 of 4 cells)."""
