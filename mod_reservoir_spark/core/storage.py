@@ -59,7 +59,26 @@ def deterministic_global_id() -> F.Column:
 
 
 class Warehouse:
-    """Thin snapshot-table store over a directory of parquet tables."""
+    """Versioned snapshot-table store over a directory of parquet
+    tables — atomic commits without a table format.
+
+    Each write lands in a fresh ``<table>/_v<N>`` directory; the commit
+    is a single ``os.replace`` of the ``_CURRENT`` pointer file (atomic
+    on POSIX, and the same pointer-swap pattern a cloud deployment
+    implements with a conditional PUT). Readers resolve the pointer, so
+    a crash mid-write leaves the previous snapshot intact and already-
+    built lazy plans keep reading the version they bound to (in-place
+    overwrite invalidated them — the round-1 localCheckpoint
+    workaround). The two newest versions are retained for in-flight
+    readers; older ones are garbage-collected on commit. A production
+    cluster would use Delta/Iceberg (jars absent here) for multi-writer
+    commits and MERGE; the reader/writer contract is identical.
+
+    Legacy layout (parquet files directly under ``<table>/``) is still
+    readable, so pre-versioning warehouse dirs keep working.
+    """
+
+    KEEP_VERSIONS = 2
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -68,19 +87,66 @@ class Warehouse:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self.path(table), "_CURRENT")
+
+    def current_version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _data_path(self, table: str) -> str | None:
+        v = self.current_version(table)
+        if v is not None:
+            return os.path.join(self.path(table), f"_v{v}")
+        # legacy unversioned layout
+        p = self.path(table)
+        if os.path.exists(p) and any(
+            not e.startswith("_v") and e != "_CURRENT"
+            for e in os.listdir(p)
+        ):
+            return p
+        return None
+
     def exists(self, table: str) -> bool:
-        return os.path.exists(self.path(table))
+        return self._data_path(table) is not None
 
     def read(self, table: str) -> DataFrame:
-        if not self.exists(table):
+        p = self._data_path(table)
+        if p is None:
             return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
-        return self.spark.read.parquet(self.path(table))
+        return self.spark.read.parquet(p)
 
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None):
+        prev = self.current_version(table)
+        nxt = (prev or 0) + 1
+        target = os.path.join(self.path(table), f"_v{nxt}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(table))
+        w.parquet(target)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._pointer(table))  # the atomic commit
+        self._gc(table, nxt)
+
+    def _gc(self, table: str, current: int) -> None:
+        import shutil
+
+        for entry in os.listdir(self.path(table)):
+            if not entry.startswith("_v"):
+                continue
+            try:
+                v = int(entry[2:])
+            except ValueError:
+                continue
+            if v <= current - self.KEEP_VERSIONS:
+                shutil.rmtree(
+                    os.path.join(self.path(table), entry), ignore_errors=True
+                )
 
 
 def upsert_records(

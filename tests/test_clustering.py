@@ -458,3 +458,49 @@ def test_incremental_recluster_equals_full_rebuild(spark, warehouse):
         for r in warehouse.read("cluster_assignments").collect()
     }
     assert incr_rows == full_rows
+
+
+def test_warehouse_versioned_atomic_commits(spark, tmp_path):
+    """Writes land in fresh _vN dirs with an atomic pointer flip: a
+    reader's lazy plan bound to v1 survives a v2 commit, a junk _v dir
+    without a pointer update is invisible, and old versions are GC'd."""
+    import os
+
+    from mod_reservoir_spark.core.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    wh.write("module_registry", df1)
+    assert wh.current_version("module_registry") == 1
+    reader_v1 = wh.read("module_registry")  # lazy plan bound to _v1
+
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string")
+    wh.write("module_registry", df2)
+    assert wh.current_version("module_registry") == 2
+    # the pre-commit reader still sees v1 (in-place overwrite used to
+    # invalidate it); new readers see v2
+    assert reader_v1.count() == 1
+    assert wh.read("module_registry").count() == 2
+
+    # a crash that leaves a partial _v3 without the pointer flip is
+    # invisible to readers
+    os.makedirs(tmp_path / "module_registry" / "_v3")
+    assert wh.read("module_registry").count() == 2
+
+    # GC keeps the last KEEP_VERSIONS snapshots
+    wh.write("module_registry", df1)  # v4 (after junk _v3)
+    versions = {
+        e for e in os.listdir(tmp_path / "module_registry")
+        if e.startswith("_v")
+    }
+    assert "_v1" not in versions
+
+
+def test_warehouse_legacy_layout_readable(spark, tmp_path):
+    from mod_reservoir_spark.core.storage import Warehouse
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    df.write.parquet(str(tmp_path / "module_registry"))
+    wh = Warehouse(spark, str(tmp_path))
+    assert wh.exists("module_registry")
+    assert wh.read("module_registry").count() == 1
