@@ -409,6 +409,18 @@ def q_embedding_lsh_self(spark, sf_dir):
     ).withColumnRenamed("rank", "rnk")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the dedup-by-ANN
+    primitive from the brief): LSH-bucketed candidates, exact-cosine
+    verify, threshold filter — pipeline/similarity.py
+    embedding_near_dup. Oracle replicates the blocking (like
+    simhash_pairs), so recall is part of the checked contract."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup(
+        emb, threshold=0.3, n_planes=10, n_tables=4
+    )
+
+
 def q_embedding_ivf_topk(spark, sf_dir):
     """IVF ANN (SURVEY/brief: 'IVF or LSH-bucketed variant as the
     scale path'): deterministic seed centroids, nprobe cell probing,
@@ -619,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_lsh_self": q_embedding_lsh_self,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "multimodal_binary": q_multimodal_binary,
         "multimodal_features": q_multimodal_features,
@@ -843,6 +856,46 @@ def _embedding_lsh_oracle(k: int = 5, n_planes: int = 10,
         PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
       FROM scored)
     WHERE rn <= {k}
+    """
+
+
+def _embedding_near_dup_oracle(threshold: float = 0.3, n_planes: int = 10,
+                               n_tables: int = 4, dim: int = 64) -> str:
+    from mod_reservoir_spark.pipeline.similarity import _plane_component
+
+    def plane_lit(t, p):
+        vals = ", ".join(repr(_plane_component(t, p, d)) for d in range(dim))
+        return f"[{vals}]"
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(t, p)}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        bucket_exprs.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    buckets_sql = "\n      UNION ALL ".join(bucket_exprs)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      {buckets_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, score FROM (
+      SELECT c.id_a, c.id_b,
+             round(list_dot_product(x.v, y.v) /
+                   (sqrt(list_dot_product(x.v, x.v)) *
+                    sqrt(list_dot_product(y.v, y.v))), 6) AS score
+      FROM cand c
+      JOIN e x ON x.vec_id = c.id_a
+      JOIN e y ON y.vec_id = c.id_b)
+    WHERE score >= {threshold}
     """
 
 
@@ -1222,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_oracle(24, 2, 3),
         "embedding_lsh_topk": _embedding_lsh_oracle(5, 10, 4, 64),
         "embedding_lsh_self": _embedding_lsh_oracle(3, 10, 4, 64, query_where=""),
+        "embedding_near_dup": _embedding_near_dup_oracle(0.3, 10, 4, 64),
         "embedding_ivf_topk": _embedding_ivf_oracle(5, 16, 4),
         "simhash": _simhash_oracle(24),
         "embedding_topk": """

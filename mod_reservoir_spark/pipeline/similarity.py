@@ -480,3 +480,69 @@ def lsh_topk(
         score, schema="query_id long, neighbor_id long, score double"
     )
     return _topk(scored, k)
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every unordered corpus
+    pair sharing an LSH bucket in any table whose exact cosine is >=
+    threshold. The pairs-by-threshold sibling of `lsh_topk_distributed`
+    (which ranks top-k per query) — the dedup-by-ANN primitive.
+
+    Candidate generation is the signature self-equi-join on
+    (table, bucket) with id_a < id_b (each unordered pair once);
+    verification is an exact cosine per Arrow batch over candidates
+    only. Recall follows the LSH guarantee (a pair is found iff some
+    table agrees on all n_planes signs), so like simhash_pairs the
+    oracle replicates the blocking; no stage depends on the corpus
+    fitting anywhere — two hash joins plus a narrow vectorized pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sig = lsh_signatures(
+        embeddings, n_planes, n_tables, id_col, vec_col, dim
+    ).persist()
+    cand = (
+        sig.select(F.col("vec_id").alias("id_a"), "table", "bucket")
+        .join(
+            sig.select(F.col("vec_id").alias("id_b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("av"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("bv"))
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            am = np.array(pdf["av"].tolist(), dtype=np.float64)
+            bm = np.array(pdf["bv"].tolist(), dtype=np.float64)
+            s = np.einsum("ij,ij->i", am, bm) / (
+                np.sqrt((am * am).sum(axis=1))
+                * np.sqrt((bm * bm).sum(axis=1))
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "score": np.round(s, 6),
+                }
+            )
+
+    scored = paired.mapInPandas(
+        score, schema="id_a long, id_b long, score double"
+    )
+    return scored.filter(F.col("score") >= threshold)

@@ -309,3 +309,46 @@ def test_frame_sample_plan(spark):
     )
     plan = mm.frame_sample_plan(feats, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in plan] == [0, 1000, 2000]
+
+
+def test_embedding_near_dup_planted_pairs(spark):
+    """embedding_near_dup finds planted near-identical pairs (cosine
+    ~1), excludes dissimilar ones, emits each unordered pair once, and
+    agrees with brute-force cosine on every candidate it verifies."""
+    import math
+
+    import numpy as np
+
+    from mod_reservoir_spark.pipeline.similarity import embedding_near_dup
+
+    rows = []
+    for i in range(24):
+        base = [0.0] * 8
+        base[i % 4] = 1.0  # 4 well-separated direction groups
+        vec = [
+            round(b + 0.005 * math.sin(i * 13 + d), 6)
+            for d, b in enumerate(base)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = embedding_near_dup(
+        emb, threshold=0.99, n_planes=6, n_tables=8, dim=8
+    ).collect()
+    assert got, "no near-dup pairs found"
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == len(got)  # each unordered pair once
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    for r in got:
+        a, b = vecs[r.id_a], vecs[r.id_b]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(round(cos, 6) - r.score) < 1e-9
+        assert r.score >= 0.99
+        assert r.id_a % 4 == r.id_b % 4  # same planted group
+    # with 8 tables, same-group recall should be high: every group pair
+    # is a true near-dup at this perturbation size
+    expected = {
+        (i, j) for i in range(24) for j in range(i + 1, 24) if i % 4 == j % 4
+    }
+    assert len(pairs) >= len(expected) * 3 // 4
