@@ -198,9 +198,15 @@ def ingest_batch(
         "left_semi",
     ).count()
 
+    wh.write("global_records", merged, partition_by=["source_id"])
+    # read back the committed snapshot: downstream plans scan the new
+    # parquet version instead of recomputing the upsert joins, and the
+    # versioned store keeps `existing`'s snapshot readable, so the
+    # pre-write plans below stay valid (no eager materialization)
+    merged = wh.read("global_records")
+
     # the batch's global ids: upserted rows (post-merge, so new records
-    # have their ids) plus every version the tombstones removed —
-    # materialized BEFORE the overwrite below invalidates `existing`
+    # have their ids) plus every version the tombstones removed
     batch_keys = incoming.select("local_id", "source_id").distinct()
     batch_ids = (
         merged.join(batch_keys, ["local_id", "source_id"], "left_semi")
@@ -213,10 +219,7 @@ def ingest_batch(
             ).select("global_id")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    merged = merged.localCheckpoint(eager=True)
-    wh.write("global_records", merged, partition_by=["source_id"])
 
     ingest_configs = [
         c for c in configs if (c.get("update") or "ingest") == "ingest"
@@ -258,10 +261,20 @@ def recluster_pools(
         F.col("match_key_config_id").isin(pool_ids)
     )
 
+    # reused frames are persist()ed (recompute-on-loss, fault-tolerant
+    # on a real cluster) rather than localCheckpoint()ed; the versioned
+    # Warehouse keeps pre-write snapshots readable, so nothing needs
+    # eager materialization to survive the commits below
+    cached = []
+
+    def _cache(df: DataFrame) -> DataFrame:
+        cached.append(df.persist())
+        return df
+
     if batch_ids is None:
-        values = truncate_match_values(
-            extract_match_values(records, configs)
-        ).localCheckpoint(eager=True)
+        values = _cache(
+            truncate_match_values(extract_match_values(records, configs))
+        )
         clustered = cluster_all_pools(values, pool_ids)
         # the reference assigns EVERY record a cluster per pool, including
         # records whose matcher produced no values (singleton cluster, empty
@@ -279,14 +292,8 @@ def recluster_pools(
             )
             .withColumn("cluster_id", F.col("global_id"))
         )
-        assignments = clustered.unionByName(singletons).localCheckpoint(
-            eager=True
-        )
-        # materialize before the overwrite below invalidates the old
-        # snapshot files this plan reads
-        changed = changed_clusters(old_pool_assign, assignments).localCheckpoint(
-            eager=True
-        )
+        assignments = _cache(clustered.unionByName(singletons))
+        changed = changed_clusters(old_pool_assign, assignments)
     else:
         # incremental: re-extract values for the batch only
         new_vals = truncate_match_values(
@@ -297,13 +304,13 @@ def recluster_pools(
         kept_vals = old_values.filter(
             F.col("match_key_config_id").isin(pool_ids)
         ).join(batch_ids, "global_id", "left_anti")
-        values = kept_vals.unionByName(
-            new_vals.select(*kept_vals.columns)
-        ).localCheckpoint(eager=True)
+        values = _cache(
+            kept_vals.unionByName(new_vals.select(*kept_vals.columns))
+        )
 
-        affected = affected_subgraph(
-            values, old_assign, batch_ids, all_ids, pool_ids
-        ).localCheckpoint(eager=True)
+        affected = _cache(
+            affected_subgraph(values, old_assign, batch_ids, all_ids, pool_ids)
+        )
         aff_values = values.join(
             affected, ["global_id", "match_key_config_id"], "left_semi"
         )
@@ -321,44 +328,42 @@ def recluster_pools(
             )
             .withColumn("cluster_id", F.col("global_id"))
         )
-        new_aff = clustered_aff.unionByName(
-            singletons.select(*clustered_aff.columns)
-        ).localCheckpoint(eager=True)
+        new_aff = _cache(
+            clustered_aff.unionByName(
+                singletons.select(*clustered_aff.columns)
+            )
+        )
         changed = changed_clusters(
             old_pool_assign.join(
                 affected, ["global_id", "match_key_config_id"], "left_semi"
             ),
             new_aff,
-        ).localCheckpoint(eager=True)
-        assignments = (
+        )
+        assignments = _cache(
             old_pool_assign.join(
                 affected, ["global_id", "match_key_config_id"], "left_anti"
-            )
-            .unionByName(new_aff)
-            .localCheckpoint(eager=True)
+            ).unionByName(new_aff)
         )
 
     keep_values = old_values.filter(~F.col("match_key_config_id").isin(pool_ids))
     wh.write(
         "record_match_values",
-        keep_values.unionByName(values.select(*keep_values.columns))
-        .localCheckpoint(eager=True),
+        keep_values.unionByName(values.select(*keep_values.columns)),
     )
 
     keep_assign = old_assign.filter(~F.col("match_key_config_id").isin(pool_ids))
     wh.write(
-        "cluster_assignments",
-        keep_assign.unionByName(assignments).localCheckpoint(eager=True),
+        "cluster_assignments", keep_assign.unionByName(assignments)
     )
 
     old_meta = wh.read("cluster_meta")
     old_pool_meta = old_meta.filter(F.col("match_key_config_id").isin(pool_ids))
     new_meta = advance_meta(old_pool_meta, assignments, changed, now)
     keep_meta = old_meta.filter(~F.col("match_key_config_id").isin(pool_ids))
-    wh.write(
-        "cluster_meta",
-        keep_meta.unionByName(new_meta).localCheckpoint(eager=True),
-    )
+    wh.write("cluster_meta", keep_meta.unionByName(new_meta))
+
+    for df in cached:
+        df.unpersist()
 
 
 def initialize_pool(wh: Warehouse, config: dict, now=None) -> None:
