@@ -319,6 +319,13 @@ def q_token_stats(spark, sf_dir):
     return tx.token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting (brief: 'whitespace + a BPE-ish regex'):
+    GPT-2 pre-tokenizer matches, whitespace runs excluded —
+    pipeline/text.py bpe_token_stats."""
+    return tx.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_quality(spark, sf_dir):
     return tx.quality_scores(_t(spark, sf_dir, "documents"))
 
@@ -617,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "running_total": q_running_total,
         "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -1135,6 +1143,22 @@ def oracle_sql() -> dict[str, str]:
                    (length(array_to_string(toks, '')) * 1000000)
                      // greatest(len(toks), 1) AS avg_token_len_ppm
             FROM t
+        """,
+        "bpe_tokens": f"""
+            WITH m AS (
+              SELECT doc_id, text,
+                list_filter(
+                  regexp_extract_all(text,
+                    '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'),
+                  x -> regexp_matches(x, '\\S')) AS bpe,
+                {_TOKS} AS toks
+              FROM documents)
+            SELECT doc_id,
+                   len(bpe) AS n_bpe_tokens,
+                   len(toks) AS n_ws_tokens,
+                   (length(array_to_string(bpe, '')) * 1000000)
+                     // greatest(len(bpe), 1) AS avg_piece_len_ppm
+            FROM m
         """,
         "quality": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),

@@ -62,6 +62,42 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer regex, minus the trailing-whitespace
+# lookahead (RE2 — the DuckDB oracle's engine — has no lookahead, and
+# the lookahead branch only changes how runs of spaces split, not the
+# non-whitespace token count): contractions | space?-letters |
+# space?-digits | space?-punctuation-run | whitespace-run.
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: matches of the GPT-2 pre-tokenizer
+    regex, whitespace-only runs excluded — the standard proxy for
+    "how many BPE tokens will this document cost" without a merges
+    table. Reported next to the whitespace count so the two token
+    budgets can be compared per document.
+    """
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0
+    )
+    bpe = F.filter(pieces, lambda x: x.rlike(r"\S"))
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(tokens(text_col)).alias("n_ws_tokens"),
+        ppm(
+            F.length(F.concat_ws("", bpe)),
+            F.greatest(F.size(bpe), F.lit(1)),
+        ).alias("avg_piece_len_ppm"),
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, punctuation density, stopword ratio,
     repetition (distinct/total tokens) — the usual pretraining quality

@@ -352,3 +352,28 @@ def test_embedding_near_dup_planted_pairs(spark):
         (i, j) for i in range(24) for j in range(i + 1, 24) if i % 4 == j % 4
     }
     assert len(pairs) >= len(expected) * 3 // 4
+
+
+def test_bpe_token_stats_known_strings(spark):
+    """GPT-2-pretokenizer piece counts on hand-tokenized strings:
+    contractions split, digit runs split from letters, punctuation
+    runs group, whitespace runs don't count."""
+    from mod_reservoir_spark.pipeline.text import bpe_token_stats
+
+    rows = [
+        (1, "Hello world"),        # Hello | " world"
+        (2, "don't stop"),         # don | 't | " stop"
+        (3, "abc123 x!?"),         # abc | 123 | " x" | !?
+        (4, "  spaced  out  "),    # spaced | out
+        (5, ""),                   # no pieces
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+    assert got[1].n_bpe_tokens == 2
+    assert got[2].n_bpe_tokens == 3
+    assert got[3].n_bpe_tokens == 4
+    assert got[4].n_bpe_tokens == 2
+    assert got[5].n_bpe_tokens == 0
+    assert got[2].n_ws_tokens == 2
+    # "Hello"(5) + " world"(6) = 11 chars over 2 pieces
+    assert got[1].avg_piece_len_ppm == 11 * 1_000_000 // 2
