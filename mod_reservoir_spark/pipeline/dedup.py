@@ -271,7 +271,11 @@ def minhash_lsh_pairs(
     )
     # the verify pass touches the shingle table three times (a-side,
     # b-side, sizes) — persist one materialization instead of
-    # re-exploding the corpus per use
+    # re-exploding the corpus per use. Shingling the full corpus is a
+    # narrow shuffle-free map that joins against the (small, broadcast)
+    # candidate side; pre-filtering to candidate docs was measured
+    # slower — it serializes the candidate join ahead of the shingle
+    # scan for three extra stages of fixed overhead.
     sh = word_shingles(docs, text_col, shingle_n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     out = (
