@@ -47,9 +47,16 @@ def start_stream_ingest(
     )
 
     def process(batch_df, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        ingest_batch(warehouse, batch_df, configs)
+        # foreachBatch frames re-read their source files on EVERY
+        # action, and ingest_batch runs ~a dozen (counts + joins) —
+        # persist once so each micro-batch scans its files once
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            ingest_batch(warehouse, batch_df, configs)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process)

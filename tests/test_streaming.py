@@ -145,3 +145,51 @@ def test_stream_ingest_available_now(spark, warehouse, tmp_path):
         .select("cluster_id").distinct().count()
     )
     assert clusters == 2
+
+
+def test_stream_ingest_backpressure_bounds_batches(spark, warehouse, tmp_path):
+    """maxFilesPerTrigger=1 is the backpressure bound (reference
+    IngestWriteStream queue analog): four input files must surface as
+    four one-file micro-batches, and incremental re-clustering across
+    those batches still converges to the cross-batch merge."""
+    from mod_reservoir_spark.streaming.stream_ingest import start_stream_ingest
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # files 1-4: R0/R1 .. R6/R7; R2k shares issn with R2k+2 via key k+1,
+    # so every file links to the next → one growing cluster chain
+    for fno in range(4):
+        with open(indir / f"b{fno}.jsonl", "w") as f:
+            for j in (0, 1):
+                i = 2 * fno + j
+                keys = [str(fno), str(fno + 1)] if j == 0 else [str(fno)]
+                f.write(json.dumps({
+                    "local_id": f"R{i}", "source_id": "S",
+                    "source_version": 1,
+                    "payload": json.dumps({"inventory": {"issn": keys}}),
+                    "delete": None,
+                }) + "\n")
+    cfg = {
+        "id": "issn",
+        "method": "jsonpath",
+        "params": json.dumps({"expr": "$.inventory.issn[*]"}),
+        "update": "ingest",
+    }
+    q = start_stream_ingest(
+        spark, warehouse, str(indir), [cfg],
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(240)
+    batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(batches) == 4  # one file per trigger — bound honored
+    assert all(p["numInputRows"] == 2 for p in batches)
+    assert warehouse.read("global_records").count() == 8
+    # all records chained into a single cluster across micro-batches
+    n_clusters = (
+        warehouse.read("cluster_assignments")
+        .select("cluster_id").distinct().count()
+    )
+    assert n_clusters == 1
