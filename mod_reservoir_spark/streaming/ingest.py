@@ -178,7 +178,11 @@ def ingest_batch(
 
     from mod_reservoir_spark.core.storage import normalize_source_ids
 
-    incoming = normalize_source_ids(incoming)
+    # persist the batch: its lineage may be expensive (binaryFile scan
+    # + MARC decode for uploads, streaming file source for
+    # foreachBatch), and the counts/joins below would otherwise re-run
+    # it once per action (~a dozen times)
+    incoming = normalize_source_ids(incoming).persist()
     processed = incoming.count()
     tombstones = incoming.filter(F.col("delete") == True)  # noqa: E712
     upserts = incoming.filter(
@@ -232,6 +236,7 @@ def ingest_batch(
     }
     if ingest_configs:
         recluster_pools(wh, merged, ingest_configs, now_col, batch_ids=batch_ids)
+    incoming.unpersist()
     return stats_out
 
 
