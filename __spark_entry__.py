@@ -464,6 +464,31 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing end-to-end: fake decoder for source geometry,
+    exact-integer aspect fit into 100x100, fake resampler whose payload
+    is a reproducible function of (source sha, output dims) — the
+    oracle recomputes dims and payload hash in SQL."""
+    from mod_reservoir_spark.pipeline import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.to_media_table(
+        docs, "doc_id", F.col("text").cast("binary"), "image", "image/png"
+    )
+    out = mm.resize_images(
+        media, 100, 100, decoder=mm.fake_decode, resizer=mm.fake_resize
+    )
+    return out.select(
+        "media_id",
+        F.col("src_width").cast("long").alias("src_width"),
+        F.col("src_height").cast("long").alias("src_height"),
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        "n_bytes_out",
+        "resized_sha256",
+    )
+
+
 def q_multimodal_binary(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + typed metadata.
     text→binary stands in for image/audio bytes; the md5/byte-length
@@ -643,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "multimodal_binary": q_multimodal_binary,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "sessionize": q_sessionize,
         "hourly_rollup": q_hourly_rollup,
         "topk_per_type": q_topk_per_type,
@@ -1329,6 +1355,32 @@ def oracle_sql() -> dict[str, str]:
                    64 + ('0x' || substr(sha256(text), 3, 2))::BIGINT % 192 AS height,
                    sha256(text) AS content_sha256
             FROM documents
+        """,
+        "multimodal_resize": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     sha256(text) AS sha,
+                     64 + ('0x' || substr(sha256(text), 1, 2))::BIGINT % 192 AS w,
+                     64 + ('0x' || substr(sha256(text), 3, 2))::BIGINT % 192 AS h
+              FROM documents),
+            d AS (
+              SELECT *,
+                CASE WHEN w <= 100 AND h <= 100 THEN w
+                     WHEN w >= h THEN 100
+                     ELSE greatest(1, w * 100 // h) END AS ow,
+                CASE WHEN w <= 100 AND h <= 100 THEN h
+                     WHEN w >= h THEN greatest(1, h * 100 // w)
+                     ELSE 100 END AS oh
+              FROM m),
+            t AS (
+              SELECT *,
+                sha || 'x' || CAST(ow AS VARCHAR) || 'x' || CAST(oh AS VARCHAR) AS tag
+              FROM d)
+            SELECT media_id, w AS src_width, h AS src_height,
+                   ow AS out_width, oh AS out_height,
+                   length(tag)::BIGINT AS n_bytes_out,
+                   sha256(tag) AS resized_sha256
+            FROM t
         """,
         "multimodal_binary": """
             SELECT doc_id,

@@ -133,6 +133,89 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def fit_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) into (max_w, max_h), never
+    upscaling — pure integer arithmetic (cross-multiplication picks the
+    binding dimension, floor division scales the other), so the DuckDB
+    oracle reproduces it exactly with no floating point."""
+    if w <= max_w and h <= max_h:
+        return w, h
+    if w * max_h >= h * max_w:  # width-bound
+        return max_w, max(1, h * max_w // w)
+    return max(1, w * max_h // h), max_h
+
+
+def fake_resize(
+    content: bytes, src_w: int, src_h: int, out_w: int, out_h: int
+) -> bytes:
+    """Deterministic FAKE resample (no image libs in this container):
+    the payload is a reproducible function of the source bytes and the
+    output geometry. A production deployment swaps in PIL/opencv here —
+    schema, batching, and partitioning are unchanged."""
+    tag = f"{hashlib.sha256(content).hexdigest()}x{out_w}x{out_h}"
+    return tag.encode("ascii")
+
+
+def strict_resize(
+    content: bytes, src_w: int, src_h: int, out_w: int, out_h: int
+) -> bytes:
+    raise NotImplementedError(
+        "image resampling requires an imaging library not present in "
+        "this environment; pass resizer=fake_resize for plumbing tests"
+    )
+
+
+RESIZE_SCHEMA = (
+    "media_id string, src_width int, src_height int, "
+    "out_width int, out_height int, n_bytes_out long, resized_sha256 string"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    max_w: int,
+    max_h: int,
+    decoder: Callable[[bytes, str], dict] = strict_decode,
+    resizer: Callable[[bytes, int, int, int, int], bytes] = strict_resize,
+    rows_per_batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Resize operator: decode source geometry, fit into (max_w, max_h)
+    preserving aspect, resample through the pluggable resizer seam.
+    Same mapInPandas shape as extract_features — binary stays on
+    executors, batches bounded by rows_per_batch_bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, acc = [], 0
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                meta = decoder(content, row["kind"])
+                w, h = meta["width"], meta["height"]
+                ow, oh = fit_dims(w, h, max_w, max_h)
+                resized = resizer(content, w, h, ow, oh)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "src_width": w,
+                        "src_height": h,
+                        "out_width": ow,
+                        "out_height": oh,
+                        "n_bytes_out": len(resized),
+                        "resized_sha256": hashlib.sha256(resized).hexdigest(),
+                    }
+                )
+                acc += len(content)
+                if acc >= rows_per_batch_bytes:
+                    yield pd.DataFrame(out)
+                    out, acc = [], 0
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample_plan(
     features: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

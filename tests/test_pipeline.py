@@ -377,3 +377,55 @@ def test_bpe_token_stats_known_strings(spark):
     assert got[2].n_ws_tokens == 2
     # "Hello"(5) + " world"(6) = 11 chars over 2 pieces
     assert got[1].avg_piece_len_ppm == 11 * 1_000_000 // 2
+
+
+def test_resize_images_plumbing(spark):
+    """fit_dims integer aspect math + resize mapInPandas plumbing with
+    the deterministic fake resampler; strict seam raises."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from mod_reservoir_spark.pipeline.multimodal import (
+        fake_decode,
+        fake_resize,
+        fit_dims,
+        resize_images,
+        strict_resize,
+        to_media_table,
+    )
+
+    # pure fit math: no upscale, width-bound, height-bound, degenerate
+    assert fit_dims(50, 80, 100, 100) == (50, 80)
+    assert fit_dims(200, 100, 100, 100) == (100, 50)
+    assert fit_dims(100, 200, 100, 100) == (50, 100)
+    assert fit_dims(1000, 3, 100, 100) == (100, 1)  # floor clamps to 1
+    assert fit_dims(100, 100, 100, 100) == (100, 100)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    media = to_media_table(
+        docs, "doc_id", F.col("text").cast("binary"), "image", "image/png"
+    )
+    got = {
+        r.media_id: r
+        for r in resize_images(
+            media, 100, 100, decoder=fake_decode, resizer=fake_resize
+        ).collect()
+    }
+    for doc_id, text in [(1, "alpha beta"), (2, "gamma")]:
+        content = text.encode()
+        meta = fake_decode(content, "image")
+        w, h = meta["width"], meta["height"]
+        ow, oh = fit_dims(w, h, 100, 100)
+        r = got[str(doc_id)]
+        assert (r.src_width, r.src_height) == (w, h)
+        assert (r.out_width, r.out_height) == (ow, oh)
+        assert r.out_width <= 100 and r.out_height <= 100
+        payload = fake_resize(content, w, h, ow, oh)
+        assert r.n_bytes_out == len(payload)
+        assert r.resized_sha256 == hashlib.sha256(payload).hexdigest()
+
+    with _pytest.raises(Exception):
+        resize_images(media, 100, 100, decoder=fake_decode).collect()
