@@ -760,16 +760,16 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4,
     )
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, unnest(
-        list_distinct(list_transform(range(1, len(toks)),
-                                     i -> toks[i] || ' ' || toks[i+1]))
-      ) AS shingle
+    hs AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          list_distinct(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])),
+          s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hsh
       FROM t WHERE len(toks) >= 2
     ),
     hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
-      FROM sh
+      SELECT doc_id, unnest(hsh) AS h FROM hs
     ),
     sig AS (
       SELECT doc_id,
@@ -791,22 +791,17 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4,
       FROM cand c
       JOIN sig sa ON sa.doc_id = c.doc_a
       JOIN sig sb ON sb.doc_id = c.doc_b),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_common
-      FROM cand c
-      JOIN sh x ON x.doc_id = c.doc_a
-      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      GROUP BY c.doc_a, c.doc_b)
-    SELECT e.doc_a, e.doc_b, e.est_ppm,
-           (COALESCE(co.n_common, 0) * 1000000)
-             // (sa.n_sh + sb.n_sh - COALESCE(co.n_common, 0)) AS jaccard_ppm
-    FROM est e
-    LEFT JOIN common co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
-    JOIN sizes sa ON sa.doc_id = e.doc_a
-    JOIN sizes sb ON sb.doc_id = e.doc_b
-    WHERE (COALESCE(co.n_common, 0) * 1000000)
-            // (sa.n_sh + sb.n_sh - COALESCE(co.n_common, 0)) >= {threshold_ppm}
+    verified AS (
+      SELECT e.doc_a, e.doc_b, e.est_ppm,
+             len(list_intersect(a.hsh, b.hsh)) AS n_common,
+             len(a.hsh) AS n_a, len(b.hsh) AS n_b
+      FROM est e
+      JOIN hs a ON a.doc_id = e.doc_a
+      JOIN hs b ON b.doc_id = e.doc_b)
+    SELECT doc_a, doc_b, est_ppm,
+           (n_common * 1000000) // (n_a + n_b - n_common) AS jaccard_ppm
+    FROM verified
+    WHERE (n_common * 1000000) // (n_a + n_b - n_common) >= {threshold_ppm}
     """
 
 

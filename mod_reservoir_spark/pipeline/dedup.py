@@ -185,25 +185,42 @@ def minhash_signatures(
     ops; at cluster scale signatures pipeline straight from the
     parquet scan with zero exchange. Documents with no shingles are
     dropped (same as the former explode + groupBy plan)."""
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            shingle_array(text_col, shingle_n),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast(
-                "long"
-            ),
-        ).alias("_h"),
-    ).filter(F.size("_h") > 0)
-    def _perm(i):
-        # a 2-arg lambda would be interpreted as (element, index) by
-        # F.transform — bind i via closure instead
-        return lambda h: minhash_expr(i, h)
+    hashed = hashed_shingle_sets(docs, text_col, shingle_n)
+    return hashed.select(
+        "doc_id", _sig_array("hsh", num_hashes).alias("sig")
+    )
 
+
+def hashed_shingle_sets(
+    docs: DataFrame, text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """(doc_id, hsh: array<bigint>) — the distinct 28-bit md5-hashed
+    shingle set per document; documents with no shingles dropped."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                shingle_array(text_col, shingle_n),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("hsh"),
+    ).filter(F.size("hsh") > 0)
+
+
+def _perm(i):
+    # a 2-arg lambda would be interpreted as (element, index) by
+    # F.transform — bind i via closure instead
+    return lambda h: minhash_expr(i, h)
+
+
+def _sig_array(hsh_col: str, num_hashes: int) -> "F.Column":
     mins = [
-        F.array_min(F.transform(F.col("_h"), _perm(i)))
+        F.array_min(F.transform(F.col(hsh_col), _perm(i)))
         for i in range(num_hashes)
     ]
-    return hashed.select("doc_id", F.array(*mins).alias("sig"))
+    return F.array(*mins)
 
 
 def minhash_lsh_pairs(
@@ -215,12 +232,23 @@ def minhash_lsh_pairs(
     threshold_ppm: int = 500000,
 ) -> DataFrame:
     """MinHash + LSH near-dup detection: band the signature, bucket-join
-    for candidates, verify candidates with exact Jaccard.
+    for candidates, verify candidates with exact Jaccard over the
+    hashed shingle sets.
+
+    Jaccard is computed on the distinct 28-bit md5-hashed shingles
+    (identical to string-shingle Jaccard modulo md5-truncation
+    collisions; the oracle hashes the same way, so the contract is
+    exact). Verification is one array_intersect per candidate pair
+    over the SAME persisted (hsh, sig) table the candidates came from —
+    no shingle explode, no count aggregation, no second corpus scan.
 
     Output: (doc_a, doc_b, est_ppm, jaccard_ppm) for verified pairs.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, num_hashes, shingle_n).persist()
+    base = hashed_shingle_sets(docs, text_col, shingle_n)
+    sig = base.select(
+        "doc_id", "hsh", _sig_array("hsh", num_hashes).alias("sig")
+    ).persist()
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -246,13 +274,22 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    est = (
+    n_common = F.size(F.array_intersect("ha", "hb"))
+    out = (
         cand.join(
-            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            sig.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hsh").alias("ha"),
+                F.col("sig").alias("sig_a"),
+            ),
             "doc_a",
         )
         .join(
-            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            sig.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hsh").alias("hb"),
+                F.col("sig").alias("sig_b"),
+            ),
             "doc_b",
         )
         .withColumn(
@@ -267,19 +304,10 @@ def minhash_lsh_pairs(
                 F.lit(num_hashes),
             ),
         )
-        .select("doc_a", "doc_b", "est_ppm")
-    )
-    # the verify pass touches the shingle table three times (a-side,
-    # b-side, sizes) — persist one materialization instead of
-    # re-exploding the corpus per use. Shingling the full corpus is a
-    # narrow shuffle-free map that joins against the (small, broadcast)
-    # candidate side; pre-filtering to candidate docs was measured
-    # slower — it serializes the candidate join ahead of the shingle
-    # scan for three extra stages of fixed overhead.
-    sh = word_shingles(docs, text_col, shingle_n).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    out = (
-        _verified_jaccard(est, sh, sizes)
+        .withColumn(
+            "jaccard_ppm",
+            ppm(n_common, F.size("ha") + F.size("hb") - n_common),
+        )
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "est_ppm", "jaccard_ppm")
     )
