@@ -1,0 +1,74 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+(documented in SCALE.md) asserted against .explain output, so a
+refactor that silently introduces a shuffle, loses predicate pushdown,
+or drops a broadcast fails here rather than in a 100x-scale run."""
+
+import contextlib
+import io
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_minhash_signatures_plan_has_no_exchange(docs):
+    from mod_reservoir_spark.pipeline.dedup import minhash_signatures
+
+    p = plan(minhash_signatures(docs))
+    assert "Exchange" not in p  # fully narrow: scan -> project
+
+
+def test_text_ops_plans_have_no_exchange(docs):
+    from mod_reservoir_spark.pipeline.text import (
+        bpe_token_stats,
+        quality_scores,
+        token_stats,
+    )
+
+    for op in (token_stats, bpe_token_stats, quality_scores):
+        assert "Exchange" not in plan(op(docs)), op.__name__
+
+
+def test_cql_filter_pushes_down_to_scan(spark):
+    from mod_reservoir_spark.operators.clusters import get_records
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "local_id"
+    )
+    # engine-level CQL compile: numeric predicate must reach the scan
+    from mod_reservoir_spark.plans.cql import parse_cql
+
+    q = parse_cql("sourceVersion >= 3")
+    fields = {"sourceVersion": ("o_custkey", "numeric")}
+    p = plan(orders.filter(q.to_column(fields)))
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(o_custkey,3)" in p
+
+
+def test_broadcast_join_for_small_dimension(spark):
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    p = plan(customer.join(nation, customer.c_nationkey == nation.n_nationkey))
+    assert "BroadcastHashJoin" in p
+
+
+def test_scan_prunes_unreferenced_columns(docs):
+    from pyspark.sql import functions as F
+
+    p = plan(docs.select(F.length("text").alias("n")))
+    # ReadSchema must not include the unreferenced lang/source columns
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" in read_schema[0]
+    assert "lang" not in read_schema[0]
