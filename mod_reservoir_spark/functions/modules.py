@@ -4,9 +4,11 @@ The reference registers modules ``{id, type: jsonpath|javascript,
 url|script, function}`` per tenant with caching and invocation as
 ``module::function`` (reference server/.../ReservoirService.java:
 363-419, module/ModuleCache.java, module/impl/ModuleJavaScript.java).
-GraalVM-sandboxed JavaScript is not portable to Spark executors;
-the documented deviation (SURVEY.md §7 risk 3) is Python callables
-with the same contracts:
+``type: javascript`` modules execute for real: a sandboxed node
+subprocess per Arrow batch (functions/jsmodules.py) runs the user's
+ES-module export with the reference's invocation contract. Python
+callables remain supported (``type: python``) for in-process modules.
+The shared contracts:
 
 - matcher: payload dict → collection of match-key strings
   (ModuleJavaScript.executeAsCollection:124-146)
@@ -62,7 +64,8 @@ class ModuleRegistry:
     def resolve(self, invocation: str) -> Callable:
         """'module::function' or bare module id → callable
         (reference ModuleInvocation.java:10-30)."""
-        module_id = invocation.split("::", 1)[0]
+        parts = invocation.split("::", 1)
+        module_id = parts[0]
         m = self.get(module_id)
         if m.type == "jsonpath":
             return compile_jsonpath(m.script)
@@ -70,6 +73,22 @@ class ModuleRegistry:
             if m.fn is None:
                 raise ValueError(f"module {m.id} has no bound callable")
             return m.fn
+        if m.type == "javascript":
+            from mod_reservoir_spark.functions.jsmodules import (
+                JsModuleFunction,
+            )
+
+            if not m.script:
+                raise ValueError(
+                    f"javascript module {m.id} needs inline script "
+                    "(url fetch not supported — no network egress)"
+                )
+            fname = (
+                parts[1] if len(parts) > 1 else (m.function or "matchkey")
+            )
+            return JsModuleFunction(
+                m.script, function=fname, module_id=m.id
+            )
         raise ValueError(f"unsupported module type {m.type!r}")
 
 

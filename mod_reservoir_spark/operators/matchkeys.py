@@ -85,6 +85,7 @@ def matcher_udf(config: dict, on_error: str = "raise"):
     deviation for salvage runs; pair with match_value_errors to count)."""
     fn = _matcher_fn(config)
     cfg_id = config.get("id")
+    batched = hasattr(fn, "batch")
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def extract(payload: pd.Series) -> pd.Series:
@@ -103,17 +104,50 @@ def matcher_udf(config: dict, on_error: str = "raise"):
                         f"matcher {cfg_id!r} failed: {e!r}"
                     ) from e
                 return []
-            out = []
-            for v in vals or []:
-                if isinstance(v, str):
-                    out.append(v)
-                elif isinstance(v, (int, float)) and not isinstance(v, bool):
-                    out.append(str(int(v)) if float(v).is_integer() else str(v))
-            return out
+            return _coerce_keys(vals)
 
-        return payload.map(one)
+        if not batched:
+            return payload.map(one)
+
+        # batch-aware module (JS subprocess): parse payloads in Python
+        # (bad JSON → [] as in the per-record path), one subprocess for
+        # the whole Arrow batch, per-record errors honored
+        parsed, idx = [], []
+        results = [[] for _ in range(len(payload))]
+        for i, s in enumerate(payload):
+            if s is None:
+                continue
+            try:
+                parsed.append(json.loads(s))
+                idx.append(i)
+            except (ValueError, TypeError):
+                continue
+        for i, (vals, err) in zip(idx, fn.batch(parsed)):
+            if err is not None:
+                if on_error == "raise":
+                    raise RuntimeError(
+                        f"matcher {cfg_id!r} failed: {err}"
+                    )
+                continue
+            results[i] = _coerce_keys(vals)
+        return pd.Series(results)
 
     return extract
+
+
+def _coerce_keys(vals) -> list[str]:
+    """Collection coercion per reference executeAsCollection
+    (ModuleJavaScript.java:124-146): strings kept, numbers stringified
+    (integral floats without the .0), everything else dropped."""
+    if isinstance(vals, str):
+        vals = [vals]
+    out = []
+    for v in vals or []:
+        if isinstance(v, str):
+            out.append(v)
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            out.append(str(int(v)) if float(v).is_integer() else str(v))
+    return out
 
 
 def matcher_error_udf(config: dict):
