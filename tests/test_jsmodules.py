@@ -115,3 +115,41 @@ def test_reference_goldrush_mjs_matches_python_port():
         assert err is None, (path, err)
         py = matchkey_or_error(payload)
         assert value == py == assertions[path], path
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF}/transformers/marc-transformer.mjs"),
+    reason="reference corpus not present",
+)
+def test_reference_marc_transformer_mjs_matches_python_port():
+    """The reference's shipped marc-transformer.mjs (run by node)
+    agrees with the Python port: transform(clusterStr) takes the
+    cluster as a JSON string and returns the merged record as one."""
+    from mod_reservoir_spark.functions.transformers import marc_transformer
+
+    script = open(f"{REF}/transformers/marc-transformer.mjs").read()
+    fn = JsModuleFunction(script, function="transform")
+    cluster = {
+        "clusterId": "c1",
+        "records": [
+            {
+                "globalId": "g1", "localId": "L1", "sourceId": "S1",
+                "payload": {"marc": {
+                    "leader": "x" * 24,
+                    "fields": [{"001": "L1"}, {"245": {
+                        "ind1": "0", "ind2": "0",
+                        "subfields": [{"a": "title one"}]}}],
+                }},
+            },
+            {
+                "globalId": "g2", "localId": "L2", "sourceId": "S2",
+                "payload": {"marc": {
+                    "leader": "y" * 24,
+                    "fields": [{"001": "L2"}],
+                }},
+            },
+        ],
+    }
+    value, err = fn.batch([json.dumps(cluster)])[0]
+    assert err is None
+    assert json.loads(value) == marc_transformer(cluster)
