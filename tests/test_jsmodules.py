@@ -153,3 +153,25 @@ def test_reference_marc_transformer_mjs_matches_python_port():
     value, err = fn.batch([json.dumps(cluster)])[0]
     assert err is None
     assert json.loads(value) == marc_transformer(cluster)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF}/matchkeys/goldrush/goldrush.mjs"),
+    reason="reference corpus not present",
+)
+def test_reference_goldrush2021_mjs_matches_python_port():
+    from mod_reservoir_spark.functions.goldrush import matchkey2021_or_error
+
+    script = open(f"{REF}/matchkeys/goldrush/goldrush.mjs").read()
+    fn = JsModuleFunction(script, function="matchkey")
+    assertions = json.load(open(f"{REF}/test/assertions-goldrush2021.json"))
+    paths = [p for p in assertions if "invalid" not in p]
+    payloads = [
+        json.dumps({"marc": json.loads(open(f"{REF}/{p}").read())})
+        for p in paths
+    ]
+    for path, payload, (value, err) in zip(paths, payloads,
+                                           fn.batch(payloads)):
+        assert err is None, (path, err)
+        py = matchkey2021_or_error(payload)
+        assert value == py == assertions[path], path
