@@ -15,6 +15,7 @@ as single Spark jobs:
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -167,6 +168,32 @@ def get_clusters(
     CQL references their fields (reference Storage.java:657-679).
     """
     q = parse_cql(cql)
+    selected = _selected_cluster_ids(
+        assignments, records, match_values, match_key_config_id, q
+    )
+    total = selected.count() if count == "exact" else None
+    page = paginate(selected, [F.col("cluster_id")], limit, offset)
+    built = build_clusters(
+        assignments.join(page, "cluster_id").filter(
+            F.col("match_key_config_id") == match_key_config_id
+        ),
+        records,
+        match_values,
+        meta,
+    )
+    return PagedResult(built.orderBy("cluster_id"), total)
+
+
+def _selected_cluster_ids(
+    assignments: DataFrame,
+    records: DataFrame,
+    match_values: DataFrame,
+    match_key_config_id: str,
+    q: Query,
+) -> DataFrame:
+    """CQL-filtered distinct cluster ids for a pool, with the record
+    and value joins elided unless the query references their fields
+    (reference Storage.java:657-679)."""
     pool = assignments.filter(
         F.col("match_key_config_id") == match_key_config_id
     )
@@ -181,22 +208,74 @@ def get_clusters(
             ).select("global_id", "match_key_config_id", "match_value"),
             ["global_id", "match_key_config_id"],
         )
-    selected = (
+    return (
         base.filter(q.to_column(CLUSTER_FIELDS))
         .select("cluster_id")
         .dropDuplicates(["cluster_id"])
     )
-    total = selected.count() if count == "exact" else None
-    page = paginate(selected, [F.col("cluster_id")], limit, offset)
+
+
+def cluster_row_to_dict(row) -> dict:
+    """A build_clusters row → the reference's cluster JSON shape
+    (payload parsed to an object, ClusterBuilder.java:117-133)."""
+    out = {
+        "clusterId": row["cluster_id"],
+        "matchValues": list(row["matchValues"] or []),
+        "records": [
+            {
+                "globalId": m["globalId"],
+                "localId": m["localId"],
+                "sourceId": m["sourceId"],
+                "sourceVersion": m["sourceVersion"],
+                "payload": json.loads(m["payload"]) if m["payload"] else {},
+            }
+            for m in row["records"]
+        ],
+    }
+    if "datestamp" in row.__fields__ and row["datestamp"] is not None:
+        out["datestamp"] = str(row["datestamp"])
+    return out
+
+
+def stream_clusters(
+    assignments: DataFrame,
+    records: DataFrame,
+    match_values: DataFrame,
+    match_key_config_id: str,
+    cql: str | None = None,
+    meta: DataFrame | None = None,
+):
+    """Streamed (unpaginated) cluster export with bounded driver
+    memory — the engine analog of the reference's chunked-JSON HTTP
+    sink (streamed ReadStream over the full result set). Spark-native
+    shape: the assembled cluster frame is range-sorted by cluster_id
+    and iterated with ``toLocalIterator``, so the driver holds ONE
+    partition at a time regardless of result size; prefetch overlaps
+    the next partition's compute with consumption.
+
+    Yields cluster dicts in cluster_id order.
+    """
+    q = parse_cql(cql)
+    selected = _selected_cluster_ids(
+        assignments, records, match_values, match_key_config_id, q
+    )
     built = build_clusters(
-        assignments.join(page, "cluster_id").filter(
+        assignments.join(selected, "cluster_id").filter(
             F.col("match_key_config_id") == match_key_config_id
         ),
         records,
         match_values,
         meta,
-    )
-    return PagedResult(built.orderBy("cluster_id"), total)
+    ).orderBy("cluster_id")
+    for row in built.toLocalIterator(prefetchPartitions=True):
+        yield cluster_row_to_dict(row)
+
+
+def stream_clusters_json(*args, **kwargs):
+    """`stream_clusters`, rendered: one compact JSON string per
+    cluster — ready to chunk straight onto an HTTP response."""
+    for d in stream_clusters(*args, **kwargs):
+        yield json.dumps(d, separators=(",", ":"), ensure_ascii=False)
 
 
 def _referenced_fields(q: Query) -> set[str]:

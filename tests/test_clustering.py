@@ -504,3 +504,49 @@ def test_warehouse_legacy_layout_readable(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path))
     assert wh.exists("module_registry")
     assert wh.read("module_registry").count() == 1
+
+
+def test_stream_clusters_matches_paged(spark):
+    """Streamed JSON sink (toLocalIterator, bounded driver memory)
+    yields exactly the paged result's clusters, in cluster_id order,
+    with payloads parsed and the CQL join elision applied."""
+    import json as _json
+
+    from mod_reservoir_spark.operators.clusters import (
+        get_clusters,
+        stream_clusters_json,
+    )
+
+    recs = records_df(
+        spark,
+        [
+            ("A", "S1", 1, payload(issn=["1"])),
+            ("B", "S1", 1, payload(issn=["1"])),
+            ("C", "S2", 1, payload(issn=["2"])),
+            ("D", "S2", 1, payload(issn=["3"])),
+        ],
+    )
+    values = extract_match_values(recs, [ISSN_CFG])
+    assignments = cluster_all_pools(values)
+
+    paged = {
+        r["cluster_id"]
+        for r in get_clusters(assignments, recs, values, "issn").items.collect()
+    }
+    streamed = [
+        _json.loads(s)
+        for s in stream_clusters_json(assignments, recs, values, "issn")
+    ]
+    assert {c["clusterId"] for c in streamed} == paged
+    ids = [c["clusterId"] for c in streamed]
+    assert ids == sorted(ids)
+    rec = streamed[0]["records"][0]
+    assert isinstance(rec["payload"], dict)  # parsed, not a string
+    # CQL filter narrows the stream (sourceId join authored on demand)
+    filtered = list(
+        stream_clusters_json(
+            assignments, recs, values, "issn", cql="sourceId = S2"
+        )
+    )
+    got = {_json.loads(s)["clusterId"] for s in filtered}
+    assert len(got) == 2  # C and D clusters only
