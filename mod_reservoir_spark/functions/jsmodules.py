@@ -12,11 +12,15 @@ payloads through the exported function. Node's permission model
 temp dir; unlike GraalVM host isolation it does not block network
 egress — documented deviation, see COVERAGE.md.
 
-Invocation contract mirrors ModuleJavaScript:
-- matcher: ``matchkey(record)`` → string | array of strings
-  (executeAsCollection, ModuleJavaScript.java:124-146)
-- transformer: ``transform(cluster)`` → object
-  (execute, ModuleJavaScript.java:103-121)
+Invocation contract mirrors ModuleJavaScript — the input is always
+passed ENCODED as a JSON string (``input.encode()``,
+ModuleJavaScript.java:104,120), so tenant modules written for the
+reference (which call ``JSON.parse(record)`` themselves) run
+unmodified:
+- matcher: ``matchkey(recordStr)`` → string | array of strings
+  (executeAsCollection, ModuleJavaScript.java:119-146)
+- transformer: ``transform(clusterStr)`` → JSON string
+  (execute, ModuleJavaScript.java:103-116)
 
 One node process per batch (~60 ms startup) amortizes over the Arrow
 batch rows; each record's error is reported individually so the

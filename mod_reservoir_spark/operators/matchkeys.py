@@ -109,20 +109,25 @@ def matcher_udf(config: dict, on_error: str = "raise"):
         if not batched:
             return payload.map(one)
 
-        # batch-aware module (JS subprocess): parse payloads in Python
-        # (bad JSON → [] as in the per-record path), one subprocess for
-        # the whole Arrow batch, per-record errors honored
-        parsed, idx = [], []
+        # batch-aware module (JS subprocess): one subprocess for the
+        # whole Arrow batch, per-record errors honored. The payload is
+        # passed as its JSON STRING — the reference invokes modules
+        # with input.encode() (ModuleJavaScript.java:104,120), so
+        # tenant matchers call JSON.parse(record) themselves. Payloads
+        # that are not valid JSON yield [] (as in the per-record path)
+        # without reaching the module.
+        raw, idx = [], []
         results = [[] for _ in range(len(payload))]
         for i, s in enumerate(payload):
             if s is None:
                 continue
             try:
-                parsed.append(json.loads(s))
-                idx.append(i)
+                json.loads(s)
             except (ValueError, TypeError):
                 continue
-        for i, (vals, err) in zip(idx, fn.batch(parsed)):
+            raw.append(s)
+            idx.append(i)
+        for i, (vals, err) in zip(idx, fn.batch(raw)):
             if err is not None:
                 if on_error == "raise":
                     raise RuntimeError(

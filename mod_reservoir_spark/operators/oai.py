@@ -112,6 +112,7 @@ def list_records(
                 pool_assign, records, match_values
             ).collect()
         }
+        pending: list[tuple[dict, dict]] = []
         for r in rows:
             cid = r["cluster_id"]
             row = built.get(cid)
@@ -138,25 +139,52 @@ def list_records(
                         for m in row["records"]
                     ],
                 }
-                if transformer is not None:
-                    # export-time transformer module hook (reference
-                    # ClusterRecordStream.java:88-127): cluster dict →
-                    # transformed MARC-in-JSON dict
-                    from mod_reservoir_spark.functions.xmlutil import (
-                        json_to_marcxml,
-                    )
+                pending.append((rec, cluster))
+            out.append(rec)
+        # export-time transformer module hook, applied after the loop
+        # so a batch-capable JS transformer runs ONE subprocess per
+        # page (reference ClusterRecordStream.java:88-127; JS modules
+        # receive the cluster encoded as a JSON string and must return
+        # a JSON string, ModuleJavaScript.java:103-116)
+        if pending:
+            from mod_reservoir_spark.functions.xmlutil import (
+                json_to_marcxml,
+            )
 
+            if transformer is None:
+                for rec, cluster in pending:
+                    rec["metadata"] = cluster_to_marcxml(cluster)
+            elif hasattr(transformer, "batch"):
+                encoded = [
+                    json.dumps(c, separators=(",", ":"), ensure_ascii=False)
+                    for _, c in pending
+                ]
+                for (rec, _), (value, err) in zip(
+                    pending, transformer.batch(encoded)
+                ):
+                    if err is not None:
+                        raise RuntimeError(f"transformer failed: {err}")
+                    if value is not None and not isinstance(value, str):
+                        raise RuntimeError(
+                            "transformer must return a JSON string"
+                        )
+                    transformed = json.loads(value) if value else None
+                    rec["metadata"] = (
+                        json_to_marcxml(transformed)
+                        if transformed is not None
+                        else None
+                    )
+            else:
+                for rec, cluster in pending:
                     transformed = transformer(cluster)
                     rec["metadata"] = (
                         json_to_marcxml(transformed)
                         if transformed is not None
                         else None
                     )
-                else:
-                    rec["metadata"] = cluster_to_marcxml(cluster)
+            for rec, _ in pending:
                 if rec["metadata"] is None:
                     rec["deleted"] = True
-            out.append(rec)
     return {"records": out, "resumptionToken": next_token}
 
 

@@ -21,16 +21,22 @@ pytestmark = pytest.mark.skipif(
 
 REF = "/root/reference/js"
 
+# reference convention (ModuleJavaScript.java:104,120): modules get
+# the payload ENCODED as a JSON string and parse it themselves
 ISSN_JS = (
-    "export function matchkey(p) {"
-    "  return (p.inventory && p.inventory.issn || []).map(s => 'i:' + s);"
+    "export function matchkey(s) {"
+    "  const p = JSON.parse(s);"
+    "  return (p.inventory && p.inventory.issn || []).map(x => 'i:' + x);"
     "}"
 )
 
 
 def test_js_function_batch_and_errors():
     fn = JsModuleFunction(ISSN_JS)
-    got = fn.batch([{"inventory": {"issn": ["1", "2"]}}, {}])
+    got = fn.batch([
+        json.dumps({"inventory": {"issn": ["1", "2"]}}),
+        json.dumps({}),
+    ])
     assert got == [(["i:1", "i:2"], None), ([], None)]
     bad = JsModuleFunction(
         "export function matchkey(p){ throw new Error('boom ' + p.n); }"
@@ -56,7 +62,7 @@ def test_registry_resolves_javascript_modules():
     reg = ModuleRegistry()
     reg.put(Module(id="issnjs", type="javascript", script=ISSN_JS))
     fn = reg.resolve("issnjs::matchkey")
-    assert fn({"inventory": {"issn": ["7"]}}) == ["i:7"]
+    assert fn(json.dumps({"inventory": {"issn": ["7"]}})) == ["i:7"]
 
 
 def test_js_matcher_through_extract_match_values(spark):
@@ -175,3 +181,49 @@ def test_reference_goldrush2021_mjs_matches_python_port():
         assert err is None, (path, err)
         py = matchkey2021_or_error(payload)
         assert value == py == assertions[path], path
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF}/transformers/marc-transformer.mjs"),
+    reason="reference corpus not present",
+)
+def test_reference_js_transformer_through_oai_export(spark, warehouse):
+    """End-to-end: the reference's marc-transformer.mjs (run by node,
+    batched once per page) transforms the OAI export — the full
+    tenant-module path with zero Python rewriting."""
+    from mod_reservoir_spark.operators.oai import list_records
+    from mod_reservoir_spark.streaming.ingest import ingest_batch
+
+    payload = json.dumps(
+        {"marc": {"leader": "x" * 24, "fields": [{"001": "T1"}]},
+         "inventory": {"issn": ["5"]}}
+    )
+    inc = spark.createDataFrame(
+        [("T1", "S", 1, payload, None), ("T2", "S", 1, payload, None)],
+        "local_id string, source_id string, source_version int, "
+        "payload string, delete boolean",
+    )
+    cfg = {
+        "id": "issn",
+        "method": "jsonpath",
+        "params": json.dumps({"expr": "$.inventory.issn[*]"}),
+        "update": "ingest",
+    }
+    ingest_batch(warehouse, inc, [cfg])
+
+    script = open(f"{REF}/transformers/marc-transformer.mjs").read()
+    transformer = JsModuleFunction(script, function="transform")
+    res = list_records(
+        warehouse.read("cluster_meta"),
+        warehouse.read("cluster_assignments"),
+        warehouse.read("global_records"),
+        warehouse.read("record_match_values"),
+        "issn",
+        transformer=transformer,
+    )
+    recs = [r for r in res["records"] if not r["deleted"]]
+    assert recs, "no live records exported"
+    xml = recs[0]["metadata"]
+    # the transformer stamps a 999 per member and rewrites the leader
+    assert xml.count("tag=\"999\"") == 2
+    assert "new leader" in xml
