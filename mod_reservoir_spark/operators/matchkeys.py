@@ -159,6 +159,7 @@ def matcher_error_udf(config: dict):
     """Per-record matcher error (string) or None — the diagnostic
     companion to matcher_udf(on_error='ignore')."""
     fn = _matcher_fn(config)
+    batched = hasattr(fn, "batch")
 
     @F.pandas_udf(T.StringType())
     def probe(payload: pd.Series) -> pd.Series:
@@ -175,7 +176,24 @@ def matcher_error_udf(config: dict):
             except Exception as e:
                 return repr(e)
 
-        return payload.map(one)
+        if not batched:
+            return payload.map(one)
+
+        raw, idx = [], []
+        results: list[str | None] = [None] * len(payload)
+        for i, s in enumerate(payload):
+            if s is None:
+                continue
+            try:
+                json.loads(s)
+            except (ValueError, TypeError) as e:
+                results[i] = f"bad payload json: {e}"
+                continue
+            raw.append(s)
+            idx.append(i)
+        for i, (_, err) in zip(idx, fn.batch(raw)):
+            results[i] = err
+        return pd.Series(results)
 
     return probe
 

@@ -227,3 +227,40 @@ def test_reference_js_transformer_through_oai_export(spark, warehouse):
     # the transformer stamps a 999 per member and rewrites the leader
     assert xml.count("tag=\"999\"") == 2
     assert "new leader" in xml
+
+
+def test_js_matcher_error_probe_batched(spark):
+    """match_value_errors works with a JS matcher: per-record errors
+    surface individually from one subprocess per batch."""
+    from mod_reservoir_spark.operators.matchkeys import (
+        match_value_errors,
+        register_module,
+    )
+    from tests.test_clustering import records_df
+
+    register_module(
+        "flaky::matchkey",
+        JsModuleFunction(
+            "export function matchkey(s) {"
+            " const p = JSON.parse(s);"
+            " if (p.bad) throw new Error('no key for ' + p.id);"
+            " return ['k']; }"
+        ),
+    )
+    recs = records_df(
+        spark,
+        [
+            ("A", "S", 1, json.dumps({"id": "A", "bad": False})),
+            ("B", "S", 1, json.dumps({"id": "B", "bad": True})),
+        ],
+    )
+    cfg = {"id": "p", "matcher": "flaky::matchkey", "update": "ingest"}
+    errs = {
+        r.local_id: r.error
+        for r in match_value_errors(recs, [cfg])
+        .join(recs, "global_id")
+        .select("local_id", "error")
+        .collect()
+    }
+    assert set(errs) == {"B"}  # only the raising record surfaces
+    assert "no key for B" in errs["B"]
