@@ -42,9 +42,11 @@ def _register_builtins():
 
 
 def register_module(name: str, fn: Callable[[dict], list[str]]):
-    """Register a Python matcher (replaces the reference's GraalVM JS
-    code modules, module/impl/ModuleJavaScript.java:30-105 — same
-    contract: payload dict in, collection of key strings out)."""
+    """Register a matcher module: a Python callable (payload dict in,
+    collection of key strings out) or a JsModuleFunction
+    (functions/jsmodules.py — real node-executed JS with the reference
+    contract, module/impl/ModuleJavaScript.java:30-105; detected by
+    its ``batch`` attribute and invoked once per Arrow batch)."""
     _PY_MODULES[name] = fn
 
 
