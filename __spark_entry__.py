@@ -388,6 +388,21 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_near_dedup_keep(spark, sf_dir):
+    """Near-dedup APPLICATION: connected components over the verified
+    MinHash-LSH pair graph, min-doc_id keeper per component — the
+    engine's clustering CC powering the pipeline dedup
+    (pipeline/dedup.py near_dedup_keep). Oracle: recursive-CTE
+    reachability over the same pair SQL."""
+    return dd.near_dedup_keep(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        shingle_n=2,
+        threshold_ppm=300000,
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dd.simhash(_t(spark, sf_dir, "documents"), bits=24)
 
@@ -659,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dedup_keep": q_near_dedup_keep,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
@@ -802,6 +818,34 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4,
            (n_common * 1000000) // (n_a + n_b - n_common) AS jaccard_ppm
     FROM verified
     WHERE (n_common * 1000000) // (n_a + n_b - n_common) >= {threshold_ppm}
+    """
+
+
+def _near_dedup_keep_oracle(num_hashes: int = 16, bands: int = 4,
+                            threshold_ppm: int = 300000) -> str:
+    pairs_sql = _minhash_lsh_oracle(num_hashes, bands, threshold_ppm)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({pairs_sql})
+    ),
+    e2 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS r FROM e2
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN e2 e ON reach.r = e.src
+    ),
+    comp AS (
+      SELECT id, least(min(r), id) AS keep_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.keep_id, d.doc_id) AS keep_id,
+           (CASE WHEN COALESCE(c.keep_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END)::BIGINT AS is_kept
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     """
 
 
@@ -1317,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_oracle(),
         "minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 300000),
+        "near_dedup_keep": _near_dedup_keep_oracle(16, 4, 300000),
         "simhash_pairs": _simhash_pairs_oracle(24, 2, 3),
         "embedding_lsh_topk": _embedding_lsh_oracle(5, 10, 4, 64),
         "embedding_lsh_self": _embedding_lsh_oracle(3, 10, 4, 64, query_where=""),

@@ -416,3 +416,65 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+def near_dedup_keep(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold_ppm: int = 500000,
+) -> DataFrame:
+    """APPLY near-deduplication: connected components over the verified
+    MinHash-LSH pair graph, keeping the minimum doc_id per component —
+    the standard pretraining keeper policy (near-dup chains collapse to
+    one survivor even when the endpoints were never directly compared).
+
+    Output: one row per document — (doc_id, keep_id, is_kept), where
+    keep_id is the document's own id when it is in no near-dup pair.
+
+    The component step IS the engine's clustering operator
+    (operators/clustering.connected_components): each pair becomes a
+    bipartite (doc, pair-key) edge, so the reservoir's CC — map-side
+    partial aggregation, first-hop seeding, AQE skew handling —
+    directly powers the pipeline dedup at scale.
+    """
+    from mod_reservoir_spark.operators.clustering import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        docs, text_col, num_hashes, bands, shingle_n, threshold_ppm
+    ).select("doc_a", "doc_b")
+    pair_key = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
+    edges = (
+        pairs.select(
+            F.col("doc_a").cast("string").alias("doc"),
+            pair_key.alias("pair"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").cast("string").alias("doc"),
+                pair_key.alias("pair"),
+            )
+        )
+    )
+    comp = connected_components(
+        edges, node_col="doc", value_col="pair", component_col="comp"
+    ).select(F.col("doc").cast("long").alias("doc_id"), "comp")
+    # component label is the lexicographic-min node string; the keeper
+    # policy wants the NUMERIC min, so reduce per component explicitly
+    keepers = comp.groupBy("comp").agg(F.min("doc_id").alias("keep_id"))
+    mapped = comp.join(keepers, "comp").select("doc_id", "keep_id")
+    return (
+        docs.select("doc_id")
+        .join(mapped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keep_id", F.col("doc_id")).alias("keep_id"),
+            (F.coalesce("keep_id", F.col("doc_id")) == F.col("doc_id"))
+            .cast("long")
+            .alias("is_kept"),
+        )
+    )

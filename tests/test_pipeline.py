@@ -429,3 +429,34 @@ def test_resize_images_plumbing(spark):
 
     with _pytest.raises(Exception):
         resize_images(media, 100, 100, decoder=fake_decode).collect()
+
+
+def test_near_dedup_keep_collapses_components(spark):
+    """Near-dup application: a chain of near-identical docs collapses
+    to the min-id keeper via CC (even pairs never directly compared),
+    and unrelated docs keep themselves."""
+    from mod_reservoir_spark.pipeline.dedup import near_dedup_keep
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base),
+        (11, base + " lambda"),       # near-dup of 10
+        (12, base + " lambda mu"),    # near-dup of 11 (and likely 10)
+        (20, "completely different words one two three four five six"),
+        (21, "another unrelated document with its own vocabulary here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.keep_id, r.is_kept)
+        for r in near_dedup_keep(
+            docs, num_hashes=16, bands=4, shingle_n=1,
+            threshold_ppm=500000,
+        ).collect()
+    }
+    assert got[10] == (10, 1)
+    assert got[11] == (10, 0)
+    assert got[12] == (10, 0)
+    assert got[20] == (20, 1)
+    assert got[21] == (21, 1)
+    # survivors = kept docs only
+    assert sorted(d for d, (_, k) in got.items() if k) == [10, 20, 21]
