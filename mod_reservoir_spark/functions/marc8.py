@@ -23,17 +23,32 @@ tables.  This module re-implements the conversion natively:
   yat/fita/izhitsa/big-yus), basic Hebrew (consonants + points incl.
   the Judeo-Spanish varika) and basic Arabic (ISO 8859-6 letter
   layout + Arabic-Indic digits and punctuation) are carried in full.
-- Character sets whose tables are not carried (extended Arabic,
-  basic Greek, EACC/CJK) are consumed with the correct byte width
-  (3 bytes per EACC char) and emit U+FFFD — the same visible
-  degradation marc4j yields for unmapped code points. Documented
-  limitation; extendable by adding entries to ``_SETS``.
+- Character sets whose tables are not carried built-in (extended
+  Arabic, basic Greek, EACC/CJK — the EACC table alone is ~16k
+  arbitrary mappings, far too large to transcribe) are consumed with
+  the correct byte width (3 bytes per EACC char) and emit U+FFFD —
+  the same visible degradation marc4j yields for unmapped code
+  points — UNLESS the published LoC code-table file is provided:
+  :func:`load_codetables` parses the public
+  https://www.loc.gov/marc/specifications/codetables.xml (the exact
+  file marc4j embeds as a resource and reads in its
+  ``CodeTableXmlParser`` — reference gets these sets the same way,
+  util/.../Marc4jMapper.java:13-95 via marc4j's bundled table) and
+  merges every character set it describes, including the 3-byte
+  EACC set, over the built-ins.  Set the ``MARC8_CODETABLES``
+  environment variable to the file path to load it lazily on first
+  decode — this works per-executor on a real cluster because each
+  Python worker imports this module and reads the env var itself
+  (ship the file with ``spark.files`` / ``--archives``).
 
-Tables transcribed from the public LoC MARC-8 code tables
+Built-in tables transcribed from the public LoC MARC-8 code tables
 (https://www.loc.gov/marc/specifications/codetables.xml).
 """
 
 from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
 
 ESC = 0x1B
 
@@ -186,6 +201,83 @@ _SETS = {
     0x53: (None, 1),          # S  Basic Greek — unmapped
 }
 
+# --- Loadable code tables (EACC/CJK, extended Arabic, basic Greek…).
+#
+# Multibyte sets (EACC, width 3) are keyed by the 21-bit
+# concatenation of the three low-7-bit bytes so G0 (high bit clear)
+# and G1 (high bit set) usage index identically, matching marc4j's
+# CodeTable lookup which also masks to the G0 range.
+
+_ENV_TABLES_LOADED = False
+
+
+def _multibyte_key(chunk: bytes) -> int:
+    key = 0
+    for byte in chunk:
+        key = (key << 7) | (byte & 0x7F)
+    return key
+
+
+def load_codetables(path: str) -> list[str]:
+    """Merge character sets from the public LoC ``codetables.xml``.
+
+    Parses the Library of Congress MARC-8 code-table XML (the format
+    marc4j bundles and parses in ``CodeTableXmlParser``): every
+    ``<characterSet ISOcode="..">`` element contributes one graphic
+    set; each ``<code>`` child carries ``<marc>`` (hex MARC-8 bytes —
+    6 hex digits for the 3-byte EACC set), ``<ucs>`` (hex Unicode
+    code point) and optionally ``<isCombining>true</isCombining>``.
+    Entries with an empty/missing ``<ucs>`` (some EACC components
+    have no Unicode mapping) are skipped and keep decoding to U+FFFD.
+
+    Loaded sets are merged OVER the built-ins (the LoC file is the
+    authoritative source the built-ins were transcribed from).
+    Returns the list of ISO set codes loaded, for logging/tests.
+    """
+    tree = ET.parse(path)
+    loaded: list[str] = []
+    for cs in tree.iter("characterSet"):
+        iso = cs.get("ISOcode")
+        if not iso:
+            continue
+        final = int(iso, 16)
+        builtin = _SETS.get(final)
+        width = builtin[1] if builtin else (3 if final == 0x31 else 1)
+        table: dict = dict(builtin[0]) if builtin and builtin[0] else {}
+        n_codes = 0
+        for code in cs.iter("code"):
+            marc_hex = (code.findtext("marc") or "").strip()
+            ucs_hex = (code.findtext("ucs") or "").strip()
+            if not marc_hex or not ucs_hex:
+                continue
+            combining = (
+                (code.findtext("isCombining") or "").strip().lower() == "true"
+            )
+            raw = bytes.fromhex(
+                marc_hex.zfill(2 * max(width, (len(marc_hex) + 1) // 2))
+            )
+            if width > 1:
+                key: int = _multibyte_key(raw)
+            else:
+                key = raw[-1] & 0x7F
+            table[key] = (chr(int(ucs_hex, 16)), combining)
+            n_codes += 1
+        if n_codes:
+            _SETS[final] = (table, width)
+            loaded.append(iso)
+    return loaded
+
+
+def _maybe_load_env_tables() -> None:
+    global _ENV_TABLES_LOADED
+    if _ENV_TABLES_LOADED:
+        return
+    _ENV_TABLES_LOADED = True
+    path = os.environ.get("MARC8_CODETABLES")
+    if path and os.path.exists(path):
+        load_codetables(path)
+
+
 _G0_INTERMEDIATES = {0x28, 0x2C}      # ( ,
 _G1_INTERMEDIATES = {0x29, 0x2D}      # ) -
 _SINGLE_ESCAPES = {0x62, 0x67, 0x70, 0x73, 0x42, 0x45}  # b g p s B E
@@ -226,6 +318,7 @@ def _parse_escape(data: bytes, i: int):
 
 def marc8_to_unicode(data: bytes) -> str:
     """Convert a MARC-8 byte string to a Unicode string."""
+    _maybe_load_env_tables()
     g0 = _SETS[0x42]   # (table, width)
     g1 = _SETS[0x45]
     out: list[str] = []
@@ -266,7 +359,13 @@ def marc8_to_unicode(data: bytes) -> str:
             emit_base(REPLACEMENT)
             i += width
             continue
-        hit = table.get(low)
+        if width > 1:
+            if i + width > n:  # truncated multibyte char at end of field
+                emit_base(REPLACEMENT)
+                break
+            hit = table.get(_multibyte_key(data[i:i + width]))
+        else:
+            hit = table.get(low)
         if hit is None:
             emit_base(REPLACEMENT)
             i += width
