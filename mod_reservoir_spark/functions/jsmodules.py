@@ -3,14 +3,31 @@
 The reference embeds GraalVM polyglot JS in the server JVM
 (server/.../module/impl/ModuleJavaScript.java:30-105) and resolves
 ``module::function`` invocations against ES-module exports. On Spark,
-executors run Python workers, so the equivalent seam is a node
-subprocess per Arrow batch: the module source ships inside the
+executors run Python workers, so the equivalent seam is a LONG-LIVED
+node worker per (process, module): the module source ships inside the
 picklable function object, is materialized once per worker process to
 a private temp dir, and a fixed runner script streams JSON-line
-payloads through the exported function. Node's permission model
-(``--experimental-permission``) confines filesystem access to that
-temp dir; unlike GraalVM host isolation it does not block network
-egress — documented deviation, see COVERAGE.md.
+payloads through the exported function — one subprocess per
+(executor-process, module), reused across Arrow batches, so the ~60 ms
+node startup is paid once per executor instead of once per batch.
+
+Sandboxing (parity with GraalVM's default-deny polyglot Context,
+ModuleJavaScript.java:30-105):
+
+- Filesystem: node's permission model (``--experimental-permission``)
+  confines reads to the module's temp dir and denies writes and child
+  processes.
+- Network egress: node 20's permission model does NOT cover the
+  network, so the worker is additionally launched inside an EMPTY
+  network namespace (``unshare -n`` — kernel-level: no interfaces, no
+  DNS, nothing to connect to) whenever the host supports it, probed
+  once per process.  Where netns is unavailable (unprivileged
+  container), the runner falls back to neutering the network APIs
+  in-process before the tenant module is imported (fetch,
+  net/tls socket connect, dgram send, http/https agents) —
+  best-effort: unlike the netns path it does not cover DNS-resolver
+  exfiltration, so deployments should prefer hosts where ``unshare -n``
+  works.
 
 Invocation contract mirrors ModuleJavaScript — the input is always
 passed ENCODED as a JSON string (``input.encode()``,
@@ -22,30 +39,77 @@ unmodified:
 - transformer: ``transform(clusterStr)`` → JSON string
   (execute, ModuleJavaScript.java:103-116)
 
-One node process per batch (~60 ms startup) amortizes over the Arrow
-batch rows; each record's error is reported individually so the
-matcher on_error semantics match the Python module path.
+Protocol: one JSON line in → one JSON line out per record
+(``{"ok": v}`` / ``{"err": msg}``); the worker announces
+``{"ready": true}`` after importing the module, or ``{"fatal": msg}``
+and exits if the import / export lookup fails, so module errors
+surface at spawn rather than hanging the first batch.
 """
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import json
 import os
+import select
 import shutil
 import subprocess
 import tempfile
+import threading
+import time
 
 _RUNNER_MJS = """
 import { pathToFileURL } from 'url';
 import { createInterface } from 'readline';
 const [modPath, fnName] = process.argv.slice(2);
-const mod = await import(pathToFileURL(modPath));
-const fn = mod[fnName || 'matchkey'] ?? mod.default;
-if (typeof fn !== 'function') {
-  process.stderr.write('module has no function ' + fnName + '\\n');
+if (process.env.JSMOD_BLOCK_NET === '1') {
+  // In-process egress neutering — fallback for hosts without netns
+  // support (when available the worker also runs under `unshare -n`,
+  // which blocks everything at the kernel).  Patch the constructors /
+  // prototypes the builtin networking entry points all funnel through,
+  // BEFORE the tenant module is imported.
+  const deny = (name) => function () {
+    throw new Error('network egress denied: ' + name);
+  };
+  globalThis.fetch = deny('fetch');
+  try {
+    const net = await import('node:net');
+    net.Socket.prototype.connect = deny('net.connect');
+  } catch {}
+  try {
+    const tls = await import('node:tls');
+    if (tls.TLSSocket) tls.TLSSocket.prototype.connect = deny('tls.connect');
+  } catch {}
+  try {
+    const dgram = await import('node:dgram');
+    dgram.Socket.prototype.send = deny('dgram.send');
+    dgram.Socket.prototype.connect = deny('dgram.connect');
+  } catch {}
+  try {
+    const http = await import('node:http');
+    http.Agent.prototype.createConnection = deny('http.connect');
+  } catch {}
+  try {
+    const https = await import('node:https');
+    https.Agent.prototype.createConnection = deny('https.connect');
+  } catch {}
+}
+let mod;
+try {
+  mod = await import(pathToFileURL(modPath));
+} catch (e) {
+  process.stdout.write(JSON.stringify(
+    { fatal: 'import failed: ' + String((e && e.message) || e) }) + '\\n');
   process.exit(2);
 }
+const fn = mod[fnName || 'matchkey'] ?? mod.default;
+if (typeof fn !== 'function') {
+  process.stdout.write(JSON.stringify(
+    { fatal: 'module has no function ' + fnName }) + '\\n');
+  process.exit(2);
+}
+process.stdout.write('{"ready":true}\\n');
 const rl = createInterface({ input: process.stdin, terminal: false });
 for await (const line of rl) {
   if (!line.trim()) continue;
@@ -61,19 +125,113 @@ for await (const line of rl) {
 }
 """
 
-# per-process cache: script sha -> directory holding runner + module
+# per-process caches: script sha -> materialized dir; worker key -> worker
 _MATERIALIZED: dict[str, str] = {}
+_WORKERS: dict[str, "_NodeWorker"] = {}
+_UNSHARE_NET: bool | None = None
 
 
 def node_available() -> bool:
     return shutil.which("node") is not None
 
 
+def _unshare_net_available() -> bool:
+    """Probe once whether an empty network namespace can be entered
+    (root / CAP_SYS_ADMIN; the strongest egress block available)."""
+    global _UNSHARE_NET
+    if _UNSHARE_NET is None:
+        unshare = shutil.which("unshare")
+        if unshare is None:
+            _UNSHARE_NET = False
+        else:
+            try:
+                _UNSHARE_NET = (
+                    subprocess.run(
+                        [unshare, "-n", "true"],
+                        capture_output=True,
+                        timeout=10,
+                    ).returncode
+                    == 0
+                )
+            except (OSError, subprocess.TimeoutExpired):
+                _UNSHARE_NET = False
+    return _UNSHARE_NET
+
+
+@atexit.register
+def _shutdown_workers() -> None:
+    for w in list(_WORKERS.values()):
+        w.kill()
+    _WORKERS.clear()
+
+
+class _NodeWorker:
+    """One long-lived node subprocess speaking the line protocol.
+
+    stderr goes to a file in the materialized dir (a pipe would
+    deadlock if a chatty module filled it); stdout is read with a
+    deadline via select on the raw fd."""
+
+    def __init__(self, argv: list[str], env: dict, stderr_path: str):
+        self.stderr_path = stderr_path
+        self._stderr_file = open(stderr_path, "ab")
+        self.proc = subprocess.Popen(
+            argv,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=self._stderr_file,
+            env=env,
+        )
+        self.buf = bytearray()
+        self.lock = threading.Lock()
+
+    def stderr_tail(self, limit: int = 2000) -> str:
+        try:
+            self._stderr_file.flush()
+            with open(self.stderr_path, "rb") as f:
+                data = f.read()
+            return data[-limit:].decode("utf-8", "replace").strip()
+        except OSError:
+            return ""
+
+    def read_line(self, deadline: float) -> str:
+        fd = self.proc.stdout.fileno()
+        while True:
+            nl = self.buf.find(b"\n")
+            if nl >= 0:
+                line = bytes(self.buf[:nl])
+                del self.buf[: nl + 1]
+                return line.decode("utf-8", "replace")
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                raise TimeoutError("js module timed out")
+            ready, _, _ = select.select([fd], [], [], timeout)
+            if not ready:
+                raise TimeoutError("js module timed out")
+            chunk = os.read(fd, 65536)
+            if not chunk:
+                raise BrokenPipeError(
+                    f"js worker exited: {self.stderr_tail() or 'no stderr'}"
+                )
+            self.buf += chunk
+
+    def kill(self) -> None:
+        try:
+            self.proc.kill()
+            self.proc.wait(timeout=5)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
+        try:
+            self._stderr_file.close()
+        except OSError:
+            pass
+
+
 class JsModuleFunction:
     """A payload→value function backed by an ES-module export, executed
-    in a sandboxed node subprocess. Picklable (carries the source
-    text); also exposes ``batch`` so Arrow-batched callers amortize the
-    subprocess startup over the whole batch."""
+    in a sandboxed long-lived node worker. Picklable (carries the
+    source text); also exposes ``batch`` so Arrow-batched callers
+    stream the whole batch through one worker round-trip."""
 
     def __init__(
         self,
@@ -101,54 +259,128 @@ class JsModuleFunction:
             _MATERIALIZED[key] = d
         return os.path.join(d, "runner.mjs"), os.path.join(d, "module.mjs")
 
+    def _worker_key(self) -> str:
+        sha = hashlib.sha256(self.script.encode()).hexdigest()
+        return f"{sha}:{self.function}:{int(self.sandbox)}"
+
+    def _spawn(self) -> _NodeWorker:
+        node = shutil.which("node")
+        if node is None:
+            raise RuntimeError("node executable not found on PATH")
+        runner, module = self._materialize()
+        argv = [node, "--no-warnings"]
+        env = dict(os.environ)
+        if self.sandbox:
+            argv += [
+                "--experimental-permission",
+                f"--allow-fs-read={os.path.dirname(runner)}",
+            ]
+            env["JSMOD_BLOCK_NET"] = "1"
+            if _unshare_net_available():
+                argv = [shutil.which("unshare"), "-n"] + argv
+        else:
+            env["JSMOD_BLOCK_NET"] = "0"
+        argv += [runner, module, self.function]
+        worker = _NodeWorker(
+            argv, env, os.path.join(os.path.dirname(runner), "stderr.log")
+        )
+        # handshake: module import + export resolution happen at spawn
+        try:
+            first = json.loads(
+                worker.read_line(time.monotonic() + self.timeout)
+            )
+        except (BrokenPipeError, TimeoutError, ValueError) as e:
+            worker.kill()
+            raise RuntimeError(
+                f"js module {self.module_id or self.function!r} failed: {e}"
+            ) from None
+        if not first.get("ready"):
+            worker.kill()
+            raise RuntimeError(
+                f"js module {self.module_id or self.function!r} failed: "
+                f"{first.get('fatal') or first}"
+            )
+        return worker
+
+    def _get_worker(self) -> _NodeWorker:
+        key = self._worker_key()
+        w = _WORKERS.get(key)
+        if w is None or w.proc.poll() is not None:
+            if w is not None:
+                w.kill()
+            w = self._spawn()
+            _WORKERS[key] = w
+        return w
+
+    def _evict(self, worker: _NodeWorker) -> None:
+        key = self._worker_key()
+        if _WORKERS.get(key) is worker:
+            del _WORKERS[key]
+        worker.kill()
+
     def batch(self, payloads: list) -> list[tuple[object, str | None]]:
         """Run the function over a batch: one (value, error) per input.
         A ``str`` payload is passed to JS as a string value; any other
         object is passed as the parsed JSON structure."""
         if not payloads:
             return []
-        node = shutil.which("node")
-        if node is None:
-            raise RuntimeError("node executable not found on PATH")
-        runner, module = self._materialize()
-        argv = [node, "--no-warnings"]
-        if self.sandbox:
-            argv += [
-                "--experimental-permission",
-                f"--allow-fs-read={os.path.dirname(runner)}",
-            ]
-        argv += [runner, module, self.function]
-        stdin = "\n".join(
-            json.dumps(p, separators=(",", ":"), ensure_ascii=False)
-            for p in payloads
-        )
-        proc = subprocess.run(
-            argv,
-            input=stdin,
-            capture_output=True,
-            text=True,
-            timeout=self.timeout,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"js module {self.module_id or self.function!r} failed: "
-                f"{proc.stderr.strip() or proc.returncode}"
+        stdin = (
+            "\n".join(
+                json.dumps(p, separators=(",", ":"), ensure_ascii=False)
+                for p in payloads
             )
-        out = []
-        for line in proc.stdout.splitlines():
-            if not line.strip():
+            + "\n"
+        ).encode()
+        last_err: Exception | None = None
+        for attempt in range(2):  # one respawn if a cached worker died
+            worker = self._get_worker()
+            deadline = time.monotonic() + self.timeout
+            write_exc: list[Exception] = []
+
+            def _write(w=worker, exc=write_exc):
+                # writer thread: interleaves with reads so a batch larger
+                # than the pipe buffers cannot deadlock both sides
+                try:
+                    w.proc.stdin.write(stdin)
+                    w.proc.stdin.flush()
+                except OSError as e:
+                    exc.append(e)
+
+            with worker.lock:
+                t = threading.Thread(target=_write, daemon=True)
+                t.start()
+                try:
+                    lines = [
+                        worker.read_line(deadline) for _ in payloads
+                    ]
+                except BrokenPipeError as e:
+                    self._evict(worker)
+                    last_err = e
+                    continue
+                except TimeoutError:
+                    self._evict(worker)
+                    raise RuntimeError(
+                        f"js module {self.module_id or self.function!r} "
+                        f"timed out after {self.timeout}s"
+                    ) from None
+                finally:
+                    t.join(timeout=5)
+            if write_exc and len(lines) != len(payloads):
+                self._evict(worker)
+                last_err = write_exc[0]
                 continue
-            rec = json.loads(line)
-            if "err" in rec:
-                out.append((None, rec["err"]))
-            else:
-                out.append((rec["ok"], None))
-        if len(out) != len(payloads):
-            raise RuntimeError(
-                f"js module {self.module_id or self.function!r}: "
-                f"{len(payloads)} inputs but {len(out)} outputs"
-            )
-        return out
+            out: list[tuple[object, str | None]] = []
+            for line in lines:
+                rec = json.loads(line)
+                if "err" in rec:
+                    out.append((None, rec["err"]))
+                else:
+                    out.append((rec["ok"], None))
+            return out
+        raise RuntimeError(
+            f"js module {self.module_id or self.function!r} failed: "
+            f"{last_err}"
+        )
 
     def __call__(self, payload):
         value, err = self.batch([payload])[0]

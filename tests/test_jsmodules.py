@@ -46,6 +46,65 @@ def test_js_function_batch_and_errors():
         bad({"n": 2})
 
 
+def test_js_worker_reused_across_batches():
+    """One long-lived node worker per (process, module): batches reuse
+    the subprocess, and a killed worker respawns transparently."""
+    from mod_reservoir_spark.functions import jsmodules
+
+    fn = JsModuleFunction(ISSN_JS)
+    assert fn.batch([json.dumps({})]) == [([], None)]
+    w1 = jsmodules._WORKERS[fn._worker_key()]
+    pid = w1.proc.pid
+    assert fn.batch([json.dumps({"inventory": {"issn": ["9"]}})]) == [
+        (["i:9"], None)
+    ]
+    assert jsmodules._WORKERS[fn._worker_key()] is w1
+    assert w1.proc.pid == pid and w1.proc.poll() is None
+    # simulate an executor-side crash: next batch respawns
+    w1.proc.kill()
+    w1.proc.wait()
+    assert fn.batch([json.dumps({})]) == [([], None)]
+    assert jsmodules._WORKERS[fn._worker_key()] is not w1
+
+
+def test_js_sandbox_denies_network_egress():
+    """Tenant modules must not reach the network (the reference's
+    GraalVM Context denies host + network by default,
+    ModuleJavaScript.java:30-105).  A local HTTP server proves the
+    address is reachable WITHOUT the sandbox; the sandboxed worker
+    (empty netns via unshare -n, plus in-process API neutering) fails."""
+    import http.server
+    import threading
+
+    class Ok(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"x")
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), Ok)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        script = (
+            f"const r = await fetch('http://127.0.0.1:{port}/');\n"
+            "export function matchkey(s) { return ['got:' + r.status]; }"
+        )
+        # control: outside the sandbox the fetch succeeds
+        open_fn = JsModuleFunction(script, sandbox=False)
+        assert open_fn(json.dumps({})) == ["got:200"]
+        # sandboxed: the top-level fetch fails -> module import fails
+        closed_fn = JsModuleFunction(script, sandbox=True)
+        with pytest.raises(RuntimeError, match="failed"):
+            closed_fn(json.dumps({}))
+    finally:
+        server.shutdown()
+
+
 def test_js_sandbox_denies_fs_escape():
     evil = JsModuleFunction(
         "import {readFileSync} from 'fs';\n"
