@@ -1,10 +1,15 @@
 """MARC → FOLIO-inventory instance payload.
 
 Python equivalent of the reference's XSLT ingest chain
-(client/.../Client.java:197-260 applies xsl/marc2inventory-instance.xsl
-per record; util/.../IngestRecord.java:52-67 runs the chain and
-util/.../InventoryToXml.java:48-120 converts the result XML to JSON
-with the <arr>/<i> array convention, skipping <original>).
+(client/.../Client.java:197-260 applies the repeated ``--xsl``
+stylesheets per record; util/.../IngestRecord.java:52-67 runs the
+chain and util/.../InventoryToXml.java:48-120 converts the result XML
+to JSON with the <arr>/<i> array convention, skipping <original>).
+Ported stylesheets: marc2inventory-instance.xsl (→
+:func:`marc_to_inventory`), localid.xsl (→ :func:`localid_inventory`),
+and the consortium holdings chain holdings-items-cst.xsl +
+library-codes-cst.xsl (→ :func:`cst_inventory`, producing
+``inventory.holdingsRecords`` with per-location items).
 
 The container has no XSLT engine importable from Python executors, so
 the stylesheet's semantics are re-implemented here as a plain dict
@@ -282,6 +287,134 @@ def marc_to_inventory(marc: dict) -> dict:
         "localIdentifier": _text((ids_001 or [""])[0]),
         "instance": instance,
     }
+
+
+_MATERIAL_BL = {"s": "CNR - Continuing Resources", "b": "CNR - Continuing Resources"}
+_MATERIAL_MT = {
+    "a": "BKS - Books", "t": "BKS - Books",
+    "m": "COM - Computer Files",
+    "e": "MAP - Maps", "f": "MAP - Maps",
+    "c": "SCO - Scores", "d": "SCO - Scores",
+    "i": "REC - Sound Recordings", "j": "REC - Sound Recordings",
+    "g": "VIS - Visual Materials",
+    "p": "MIX - Mixed Materials",
+}
+
+
+def _material_type(leader: str) -> str:
+    """holdings-items-cst.xsl:72-88 — leader[7] (bib level) first,
+    then leader[6] (record type)."""
+    bl, mt = leader[7:8], leader[6:7]
+    return _MATERIAL_BL.get(bl) or _MATERIAL_MT.get(mt, "Unmapped")
+
+
+def _holdings_records(marc: dict) -> list:
+    """xsl/holdings-items-cst.xsl //marc:record template (:28-105).
+
+    Faithfully ported quirk: the stylesheet computes $preloc as
+    ``preceding-sibling::datafield[@tag='999'][1]``, intending the
+    nearest preceding 999 — but the JDK's default transformer (XSLTC
+    compiled templates, the same javax.xml.transform path the
+    reference client uses) evaluates the positional predicate on this
+    reverse axis in FORWARD document order, so $preloc is always the
+    FIRST 999 of the record (empty for the first 999 itself).  Net
+    behavior: only 999s repeating the first 999's location are
+    deduped; any other repeated location yields duplicate holdings
+    entries.  Verified empirically against the real stylesheet run
+    through the driver JVM (tests/test_inventory.py, including a
+    sorted-vs-document-order probe)."""
+    f999 = [df for _tag, df in _datafields(marc, {"999"})]
+    if not f999:
+        return [{"permanentLocationDeref": "Unmapped"}]
+    mtype = _material_type(marc.get("leader") or "")
+    first_l = [_first(df, "l") for df in f999]   # value-of → first node
+    all_l = [_subs(df, {"l"}) for df in f999]    # the $loc node-set
+    entries = [
+        (first_l[i], first_l[0] if i else "", all_l[i], f999[i])
+        for i in range(len(f999))
+    ]
+    out = []
+    # Python's sorted is stable like Xalan's xsl:sort, so equal keys
+    # keep document order
+    for loc, preloc, locs, df in sorted(entries, key=lambda e: e[0]):
+        if any(v == preloc for v in locs):   # not($loc=$preloc)
+            continue
+        loc_clean = _WS.sub(" ", loc).strip()
+        loc_set = set(locs)
+        items = [
+            {
+                "itemIdentifier": _text(_first(idf, "i")),
+                "barcode": _text(_first(idf, "i")),
+                "copyNumber": _text(_first(idf, "c")),
+                "status": {"name": "Unknown"},
+                "permanentLoanTypeDeref": "Can circulate",
+                "materialTypeDeref": mtype,
+            }
+            for idf in f999
+            if any(v in loc_set for v in _subs(idf, {"l"}))
+        ]
+        out.append(
+            {
+                "permanentLocationDeref": _text(loc_clean),
+                "illPolicyDeref": (
+                    "Will lend" if loc_clean == "xxxx" else "Will not lend"
+                ),
+                "callNumber": _text(_first(df, "a")),
+                "callNumberTypeDeref": "Library of Congress classification",
+                "notes": [
+                    {
+                        "note": f"Location code: {loc_clean}",
+                        "holdingsNoteTypeDeref": "Note",
+                        "staffOnly": "true",
+                    }
+                ],
+                "items": items,
+            }
+        )
+    return out
+
+
+def holdings_items_inventory(marc: dict, record: dict) -> dict:
+    """xsl/holdings-items-cst.xsl equivalent: copy the record payload
+    and append ``holdingsRecords`` derived from the ORIGINAL MARC (the
+    stylesheet reads the marc:record kept under <original> by the
+    instance transform; our dict pipeline passes the MARC-in-JSON
+    alongside instead of re-parsing it)."""
+    out = dict(record)
+    out["holdingsRecords"] = _holdings_records(marc)
+    return out
+
+
+def library_codes_cst(obj):
+    """xsl/library-codes-cst.xsl equivalent: identity transform that
+    resolves the two placeholder markers anywhere in the tree —
+    <identifierTypeDerefHere/> → identifierTypeDeref 'ISIL:US-CSt',
+    <institutionDerefHere/> → institutionDeref 'US-CSt'."""
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            if k == "identifierTypeDerefHere":
+                out["identifierTypeDeref"] = "ISIL:US-CSt"
+            elif k == "institutionDerefHere":
+                out["institutionDeref"] = "US-CSt"
+            else:
+                out[k] = library_codes_cst(v)
+        return out
+    if isinstance(obj, list):
+        return [library_codes_cst(v) for v in obj]
+    return obj
+
+
+def cst_inventory(marc: dict) -> dict:
+    """The full CST ingest chain — marc2inventory-instance.xsl →
+    holdings-items-cst.xsl → library-codes-cst.xsl, the repeated
+    ``--xsl`` sequence the reference client applies per record
+    (Client.java:197-260, IngestRecord.java:52-67) — as one dict
+    transform producing instance + holdingsRecords + resolved
+    institution codes."""
+    return library_codes_cst(
+        holdings_items_inventory(marc, marc_to_inventory(marc))
+    )
 
 
 def localid_inventory(marc: dict) -> dict:

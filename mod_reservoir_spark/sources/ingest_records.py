@@ -56,7 +56,7 @@ def group_ingest_records(
 
 def marc_df_to_ingest(
     marc_df, source_id: str, source_version: int = 1,
-    with_inventory: bool = False,
+    with_inventory: bool | str = False,
 ):
     """(file, seq, marc_json) DataFrame → ingest-record DataFrame
     (local_id, source_id, source_version, payload, delete). Records
@@ -65,11 +65,21 @@ def marc_df_to_ingest(
     with_inventory=True additionally populates payload.inventory via
     the marc2inventory transform (functions/inventory.py — the
     reference client's XSLT chain, Client.java:197-260), inside the
-    same Arrow batch: no extra pass over the data."""
+    same Arrow batch: no extra pass over the data.
+    with_inventory="cst" runs the full consortium chain instead
+    (instance + holdings-items + library-codes stylesheets), adding
+    ``inventory.holdingsRecords``."""
     import pandas as pd
 
     def to_ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mod_reservoir_spark.functions.inventory import marc_to_inventory
+        from mod_reservoir_spark.functions.inventory import (
+            cst_inventory,
+            marc_to_inventory,
+        )
+
+        transform = (
+            cst_inventory if with_inventory == "cst" else marc_to_inventory
+        )
 
         for pdf in batches:
             out = []
@@ -79,7 +89,7 @@ def marc_df_to_ingest(
                     if not ing["localId"]:
                         continue
                     if with_inventory and "inventory" not in ing["payload"]:
-                        ing["payload"]["inventory"] = marc_to_inventory(
+                        ing["payload"]["inventory"] = transform(
                             ing["payload"]["marc"]
                         )
                     out.append(
