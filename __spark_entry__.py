@@ -1308,11 +1308,16 @@ def oracle_sql() -> dict[str, str]:
             blocking AS (
               SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 30),
             blocked AS (SELECT fp.* FROM fp JOIN blocking USING (fp)),
-            shared AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     count(*) AS n_shared
+            candidates AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM blocked a JOIN blocked b
-                ON a.fp = b.fp AND a.doc_id < b.doc_id
+                ON a.fp = b.fp AND a.doc_id < b.doc_id),
+            shared AS (
+              -- verify over ALL shared fps, not just blocked ones
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM candidates c
+              JOIN fp fa ON fa.doc_id = c.doc_a
+              JOIN fp fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
               GROUP BY 1, 2)
             SELECT s.doc_a, s.doc_b, s.n_shared,
                    (s.n_shared * 1000000) // least(sa.n_fp, sb.n_fp)

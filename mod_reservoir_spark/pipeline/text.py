@@ -240,14 +240,21 @@ def winnow_pairs(
     max_block_df: int = 30,
     threshold_ppm: int = 400000,
 ) -> DataFrame:
-    """Containment/near-dup candidate pairs from shared winnowed
-    fingerprints: docs sharing any fingerprint whose document frequency
-    is in [2, max_block_df] become candidates; overlap is
-    n_shared / min(|A|, |B|) in ppm — the CONTAINMENT measure, which
-    (unlike Jaccard) still scores a small doc embedded in a large one.
+    """Containment/near-dup pairs from winnowed fingerprints: docs
+    sharing any fingerprint whose document frequency is in
+    [2, max_block_df] become CANDIDATES; each candidate pair's
+    n_shared is then recounted over ALL shared fingerprints (common
+    high-df ones included), so overlap = n_shared / min(|A|, |B|) in
+    ppm is the TRUE containment measure — which (unlike Jaccard)
+    still scores a small doc embedded in a large one.  Blocking only
+    selects candidates; it never discounts the score (the same
+    candidate-then-verify split as jaccard_pairs — a pair whose
+    shared fingerprints are mostly corpus-common scores by all of
+    them, not just the rare ones).
 
-    Scale shape: the join key is the fingerprint value with a bounded
-    document frequency (the same df-cap blocking as jaccard_pairs) —
+    Scale shape: candidate generation joins on a fingerprint value
+    with bounded document frequency; verification joins candidates
+    back to the one persisted fingerprint table — candidate-driven,
     no all-pairs stage anywhere.
 
     Output: (doc_a, doc_b, n_shared, overlap_ppm), overlap ≥ threshold.
@@ -265,17 +272,30 @@ def winnow_pairs(
         .select("fp")
     )
     blocked = fp_rows.join(blocking, "fp")
-    shared = (
+    candidates = (
         blocked.alias("a")
         .join(
             blocked.alias("b"),
             (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
+        .distinct()
+    )
+    # verify: count ALL shared fingerprints per candidate pair (every
+    # candidate shares ≥1 blocked fp, so an inner join loses nothing)
+    shared = (
+        candidates.join(
+            fp_rows.select(F.col("doc_id").alias("doc_a"), "fp"), "doc_a"
+        )
+        .join(
+            fp_rows.select(F.col("doc_id").alias("doc_b"), "fp"),
+            ["doc_b", "fp"],
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
     out = (

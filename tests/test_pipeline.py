@@ -211,6 +211,48 @@ def test_winnow_pairs_containment(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_winnow_pairs_counts_common_fingerprints(spark):
+    """True containment: a pair whose shared fingerprints are mostly
+    CORPUS-COMMON (df > max_block_df, so excluded from blocking) must
+    still count them in n_shared — blocking selects candidates, it
+    never discounts the score. Doc 0 is fully contained in doc 1:
+    their shared text is a boilerplate chunk that appears in many
+    other docs (common fps) plus one rare marker (the only blocked
+    fp). With blocked-only counting the pair scored a sliver; with
+    verified counting it scores full containment."""
+    from mod_reservoir_spark.pipeline.text import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    boiler = (
+        "standard license header granting permission to use copy and "
+        "modify this software without restriction subject to notice"
+    )
+    rare = "uniquemarkerphrase shared by exactly two docs"
+    rows = [(0, boiler + " " + rare), (1, boiler + " " + rare + " extra tail")]
+    # many unrelated docs carrying the boilerplate push its fps over
+    # the df cap
+    rows += [(10 + i, boiler + f" unrelated document number {i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.overlap_ppm)
+        for r in winnow_pairs(
+            docs, k=5, w=4, max_block_df=4, threshold_ppm=400000
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    n_shared, overlap = pairs[(0, 1)]
+    n_fp0 = {
+        r.doc_id: r.n_fingerprints
+        for r in winnow_fingerprints(docs, k=5, w=4).collect()
+    }[0]
+    # doc 0 ⊂ doc 1: every one of doc 0's fingerprints is shared,
+    # including the common boilerplate ones
+    assert n_shared == n_fp0
+    assert overlap == 1000000
+
+
 def test_ivf_topk_recall(spark):
     """IVF with cells covering both clusters finds the same top-1 as
     exact brute force for most queries (nprobe=2 of 4 cells)."""
