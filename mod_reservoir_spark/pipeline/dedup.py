@@ -425,6 +425,7 @@ def near_dedup_keep(
     bands: int = 4,
     shingle_n: int = 2,
     threshold_ppm: int = 500000,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY near-deduplication: connected components over the verified
     MinHash-LSH pair graph, keeping the minimum doc_id per component —
@@ -433,6 +434,13 @@ def near_dedup_keep(
 
     Output: one row per document — (doc_id, keep_id, is_kept), where
     keep_id is the document's own id when it is in no near-dup pair.
+
+    ``pairs``: a precomputed (doc_a, doc_b) near-dup pair DataFrame.
+    Pipelines that need BOTH the pairs and the keeper table pass the
+    pairs they already computed (from minhash_lsh_pairs, simhash_pairs,
+    embedding_near_dup_pairs, …) so the signature/bucket/verify work
+    runs once; the convenience form (pairs=None) computes the default
+    MinHash-LSH pipeline internally.
 
     The component step IS the engine's clustering operator
     (operators/clustering.connected_components): each pair becomes a
@@ -444,9 +452,11 @@ def near_dedup_keep(
         connected_components,
     )
 
-    pairs = minhash_lsh_pairs(
-        docs, text_col, num_hashes, bands, shingle_n, threshold_ppm
-    ).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            docs, text_col, num_hashes, bands, shingle_n, threshold_ppm
+        )
+    pairs = pairs.select("doc_a", "doc_b")
     pair_key = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
     edges = (
         pairs.select(

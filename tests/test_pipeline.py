@@ -502,3 +502,27 @@ def test_near_dedup_keep_collapses_components(spark):
     assert got[21] == (21, 1)
     # survivors = kept docs only
     assert sorted(d for d, (_, k) in got.items() if k) == [10, 20, 21]
+
+    # pairs-reuse: passing the precomputed pair graph (so a pipeline
+    # wanting pairs AND keepers runs the LSH pipeline once) is
+    # equivalent to the convenience form
+    from mod_reservoir_spark.pipeline.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=1, threshold_ppm=500000
+    )
+    reused = {
+        r.doc_id: (r.keep_id, r.is_kept)
+        for r in near_dedup_keep(docs, pairs=pairs).collect()
+    }
+    assert reused == got
+
+    # and any pair source works — e.g. a hand-made pair graph
+    manual = spark.createDataFrame(
+        [(20, 21)], "doc_a long, doc_b long"
+    )
+    manual_got = {
+        r.doc_id: r.keep_id
+        for r in near_dedup_keep(docs, pairs=manual).collect()
+    }
+    assert manual_got[21] == 20 and manual_got[10] == 10
