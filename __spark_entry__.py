@@ -24,6 +24,7 @@ from mod_reservoir_spark.operators.clustering import cluster_all_pools
 from mod_reservoir_spark.operators.export import keyset_page
 from mod_reservoir_spark.pipeline import dedup as dd
 from mod_reservoir_spark.pipeline import similarity as sim
+from mod_reservoir_spark.pipeline import sampling as smp
 from mod_reservoir_spark.pipeline import text as tx
 from mod_reservoir_spark.pipeline.text import ppm
 from mod_reservoir_spark.plans.cql import parse_cql
@@ -45,12 +46,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _enable_nanos(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
-        # nanos under nanosAsLong — normalize to a micros timestamp
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        # normalize ts to TIMESTAMP (LTZ, session tz UTC) whatever the
+        # parquet encoding: TIMESTAMP(NANOS) reads as long nanos under
+        # nanosAsLong; micros with isAdjustedToUTC=false reads as NTZ
+        # (the driver's current testdata); adjusted micros reads as
+        # TIMESTAMP already
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -336,6 +344,39 @@ def q_langid(spark, sf_dir):
 
 def q_fingerprint(spark, sf_dir):
     return tx.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style quality
+    filters) — pipeline/text.py repetition_stats."""
+    return tx.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: distinct 8-gram overlap of every
+    document against a benchmark corpus (stand-in: the deterministic
+    doc_id % 97 == 0 subset) — pipeline/text.py contamination; the
+    benchmark n-gram set broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.contamination(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), n=8
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Training-mix quota sampling: ≤ 40 docs per language in the
+    deterministic md5(doc_id) shuffle order — pipeline/sampling.py."""
+    return smp.stratified_sample(
+        _t(spark, sf_dir, "documents"), ("lang",), 40
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-language token budgeting: docs in md5 shuffle order until
+    2000 cumulative tokens — pipeline/sampling.py."""
+    return smp.token_budget_sample(
+        _t(spark, sf_dir, "documents"), budget_tokens=2000
+    )
 
 
 def q_winnow(spark, sf_dir):
@@ -668,6 +709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
         "winnow": q_winnow,
         "winnow_pairs": q_winnow_pairs,
         "dedup_exact": q_dedup_exact,
@@ -1208,6 +1253,91 @@ def oracle_sql() -> dict[str, str]:
                    (length(array_to_string(toks, '')) * 1000000)
                      // greatest(len(toks), 1) AS avg_token_len_ppm
             FROM t
+        """,
+        "repetition": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            base AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                     CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+                     CAST(len(list_distinct(str_split(text, chr(10))))
+                          AS BIGINT) AS n_dlines,
+                     toks
+              FROM t),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM base WHERE len(toks) >= 2),
+            cnts AS (
+              SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, max(cnt) AS mx,
+                     CAST(sum(cnt) AS BIGINT) AS total
+              FROM cnts GROUP BY 1)
+            SELECT b.doc_id, b.n_tokens,
+                   CASE WHEN b.n_tokens > 0
+                        THEN (b.n_tokens - b.n_distinct) * 1000000 // b.n_tokens
+                        ELSE 0 END AS dup_token_ppm,
+                   CASE WHEN b.n_lines > 0
+                        THEN (b.n_lines - b.n_dlines) * 1000000 // b.n_lines
+                        ELSE 0 END AS dup_line_ppm,
+                   COALESCE(top.mx * 1000000 // top.total, 0)
+                     AS top_bigram_ppm
+            FROM base b LEFT JOIN top USING (doc_id)
+        """,
+        "contamination": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(toks) - 6),
+                       i -> array_to_string(toks[i:i+7], ' ')))) AS ng
+              FROM t WHERE len(toks) >= 8),
+            bng AS (SELECT DISTINCT ng FROM sh WHERE doc_id % 97 = 0),
+            sizes AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+              FROM sh GROUP BY 1),
+            hits AS (
+              SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM sh s JOIN bng USING (ng) GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(sizes.n_ngrams, 0) AS n_ngrams,
+                   COALESCE(hits.n_hits, 0) AS n_hits,
+                   CASE WHEN COALESCE(sizes.n_ngrams, 0) > 0
+                        THEN COALESCE(hits.n_hits, 0) * 1000000
+                               // sizes.n_ngrams
+                        ELSE 0 END AS contamination_ppm
+            FROM documents d
+            LEFT JOIN sizes USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
+        """,
+        "stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT)
+                       AS sample_rank
+              FROM documents)
+            SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 40
+        """,
+        "token_budget": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+              FROM t)
+            SELECT doc_id, lang, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 2000
         """,
         "bpe_tokens": f"""
             WITH m AS (

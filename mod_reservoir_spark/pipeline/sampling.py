@@ -1,0 +1,76 @@
+"""Training-mix construction: stratified quota sampling and per-stratum
+token budgeting.
+
+A large-scale pretraining pipeline ends with mix construction: take at
+most N documents (or T tokens) per stratum (language, source, quality
+band) in a DETERMINISTIC, seed-stable order so reruns produce the same
+corpus. Both operators order documents inside each stratum by
+``md5(doc_id)`` — a uniform deterministic shuffle that is identical
+across engines (the DuckDB oracle computes the same md5), so the
+"sample" is unbiased w.r.t. document content without any RNG state.
+
+Scale shape: one shuffle on the stratum key, then a within-partition
+sort — the same plan a SQL window gets. A heavily skewed stratum
+(e.g. 90% of 100 TB is English) makes one partition's sort dominate;
+when quotas are per (stratum) but data is that skewed, pre-bucket the
+stratum (e.g. order within (lang, crc32(doc_id) % k) and take
+N/k per bucket) — the hash order makes per-bucket quotas statistically
+equivalent to the global quota. The plain form here matches the exact
+quota semantics the oracle can verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from mod_reservoir_spark.pipeline.text import tokens
+
+
+def _shuffle_key(id_col: str) -> F.Column:
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata: tuple[str, ...] = ("lang",),
+    n_per_stratum: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``n_per_stratum`` documents per stratum, chosen by the
+    deterministic md5 shuffle order. Output: id, strata, sample_rank
+    (1-based within the stratum)."""
+    w = Window.partitionBy(*strata).orderBy(_shuffle_key(id_col))
+    return (
+        docs.select(id_col, *strata)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(id_col, *strata, "sample_rank")
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int = 100_000,
+    strata: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents per stratum in md5-shuffle order until the cumulative
+    token count reaches the budget (a document is kept iff the running
+    total INCLUDING it is ≤ budget). Output: id, strata, n_tokens,
+    cum_tokens over kept rows."""
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(_shuffle_key(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_counts = docs.select(
+        id_col, *strata, F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        with_counts.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, *strata, "n_tokens", "cum_tokens")
+    )

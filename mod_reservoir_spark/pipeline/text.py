@@ -144,6 +144,125 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality
+    filters): duplicate-token fraction, duplicate-line fraction, and
+    the most-frequent-bigram share of all bigrams. High values flag
+    boilerplate, templated, or degenerate documents for removal before
+    pretraining.
+
+    Scale shape: token/line fractions are pure narrow JVM expressions;
+    the top-bigram share explodes bigrams and hash-aggregates on
+    (doc_id, bigram) — map-side combinable, shuffle keyed by doc+gram
+    (no skew: one document's bigrams spread nowhere).
+
+    Output: (doc_id, n_tokens, dup_token_ppm, dup_line_ppm,
+    top_bigram_ppm); ppm fields are 0 for empty denominators.
+    """
+    t = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        "doc_id",
+        t.alias("toks"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_dlines"),
+    )
+    width = F.greatest(F.col("n_tokens") - 1, F.lit(0)).cast("int")
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, width),
+        F.slice(F.col("toks"), 2, width),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_doc = base.select(
+        "doc_id", "n_tokens", "n_distinct", "n_lines", "n_dlines",
+        F.explode_outer(bigrams).alias("bg"),
+    )
+    top = (
+        per_doc.filter(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("mx"),
+            F.sum("cnt").cast("long").alias("total"),
+        )
+    )
+    return (
+        base.select(
+            "doc_id", "n_tokens", "n_distinct", "n_lines", "n_dlines"
+        )
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                ppm(F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")),
+            ).otherwise(F.lit(0)).cast("long").alias("dup_token_ppm"),
+            F.when(
+                F.col("n_lines") > 0,
+                ppm(F.col("n_lines") - F.col("n_dlines"), F.col("n_lines")),
+            ).otherwise(F.lit(0)).cast("long").alias("dup_line_ppm"),
+            F.coalesce(
+                ppm(F.col("mx"), F.col("total")), F.lit(0)
+            ).cast("long").alias("top_bigram_ppm"),
+        )
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for each document, the fraction of
+    its distinct word n-grams that also occur anywhere in the
+    ``benchmark`` corpus (the standard n-gram-overlap test-set leak
+    check; n=8 ≈ the 8-13-gram windows used for LM eval decontam).
+
+    Scale shape: benchmark n-gram sets are tiny next to a pretraining
+    corpus, so the distinct benchmark set BROADCASTS; each corpus doc's
+    n-grams stream through a broadcast-hash semi-count — one scan of
+    the corpus, no shuffle of corpus n-grams. Docs shorter than n
+    tokens have 0 n-grams and report 0.
+
+    Output: (doc_id, n_ngrams, n_hits, contamination_ppm).
+    """
+    from mod_reservoir_spark.pipeline.dedup import shingle_array
+
+    doc_ng = docs.select(
+        "doc_id", F.explode(shingle_array(text_col, n)).alias("ng")
+    )
+    bench_ng = benchmark.select(
+        F.explode(shingle_array(text_col, n)).alias("ng")
+    ).distinct()
+    sizes = doc_ng.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_ngrams")
+    )
+    hits = (
+        doc_ng.join(F.broadcast(bench_ng), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                ppm(F.coalesce("n_hits", F.lit(0)), F.col("n_ngrams")),
+            ).otherwise(F.lit(0)).cast("long").alias("contamination_ppm"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the whitespace-normalized
     lowercased text — the cheap exact-dedup key. (The reference's

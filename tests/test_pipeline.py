@@ -211,6 +211,88 @@ def test_winnow_pairs_containment(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals: duplicate tokens/lines and the
+    top-bigram share, exact-ppm integers."""
+    from mod_reservoir_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one bigram repeated 3x
+            (2, "all distinct words here"),
+            (3, "line one\nline one\nline two"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.dup_token_ppm, r.dup_line_ppm, r.top_bigram_ppm
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    # doc 1: 4 tokens 1 distinct -> dup 750000; bigrams: 3x "spam spam"
+    assert got[1] == (4, 750000, 0, 1000000)
+    assert got[2] == (4, 0, 0, 333333)
+    # doc 3: 3 lines, 2 distinct -> dup_line 333333
+    assert got[3][2] == 333333
+    # empty doc: all zeros, still present
+    assert got[4] == (0, 0, 0, 0)
+
+
+def test_contamination_overlap(spark):
+    """Benchmark n-gram decontamination: a doc embedding a benchmark
+    passage scores its shared distinct n-grams; clean docs score 0."""
+    from mod_reservoir_spark.pipeline.text import contamination
+
+    bench_text = "the quick brown fox jumps over the lazy sleeping dog"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words " + bench_text + " suffix words"),
+            (2, "totally unrelated content with enough words to have "
+                "eight gram windows in it for the measurement"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_hits, r.contamination_ppm)
+        for r in contamination(docs, bench, n=8).collect()
+    }
+    assert got[1][1] == 3  # the 3 8-grams fully inside the passage
+    assert got[2] == (got[2][0], 0, 0)
+    assert got[3] == (0, 0, 0)  # < 8 tokens -> no n-grams, present
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from mod_reservoir_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr", f"doc {i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    s1 = {(r.doc_id, r.sample_rank) for r in
+          stratified_sample(docs, ("lang",), 10).collect()}
+    s2 = {(r.doc_id, r.sample_rank) for r in
+          stratified_sample(docs, ("lang",), 10).collect()}
+    assert s1 == s2  # deterministic, no RNG state
+    by_lang = {}
+    for r in stratified_sample(docs, ("lang",), 10).collect():
+        by_lang.setdefault(r.lang, []).append(r.sample_rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in by_lang.values())
+
+
+def test_token_budget_sample(spark):
+    from mod_reservoir_spark.pipeline.sampling import token_budget_sample
+
+    rows = [(i, "en", "word " * 10) for i in range(10)]  # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = token_budget_sample(docs, budget_tokens=35).collect()
+    # 10 tokens per doc, budget 35 -> exactly 3 docs kept
+    assert len(got) == 3
+    assert max(r.cum_tokens for r in got) == 30
+    assert all(r.n_tokens == 10 for r in got)
+
+
 def test_winnow_pairs_counts_common_fingerprints(spark):
     """True containment: a pair whose shared fingerprints are mostly
     CORPUS-COMMON (df > max_block_df, so excluded from blocking) must
