@@ -372,18 +372,22 @@ def winnow_pairs(
     them, not just the rare ones).
 
     Scale shape: candidate generation joins on a fingerprint value
-    with bounded document frequency; verification joins candidates
-    back to the one persisted fingerprint table — candidate-driven,
-    no all-pairs stage anywhere.
+    with bounded document frequency; verification joins each candidate
+    pair to the persisted per-doc fingerprint ARRAYS and counts one
+    array_intersect — candidate-driven, one corpus scan, no exploded
+    verify shuffle (the same verify shape as minhash_lsh_pairs).
 
     Output: (doc_a, doc_b, n_shared, overlap_ppm), overlap ≥ threshold.
     """
-    fp_rows = (
+    fp_arrays = (
         _winnow_windows(docs, text_col, k, w)
-        .select("doc_id", F.explode(F.array_distinct("wins")).alias("fp"))
+        .select("doc_id", F.array_distinct("wins").alias("fps"))
         .persist()
     )
-    sizes = fp_rows.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    fp_rows = fp_arrays.select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    sizes = fp_arrays.select("doc_id", F.size("fps").alias("n_fp"))
     blocking = (
         fp_rows.groupBy("fp")
         .agg(F.count("*").alias("df"))
@@ -404,18 +408,26 @@ def winnow_pairs(
         )
         .distinct()
     )
-    # verify: count ALL shared fingerprints per candidate pair (every
-    # candidate shares ≥1 blocked fp, so an inner join loses nothing)
+    # verify: count ALL shared fingerprints per candidate pair via one
+    # array_intersect over the persisted per-doc arrays
     shared = (
         candidates.join(
-            fp_rows.select(F.col("doc_id").alias("doc_a"), "fp"), "doc_a"
+            fp_arrays.select(
+                F.col("doc_id").alias("doc_a"), F.col("fps").alias("fps_a")
+            ),
+            "doc_a",
         )
         .join(
-            fp_rows.select(F.col("doc_id").alias("doc_b"), "fp"),
-            ["doc_b", "fp"],
+            fp_arrays.select(
+                F.col("doc_id").alias("doc_b"), F.col("fps").alias("fps_b")
+            ),
+            "doc_b",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("fps_a", "fps_b")).alias("n_shared"),
+        )
     )
     out = (
         shared.join(

@@ -211,7 +211,32 @@ def test_winnow_pairs_containment(spark):
     assert all(2 not in p for p in pairs)
 
 
-def test_repetition_stats(spark):
+def test_auto_planes_scaling(spark):
+    """Corpus-adaptive LSH granularity: plane count grows with the
+    corpus so bucket occupancy — and candidate pairs per row — stays
+    constant (fixed planes measured 12.9x time at 10x data)."""
+    from mod_reservoir_spark.pipeline.similarity import (
+        auto_planes,
+        lsh_topk_distributed,
+    )
+
+    assert auto_planes(2_000) == 8       # clamped at lo
+    assert auto_planes(20_000) == 12     # 20k/8 ≈ 2^11.3
+    assert auto_planes(2_000_000) == 18
+    assert auto_planes(10**12) == 24     # clamped at hi
+    assert auto_planes(20_000) < auto_planes(200_000)
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(64).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lsh_topk_distributed(emb, emb, k=1, n_planes="auto", n_tables=8)
+    rows_out = got.collect()
+    # self-matches are excluded; every query still finds a neighbor
+    # (auto → 8 planes for 300 vectors: buckets stay populated)
+    assert len(rows_out) == 300
+    assert all(r.query_id != r.neighbor_id for r in rows_out)
     """Gopher-style repetition signals: duplicate tokens/lines and the
     top-bigram share, exact-ppm integers."""
     from mod_reservoir_spark.pipeline.text import repetition_stats
