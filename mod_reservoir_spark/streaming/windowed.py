@@ -135,6 +135,42 @@ def _session_fn(gap_seconds: int):
     return fn
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    query_name: str = "dedup_stream",
+):
+    """Streaming exact-dedup: emit each key once, with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes its event time, so state size is
+    O(keys per watermark window), not O(all keys ever) — the property
+    that lets an at-least-once ingest firehose (OAI harvest retries,
+    upload replays, duplicate training documents) run deduped forever.
+    This is the streaming face of the batch exact-dedup operator
+    (pipeline/dedup.exact_duplicates); near-dup (MinHash) streaming
+    would put the signature in key_cols via a preceding select.
+    """
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def streaming_sessionize(
     spark: SparkSession,
     input_dir: str,

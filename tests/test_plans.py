@@ -64,6 +64,36 @@ def test_broadcast_join_for_small_dimension(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_contamination_broadcasts_benchmark_set(spark, docs):
+    """The benchmark n-gram set must BROADCAST: a shuffled (sort-merge)
+    join here would re-shuffle every corpus n-gram at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.pipeline.text import contamination
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    p = plan(contamination(docs, bench, n=8))
+    assert "BroadcastHashJoin" in p
+
+
+def test_sampling_plans_single_stratum_shuffle(docs):
+    """Quota sampling and token budgeting shuffle ONCE on the stratum
+    key (hashpartitioning on lang), then sort within partitions —
+    no second exchange downstream of the window."""
+    from mod_reservoir_spark.pipeline.sampling import (
+        stratified_sample,
+        token_budget_sample,
+    )
+
+    for op in (
+        lambda d: stratified_sample(d, ("lang",), 10),
+        lambda d: token_budget_sample(d, 1000, ("lang",)),
+    ):
+        p = plan(op(docs))
+        n_exchanges = p.count("+- Exchange")
+        assert n_exchanges == 1, p
+
+
 def test_scan_prunes_unreferenced_columns(docs):
     from pyspark.sql import functions as F
 

@@ -60,6 +60,49 @@ def test_streaming_hourly_rollup_watermark_drops_late(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_replay_suppressed_state_bounded(spark, tmp_path):
+    """Streaming exact-dedup: an at-least-once replay of the same batch
+    emits nothing; once the watermark passes a key's eviction time the
+    state is dropped, so the key CAN re-emit — the bounded-state
+    trade-off dropDuplicatesWithinWatermark makes by design."""
+    from mod_reservoir_spark.streaming.windowed import streaming_dedup
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    q = streaming_dedup(
+        spark, str(indir), str(tmp_path / "ckpt"),
+        key_cols=("event_id",), watermark="1 hour", query_name="dedup_t",
+    )
+    try:
+        rows = [
+            ("2024-01-01 10:00:00", "A", 1, 1.0),
+            ("2024-01-01 10:05:00", "A", 1, 2.0),
+            ("2024-01-01 10:10:00", "B", 2, 3.0),
+        ]
+        _write(indir / "b1.jsonl", rows)
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM dedup_t").collect()[0].c == 3
+        # at-least-once replay: same ids, same times -> fully suppressed
+        _write(indir / "b2.jsonl", rows)
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM dedup_t").collect()[0].c == 3
+        # advance the watermark far past 10:00 + 1h (rows dropped as
+        # dups of live ids 0/1, but their event times advance the wm)
+        _write(indir / "b3.jsonl", [
+            ("2024-01-01 13:59:00", "C", 9, 1.0),
+            ("2024-01-01 14:00:00", "C", 9, 1.0),
+        ])
+        q.processAllAvailable()
+        # id 0's fingerprint is evicted -> the key re-emits
+        _write(indir / "b4.jsonl", [("2024-01-01 13:30:00", "D", 5, 1.0)])
+        q.processAllAvailable()
+        out = spark.sql("SELECT event_id FROM dedup_t").collect()
+        assert len(out) == 4
+        assert sorted(r.event_id for r in out).count(0) == 2
+    finally:
+        q.stop()
+
+
 def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
     indir = tmp_path / "in"
     indir.mkdir()
