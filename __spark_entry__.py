@@ -346,6 +346,28 @@ def q_fingerprint(spark, sf_dir):
     return tx.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/IPs/phones) with per-class counts and the
+    scrubbed-text md5 — pipeline/text.py pii_scrub."""
+    return tx.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup: pairs touching the 'new batch' (odd
+    doc_ids) against the corpus (even doc_ids) without the
+    corpus×corpus candidate join — pipeline/dedup.py
+    minhash_lsh_pairs_incremental."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        num_hashes=16,
+        bands=4,
+        shingle_n=2,
+        threshold_ppm=300000,
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Within-document repetition signals (Gopher-style quality
     filters) — pipeline/text.py repetition_stats."""
@@ -709,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "minhash_incremental": q_minhash_incremental,
         "repetition": q_repetition,
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
@@ -1254,6 +1278,29 @@ def oracle_sql() -> dict[str, str]:
                      // greatest(len(toks), 1) AS avg_token_len_ppm
             FROM t
         """,
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                     '(\+?\d{1,3}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}'))
+                     AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '(\+?\d{1,3}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}',
+                     '<PHONE>', 'g')) AS scrubbed_md5
+            FROM documents
+        """,
+        "minhash_incremental": (
+            "SELECT * FROM (" + _minhash_lsh_oracle(16, 4, 300000)
+            + ") WHERE doc_a % 2 = 1 OR doc_b % 2 = 1"
+        ),
         "repetition": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
             base AS (

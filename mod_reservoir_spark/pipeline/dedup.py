@@ -314,6 +314,114 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold_ppm: int = 500000,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch: new-vs-corpus and
+    new-vs-new, never corpus-vs-corpus — the incremental-ingest shape.
+
+    A daily increment must not pay the corpus×corpus candidate join
+    again: only the NEW side's buckets drive the join (new buckets ×
+    all buckets), so candidate count is O(new × occupancy), not
+    O(corpus × occupancy). Results equal the full minhash_lsh_pairs
+    over corpus ∪ new restricted to pairs touching a new doc
+    (property-tested). In production the corpus side's (hsh, sig)
+    table is maintained incrementally (append each batch's signatures)
+    rather than recomputed — the signature computation here is the
+    same narrow plan either way.
+
+    Output: (doc_a, doc_b, est_ppm, jaccard_ppm), doc_a < doc_b.
+    """
+    rows = num_hashes // bands
+
+    def sig_table(d):
+        base = hashed_shingle_sets(d, text_col, shingle_n)
+        return base.select(
+            "doc_id", "hsh", _sig_array("hsh", num_hashes).alias("sig")
+        )
+
+    new_sig = sig_table(new_docs).persist()
+    all_sig = sig_table(corpus).unionByName(new_sig).persist()
+
+    def band_buckets(sig):
+        entries = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig").getItem(b * rows + r).cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            "doc_id", F.explode(F.array(*entries)).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        band_buckets(new_sig).alias("n")
+        .join(
+            band_buckets(all_sig).alias("a"),
+            (F.col("n.band") == F.col("a.band"))
+            & (F.col("n.bucket") == F.col("a.bucket"))
+            & (F.col("n.doc_id") != F.col("a.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("a.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("a.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    n_common = F.size(F.array_intersect("ha", "hb"))
+    return (
+        cand.join(
+            all_sig.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hsh").alias("ha"),
+                F.col("sig").alias("sig_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            all_sig.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hsh").alias("hb"),
+                F.col("sig").alias("sig_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "est_ppm",
+            ppm(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                ),
+                F.lit(num_hashes),
+            ),
+        )
+        .withColumn(
+            "jaccard_ppm",
+            ppm(n_common, F.size("ha") + F.size("hb") - n_common),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "est_ppm", "jaccard_ppm")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 24) -> DataFrame:
     """SimHash fingerprints: per-token md5-derived bit pattern, sum ±1
     votes per bit position, sign → packed bits. One explode + one

@@ -263,6 +263,44 @@ def contamination(
     )
 
 
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): no backreferences, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"(\+?\d{1,3}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: emails → <EMAIL>, IPv4
+    literals → <IP>, NANP-style phone numbers → <PHONE>, applied in
+    that order (emails first so their digits never read as phones; IPs
+    before phones for the same reason). Counts are measured per class
+    on the ORIGINAL text; the scrubbed text is returned as an md5 so
+    the engine-vs-oracle contract pins the exact byte output without
+    shipping full text through the comparison.
+
+    Pure JVM narrow plan — three regexp_replace + three regexp_count
+    per row, no shuffle, no Python.
+
+    Output: (doc_id, n_emails, n_ips, n_phones, scrubbed_md5).
+    """
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(c, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the whitespace-normalized
     lowercased text — the cheap exact-dedup key. (The reference's

@@ -211,6 +211,70 @@ def test_winnow_pairs_containment(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_pii_scrub(spark):
+    import hashlib
+
+    from mod_reservoir_spark.pipeline.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@example.org or alice@sub.example.co.uk now"),
+            (2, "server at 10.0.0.1 and 192.168.1.254 up"),
+            (3, "call +1 555-123-4567 or (555) 987-6543 today"),
+            (4, "clean text with no personal data at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.scrubbed_md5)
+        for r in pii_scrub(docs).collect()
+    }
+    assert got[1][:3] == (2, 0, 0)
+    assert got[2][:3] == (0, 2, 0)
+    assert got[3][:3] == (0, 0, 2)
+    assert got[4][:3] == (0, 0, 0)
+    expected1 = "mail <EMAIL> or <EMAIL> now"
+    assert got[1][3] == hashlib.md5(expected1.encode()).hexdigest()
+    expected3 = "call <PHONE> or <PHONE> today"
+    assert got[3][3] == hashlib.md5(expected3.encode()).hexdigest()
+
+
+def test_minhash_incremental_matches_full_restriction(spark):
+    """Incremental LSH == full pairs over corpus ∪ new restricted to
+    pairs touching a new doc; corpus-vs-corpus pairs never surface."""
+    from mod_reservoir_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),                     # corpus
+        (2, base + " lambda"),         # corpus near-dup of 0
+        (4, "unrelated corpus doc with entirely different words here"),
+        (1, base + " mu"),             # new near-dup of 0/2
+        (3, base + " mu nu"),          # new near-dup of 1
+        (5, "another unrelated new document nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter("doc_id % 2 = 1")
+    corpus = docs.filter("doc_id % 2 = 0")
+    kw = dict(num_hashes=16, bands=4, shingle_n=1, threshold_ppm=400000)
+    inc = {
+        (r.doc_a, r.doc_b): (r.est_ppm, r.jaccard_ppm)
+        for r in minhash_lsh_pairs_incremental(new, corpus, **kw).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): (r.est_ppm, r.jaccard_ppm)
+        for r in minhash_lsh_pairs(docs, **kw).collect()
+        if r.doc_a % 2 == 1 or r.doc_b % 2 == 1
+    }
+    assert inc == full and inc  # identical, and non-trivial
+    assert all(a % 2 == 1 or b % 2 == 1 for a, b in inc)
+    # the corpus-internal near-dup pair (0,2) must NOT surface
+    assert (0, 2) not in inc
+
+
 def test_auto_planes_scaling(spark):
     """Corpus-adaptive LSH granularity: plane count grows with the
     corpus so bucket occupancy — and candidate pairs per row — stays
