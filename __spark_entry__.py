@@ -346,6 +346,21 @@ def q_fingerprint(spark, sf_dir):
     return tx.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composite Gopher-style keep/drop with audit reasons —
+    pipeline/text.py quality_filter."""
+    return tx.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_pack_shards(spark, sf_dir):
+    """Deterministic training-shard layout: per-language greedy
+    sequential packing into 2000-token shards —
+    pipeline/sampling.py pack_shards."""
+    return smp.pack_shards(
+        _t(spark, sf_dir, "documents"), shard_tokens=2000
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails/IPs/phones) with per-class counts and the
     scrubbed-text md5 — pipeline/text.py pii_scrub."""
@@ -731,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "quality_filter": q_quality_filter,
+        "pack_shards": q_pack_shards,
         "pii_scrub": q_pii_scrub,
         "minhash_incremental": q_minhash_incremental,
         "repetition": q_repetition,
@@ -1277,6 +1294,72 @@ def oracle_sql() -> dict[str, str]:
                    (length(array_to_string(toks, '')) * 1000000)
                      // greatest(len(toks), 1) AS avg_token_len_ppm
             FROM t
+        """,
+        "quality_filter": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            q AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  * 1000000) // greatest(length(text), 1) AS punct_ppm,
+                (len(list_distinct(toks)) * 1000000)
+                  // greatest(len(toks), 1) AS distinct_ppm,
+                CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+                CAST(len(list_distinct(str_split(text, chr(10))))
+                     AS BIGINT) AS n_dlines
+              FROM t),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM t WHERE len(toks) >= 2),
+            cnts AS (
+              SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, max(cnt) AS mx,
+                     CAST(sum(cnt) AS BIGINT) AS total
+              FROM cnts GROUP BY 1),
+            sig AS (
+              SELECT q.doc_id, q.n_tokens, q.punct_ppm, q.distinct_ppm,
+                     CASE WHEN q.n_lines > 0
+                          THEN (q.n_lines - q.n_dlines) * 1000000 // q.n_lines
+                          ELSE 0 END AS dup_line_ppm,
+                     COALESCE(top.mx * 1000000 // top.total, 0)
+                       AS top_bigram_ppm
+              FROM q LEFT JOIN top USING (doc_id)),
+            reasons AS (
+              SELECT doc_id, n_tokens,
+                -- array_to_string('[]') is NULL in DuckDB, '' in Spark
+                COALESCE(array_to_string(list_sort(list_filter([
+                  CASE WHEN n_tokens < 20 THEN 'too_short' END,
+                  CASE WHEN dup_line_ppm > 300000 THEN 'dup_lines' END,
+                  CASE WHEN top_bigram_ppm > 180000
+                       THEN 'repeated_bigram' END,
+                  CASE WHEN distinct_ppm < 200000 THEN 'low_diversity' END,
+                  CASE WHEN punct_ppm > 250000 THEN 'punct_heavy' END
+                ], x -> x IS NOT NULL)), ','), '') AS reject_reasons
+              FROM sig)
+            SELECT doc_id, n_tokens, reject_reasons,
+                   CASE WHEN reject_reasons = '' THEN 1 ELSE 0 END AS keep
+            FROM reasons
+        """,
+        "pack_shards": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT)
+                       AS before
+              FROM t
+              WINDOW w AS (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR))
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT doc_id, lang, n_tokens,
+                   before // 2000 AS shard_id,
+                   before % 2000 AS offset_tokens
+            FROM c
         """,
         "pii_scrub": r"""
             SELECT doc_id,

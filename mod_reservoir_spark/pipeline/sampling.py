@@ -48,6 +48,45 @@ def stratified_sample(
     )
 
 
+def pack_shards(
+    docs: DataFrame,
+    shard_tokens: int = 100_000,
+    strata: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-size training shards: within each
+    stratum, documents in the deterministic md5 shuffle order are laid
+    end-to-end and cut into shards of ``shard_tokens`` tokens —
+    shard_id = floor(tokens_before / shard_tokens), offset_tokens =
+    tokens_before % shard_tokens (where the doc starts in its shard).
+    A document that straddles a boundary belongs to the shard it
+    starts in (greedy sequential packing — the deterministic layout a
+    data-loader can reproduce without coordination).
+
+    Same single-shuffle plan as the other sampling ops: one exchange
+    on the stratum key, sort within partitions, running sum.
+
+    Output: (id, strata, n_tokens, shard_id, offset_tokens).
+    """
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(_shuffle_key(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_counts = docs.select(
+        id_col, *strata, F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return with_counts.select(
+        id_col,
+        *strata,
+        "n_tokens",
+        F.floor(before / shard_tokens).cast("long").alias("shard_id"),
+        (before % shard_tokens).cast("long").alias("offset_tokens"),
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget_tokens: int = 100_000,

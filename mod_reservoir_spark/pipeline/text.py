@@ -263,6 +263,66 @@ def contamination(
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_dup_line_ppm: int = 300000,
+    max_top_bigram_ppm: int = 180000,
+    min_distinct_ppm: int = 200000,
+    max_punct_ppm: int = 250000,
+) -> DataFrame:
+    """Composite keep/drop decision (the Gopher-rules shape): joins the
+    per-document quality and repetition signals and emits ``keep``
+    plus the sorted comma-joined reject reasons, so a pipeline can
+    both filter and audit WHY documents fell out (reason histograms
+    are the standard data-quality dashboard).
+
+    Output: (doc_id, n_tokens, reject_reasons, keep) — reasons '' and
+    keep=1 for passing docs.
+    """
+    q = quality_scores(docs, text_col)
+    r = repetition_stats(docs, text_col)
+    j = q.join(
+        r.select("doc_id", "dup_line_ppm", "top_bigram_ppm"), "doc_id"
+    )
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("n_tokens") < min_tokens, F.lit("too_short")
+                    ),
+                    F.when(
+                        F.col("dup_line_ppm") > max_dup_line_ppm,
+                        F.lit("dup_lines"),
+                    ),
+                    F.when(
+                        F.col("top_bigram_ppm") > max_top_bigram_ppm,
+                        F.lit("repeated_bigram"),
+                    ),
+                    F.when(
+                        F.col("distinct_ppm") < min_distinct_ppm,
+                        F.lit("low_diversity"),
+                    ),
+                    F.when(
+                        F.col("punct_ppm") > max_punct_ppm,
+                        F.lit("punct_heavy"),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return j.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        reasons.alias("reject_reasons"),
+        (reasons == "").cast("long").alias("keep"),
+    )
+
+
 # PII patterns chosen to behave identically under Java regex (Spark)
 # and RE2 (DuckDB oracle): no backreferences, no lookaround.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

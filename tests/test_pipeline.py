@@ -211,6 +211,56 @@ def test_winnow_pairs_containment(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_quality_filter_reasons(spark):
+    from mod_reservoir_spark.pipeline.text import quality_filter
+
+    long_clean = " ".join(f"word{i} plain" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, long_clean),
+            (2, "short doc"),                       # too_short (+low diversity maybe)
+            (3, "spam spam " * 40),                 # repeated bigram + low diversity
+            (4, ("line\n" * 10) + long_clean),      # duplicate lines
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.keep, r.reject_reasons)
+        for r in quality_filter(docs).collect()
+    }
+    assert got[1] == (1, "")
+    assert got[2][0] == 0 and "too_short" in got[2][1]
+    assert got[3][0] == 0 and "repeated_bigram" in got[3][1]
+    assert got[4][0] == 0 and "dup_lines" in got[4][1]
+    # reasons are sorted & comma-joined (engine-stable)
+    assert got[3][1] == ",".join(sorted(got[3][1].split(",")))
+
+
+def test_pack_shards_layout(spark):
+    """Greedy sequential packing: shards fill to the budget in the
+    deterministic order; offsets are where each doc starts."""
+    from mod_reservoir_spark.pipeline.sampling import pack_shards
+
+    rows = [(i, "en", "tok " * 10) for i in range(10)]  # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(
+        pack_shards(docs, shard_tokens=25).collect(),
+        key=lambda r: (r.shard_id, r.offset_tokens),
+    )
+    # 100 tokens / 25-token shards -> docs at offsets 0,10,20,30... so
+    # shard boundaries fall at before // 25
+    assert [r.shard_id for r in got] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert got[0].offset_tokens == 0 and got[3].offset_tokens == 5
+    # deterministic rerun
+    again = sorted(
+        pack_shards(docs, shard_tokens=25).collect(),
+        key=lambda r: (r.shard_id, r.offset_tokens),
+    )
+    assert [(r.doc_id, r.shard_id) for r in again] == [
+        (r.doc_id, r.shard_id) for r in got
+    ]
+
+
 def test_pii_scrub(spark):
     import hashlib
 
