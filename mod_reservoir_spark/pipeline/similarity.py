@@ -285,11 +285,104 @@ def lsh_topk_distributed(
     return _topk(scored, k)
 
 
+def kmeans_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Distributed Lloyd refinement for the IVF coarse quantizer.
+
+    Each iteration broadcasts the (tiny) k×d centroid matrix and makes
+    ONE corpus pass: an Arrow-batched task computes cosine-argmax
+    assignments and emits per-batch PARTIAL sums — k rows of
+    (cell, count, sum-vector, inertia) per batch — so what reaches the
+    driver is ≤ tasks × k tiny rows per iteration, never vectors. New
+    centroids are the cell means (empty cells keep their previous
+    centroid). That is the canonical scalable k-means shape: per
+    iteration cost is one scan + a driver reduce of kilobytes,
+    independent of corpus size.
+
+    Returns (centroids, inertia_history) where inertia is the sum of
+    (1 - cosine) to the assigned centroid — decreasing inertia is the
+    convergence signal. Seeds from the n_centroids smallest ids (the
+    same deterministic choice ivf_assign uses standalone).
+    """
+    import numpy as np
+
+    seed_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    cm = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+    sc = embeddings.sparkSession.sparkContext
+    history: list[float] = []
+    for _ in range(iterations):
+        bc = sc.broadcast((cm, np.sqrt((cm * cm).sum(axis=1))))
+        k, d = cm.shape
+
+        def partials(batches, bc=bc, k=k, d=d):
+            import pandas as pd
+
+            bcm, bcnorm = bc.value
+            sums = np.zeros((k, d))
+            counts = np.zeros(k, dtype=np.int64)
+            inertia = 0.0
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                vm = np.array(pdf[pdf.columns[0]].tolist(), dtype=np.float64)
+                vnorm = np.sqrt((vm * vm).sum(axis=1))
+                s = (vm @ bcm.T) / (vnorm[:, None] * bcnorm[None, :])
+                cell = s.argmax(axis=1)
+                inertia += float((1.0 - s[np.arange(len(cell)), cell]).sum())
+                np.add.at(sums, cell, vm)
+                np.add.at(counts, cell, 1)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "cell": np.arange(k, dtype=np.int64),
+                        "n": counts,
+                        "s": [row.tolist() for row in sums],
+                        "inertia": [inertia] + [0.0] * (k - 1),
+                    }
+                )
+
+        rows = (
+            embeddings.select(vec_col)
+            .mapInPandas(
+                partials,
+                schema="cell long, n long, s array<double>, inertia double",
+            )
+            .collect()
+        )
+        sums = np.zeros_like(cm)
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        inertia = 0.0
+        for r in rows:
+            sums[r["cell"]] += np.array(r["s"])
+            counts[r["cell"]] += r["n"]
+            inertia += r["inertia"]
+        nonempty = counts > 0
+        cm = np.where(
+            nonempty[:, None], sums / np.maximum(counts, 1)[:, None], cm
+        )
+        history.append(round(inertia, 6))
+        bc.destroy()
+    return [row.tolist() for row in cm], history
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest
     centroid by cosine (ties → lowest centroid id).
@@ -302,22 +395,27 @@ def ivf_assign(
     assignment is one Arrow-batched argmax pass over the corpus — no
     shuffle.
 
-    Output: (vec_id, cell).
+    ``centroids``: a trained centroid matrix (e.g. from
+    :func:`kmeans_train`) — when given, the deterministic smallest-id
+    seed is skipped. Output: (vec_id, cell).
     """
     import numpy as np
     import pandas as pd
 
-    cent_rows = sorted(
-        (
-            r[0],
-            list(r[1]),
+    if centroids is not None:
+        cm = np.array(centroids, dtype=np.float64)
+    else:
+        cent_rows = sorted(
+            (
+                r[0],
+                list(r[1]),
+            )
+            for r in embeddings.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
         )
-        for r in embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
-    )
-    cm = np.array([v for _i, v in cent_rows], dtype=np.float64)
+        cm = np.array([v for _i, v in cent_rows], dtype=np.float64)
     cnorm = np.sqrt((cm * cm).sum(axis=1))
     bc = embeddings.sparkSession.sparkContext.broadcast((cm, cnorm))
 
@@ -349,6 +447,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: queries probe their `nprobe` nearest cells;
     candidates are the vectors assigned to those cells; exact cosine
@@ -357,20 +456,28 @@ def ivf_topk(
     Scale shape: cell assignment is a narrow broadcast-argmax pass;
     the probe table is (queries × nprobe) rows; candidates come from
     one equi-join on the cell id — the same bucketed silhouette as the
-    LSH path, with data-adaptive cells instead of random planes."""
+    LSH path, with data-adaptive cells instead of random planes.
+    ``centroids``: pass :func:`kmeans_train` output for refined,
+    better-balanced cells (the contract query keeps the deterministic
+    smallest-id seed for oracle parity)."""
     import numpy as np
     import pandas as pd
 
-    cells = ivf_assign(embeddings, n_centroids, id_col, vec_col).persist()
+    cells = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, centroids=centroids
+    ).persist()
 
-    cent_rows = sorted(
-        (r[0], list(r[1]))
-        for r in embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
-    )
-    cm = np.array([v for _i, v in cent_rows], dtype=np.float64)
+    if centroids is not None:
+        cm = np.array(centroids, dtype=np.float64)
+    else:
+        cent_rows = sorted(
+            (r[0], list(r[1]))
+            for r in embeddings.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+        cm = np.array([v for _i, v in cent_rows], dtype=np.float64)
     cnorm = np.sqrt((cm * cm).sum(axis=1))
     bc = embeddings.sparkSession.sparkContext.broadcast((cm, cnorm))
 

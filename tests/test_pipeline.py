@@ -211,6 +211,43 @@ def test_winnow_pairs_containment(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_kmeans_train_refines_ivf_cells(spark):
+    """Distributed Lloyd: inertia is non-increasing over iterations,
+    and trained centroids separate two well-separated blobs into
+    distinct cells even though the smallest-id seed picked both seeds
+    from the SAME blob."""
+    import numpy as np
+
+    from mod_reservoir_spark.pipeline.similarity import (
+        ivf_assign,
+        kmeans_train,
+    )
+
+    rng = np.random.RandomState(3)
+    blob_a = rng.randn(40, 16) * 0.05 + np.eye(16)[0]   # around e0
+    blob_b = rng.randn(40, 16) * 0.05 + np.eye(16)[1]   # around e1
+    # ids 0..39 = blob A, 40..79 = blob B -> both k=2 seeds are in A
+    rows = [(i, v.tolist()) for i, v in enumerate(blob_a)] + [
+        (40 + i, v.tolist()) for i, v in enumerate(blob_b)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids, history = kmeans_train(emb, n_centroids=2, iterations=4)
+    assert len(history) == 4
+    assert all(b <= a + 1e-9 for a, b in zip(history, history[1:]))
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_assign(emb, 2, centroids=centroids).collect()
+    }
+    a_cells = {cells[i] for i in range(40)}
+    b_cells = {cells[40 + i] for i in range(40)}
+    assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells
+    # untrained smallest-id seed cannot: both seeds sit inside blob A
+    seeded = {
+        r.vec_id: r.cell for r in ivf_assign(emb, 2).collect()
+    }
+    assert len({seeded[40 + i] for i in range(40)} | {seeded[i] for i in range(40)}) <= 2
+
+
 def test_quality_filter_reasons(spark):
     from mod_reservoir_spark.pipeline.text import quality_filter
 
