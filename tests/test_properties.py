@@ -77,3 +77,54 @@ def test_cql_id_fields_compare_as_text(field, value):
 
     sql = parse_cql(f"{field} = {value}").to_sql(RECORD_FIELDS)
     assert f"'{value}'" in sql
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_marc8_decoder_is_total(data):
+    """marc8_to_unicode is a TOTAL function: any byte sequence —
+    truncated escapes, unmapped sets, mid-character EOF, stray
+    combining halves — decodes to a str without raising (marc4j's
+    permissive-reader contract; a hostile upload must never crash the
+    decode task)."""
+    from mod_reservoir_spark.functions.marc8 import marc8_to_unicode
+
+    out = marc8_to_unicode(data)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_marc8_decoder_total_with_loaded_tables(data):
+    """Same totality with the loadable (multibyte EACC) tables active —
+    the 3-byte lookup path must handle truncation and G1 masking on
+    arbitrary input."""
+    import os
+
+    from mod_reservoir_spark.functions import marc8
+
+    saved = {k: marc8._SETS.get(k) for k in (0x31, 0x34, 0x53)}
+    try:
+        marc8.load_codetables(
+            os.path.join(
+                os.path.dirname(__file__), "fixtures", "codetables-mini.xml"
+            )
+        )
+        assert isinstance(marc8.marc8_to_unicode(data), str)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                marc8._SETS.pop(k, None)
+            else:
+                marc8._SETS[k] = v
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(max_size=600))
+def test_iso2709_parser_is_total(data):
+    """Framing + permissive decode never raise on arbitrary bytes
+    (bad lengths, junk between records, inconsistent directories)."""
+    from mod_reservoir_spark.sources.iso2709 import parse_iso2709
+
+    for rec in parse_iso2709(data):
+        assert "leader" in rec and "fields" in rec
