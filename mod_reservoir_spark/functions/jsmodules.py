@@ -163,6 +163,9 @@ def _shutdown_workers() -> None:
     for w in list(_WORKERS.values()):
         w.kill()
     _WORKERS.clear()
+    for d in _MATERIALIZED.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _MATERIALIZED.clear()
 
 
 class _NodeWorker:
