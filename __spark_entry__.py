@@ -713,6 +713,53 @@ def q_running_total(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join, the single-shuffle window formulation: every
+    'purchase' event is attributed to the user's most recent prior (or
+    simultaneous-with-tiebreak) 'click'. Spark has no asof-join
+    operator; the scalable expression is ONE window over the unioned
+    stream — partition by the join key, order by event time, carry the
+    last click's id/ts forward with last_value(ignoreNulls) — instead
+    of a per-row range join that explodes at 100×. Late/clickless
+    purchases surface with NULL click columns (kept, like a left asof
+    join)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(is_click, F.col("event_id")).alias("click_id_src"),
+        F.when(is_click, F.col("ts")).alias("click_ts_src"),
+    )
+    joined = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last("click_id_src", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_ts_src", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return (
+        joined.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "click_id",
+            F.when(
+                F.col("click_ts").isNotNull(),
+                F.unix_micros("ts") - F.unix_micros("click_ts"),
+            ).alias("lag_us"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -771,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary": q_multimodal_binary,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "hourly_rollup": q_hourly_rollup,
         "topk_per_type": q_topk_per_type,
@@ -1284,6 +1332,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "asof_join": """
+            WITH t AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN event_type = 'click' THEN event_id END
+                       AS click_id_src,
+                     CASE WHEN event_type = 'click' THEN ts END
+                       AS click_ts_src
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            j AS (
+              SELECT user_id, event_id, ts, event_type,
+                     last_value(click_id_src IGNORE NULLS) OVER w
+                       AS click_id,
+                     last_value(click_ts_src IGNORE NULLS) OVER w
+                       AS click_ts
+              FROM t
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+            SELECT user_id, event_id AS purchase_id, click_id,
+                   CASE WHEN click_ts IS NOT NULL
+                        THEN CAST(epoch_us(ts) - epoch_us(click_ts)
+                                  AS BIGINT) END AS lag_us
+            FROM j WHERE event_type = 'purchase'
         """,
         "token_stats": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)

@@ -211,6 +211,40 @@ def test_winnow_pairs_containment(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_asof_join_attribution(spark):
+    """Purchases attribute to the latest prior click per user; a
+    purchase before any click keeps NULL click columns."""
+    from datetime import datetime
+
+    import __spark_entry__ as E
+    import tempfile
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 7, "purchase", 1.0, "{}"),  # pre-click
+        (2, datetime(2024, 1, 1, 10, 5), 7, "click", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 9), 7, "view", 0.0, "{}"),
+        (4, datetime(2024, 1, 1, 10, 10), 7, "purchase", 2.0, "{}"),
+        (5, datetime(2024, 1, 1, 10, 20), 7, "click", 0.0, "{}"),
+        (6, datetime(2024, 1, 1, 10, 30), 7, "purchase", 3.0, "{}"),
+        (7, datetime(2024, 1, 1, 9, 0), 8, "click", 0.0, "{}"),  # other user
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r.purchase_id: (r.click_id, r.lag_us)
+        for r in E.q_asof_join(spark, d).collect()
+    }
+    assert got[1] == (None, None)          # no prior click
+    assert got[4] == (2, 5 * 60 * 1000000)  # latest prior click, 5 min
+    assert got[6] == (5, 10 * 60 * 1000000)
+    assert 7 not in got                     # other user's click unused
+
+
 def test_kmeans_train_refines_ivf_cells(spark):
     """Distributed Lloyd: inertia is non-increasing over iterations,
     and trained centroids separate two well-separated blobs into

@@ -94,6 +94,16 @@ def test_sampling_plans_single_stratum_shuffle(docs):
         assert n_exchanges == 1, p
 
 
+def test_asof_join_single_shuffle_and_pushdown(spark):
+    """The as-of join is ONE window shuffle on the join key, with the
+    event-type filter pushed to the parquet scan — not a range join."""
+    import __spark_entry__ as E
+
+    p = plan(E.q_asof_join(spark, SF_DIR))
+    assert p.count("+- Exchange") == 1, p
+    assert "PushedFilters" in p and "In(event_type" in p
+
+
 def test_scan_prunes_unreferenced_columns(docs):
     from pyspark.sql import functions as F
 
