@@ -760,6 +760,53 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+RANGE_WINDOW_US = 5 * 60 * 1000000
+
+
+def q_range_join(spark, sf_dir):
+    """RANGE (interval) join, bin-bucketed: for every 'error' event,
+    how many of the same user's 'click' events fall within ±5 minutes.
+    A naive inequality join plans as a nested-loop at any scale; the
+    scalable expression bins event time into window-sized buckets,
+    replicates the probe side into its 3 adjacent buckets, equi-joins
+    on (user_id, bucket) and verifies the exact range on the bounded
+    candidates — candidate count is O(events × bucket occupancy), the
+    same blocked-candidates silhouette as the dedup joins
+    (plan-guarded: no nested-loop/cartesian anywhere)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    err_us = F.unix_micros("ts")
+    err_bucket = F.floor(err_us / RANGE_WINDOW_US).cast("long")
+    probe = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.array(err_bucket - 1, err_bucket, err_bucket + 1)
+        ),
+    )
+    build = clicks.withColumn(
+        "bucket", F.floor(F.unix_micros("cts") / RANGE_WINDOW_US).cast("long")
+    )
+    nearby = (
+        probe.join(build, ["user_id", "bucket"])
+        .filter(
+            F.abs(F.unix_micros("cts") - F.unix_micros("ts"))
+            <= RANGE_WINDOW_US
+        )
+        .groupBy("err_id")
+        .agg(F.count("*").alias("n_nearby_clicks"))
+    )
+    return (
+        errors.join(nearby, "err_id", "left")
+        .fillna(0, ["n_nearby_clicks"])
+        .select("user_id", "err_id", "n_nearby_clicks")
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -819,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "hourly_rollup": q_hourly_rollup,
         "topk_per_type": q_topk_per_type,
@@ -1332,6 +1380,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "range_join": """
+            WITH e AS (
+              SELECT user_id, event_id AS err_id, ts
+              FROM events WHERE event_type = 'error'),
+            c AS (
+              SELECT user_id, ts AS cts
+              FROM events WHERE event_type = 'click'),
+            n AS (
+              SELECT e.err_id, CAST(count(*) AS BIGINT) AS n_nearby_clicks
+              FROM e JOIN c ON e.user_id = c.user_id
+                AND abs(epoch_us(c.cts) - epoch_us(e.ts)) <= 300000000
+              GROUP BY 1)
+            SELECT e.user_id, e.err_id,
+                   COALESCE(n.n_nearby_clicks, 0) AS n_nearby_clicks
+            FROM e LEFT JOIN n USING (err_id)
         """,
         "asof_join": """
             WITH t AS (

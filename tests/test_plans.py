@@ -104,6 +104,16 @@ def test_asof_join_single_shuffle_and_pushdown(spark):
     assert "PushedFilters" in p and "In(event_type" in p
 
 
+def test_range_join_has_no_nested_loop(spark):
+    """The interval join must stay a hash/sort-merge equi-join on
+    (user_id, bucket) — a plain inequality join would plan as
+    BroadcastNestedLoopJoin and explode at scale."""
+    import __spark_entry__ as E
+
+    p = plan(E.q_range_join(spark, SF_DIR))
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+
+
 def test_scan_prunes_unreferenced_columns(docs):
     from pyspark.sql import functions as F
 
