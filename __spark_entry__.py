@@ -346,6 +346,19 @@ def q_fingerprint(spark, sf_dir):
     return tx.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_hll_registers(spark, sf_dir):
+    """Deterministic HyperLogLog registers for distinct tokens per
+    language — pipeline/sketches.py (engine-reproducible sketch: the
+    oracle builds byte-identical registers)."""
+    from mod_reservoir_spark.pipeline import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
+    ).filter(F.col("v") != "")
+    return sk.hll_registers(toks, "v", ("lang",), m=512)
+
+
 def q_quality_filter(spark, sf_dir):
     """Composite Gopher-style keep/drop with audit reasons —
     pipeline/text.py quality_filter."""
@@ -840,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "hll_registers": q_hll_registers,
         "quality_filter": q_quality_filter,
         "pack_shards": q_pack_shards,
         "pii_scrub": q_pii_scrub,
@@ -1430,6 +1444,21 @@ def oracle_sql() -> dict[str, str]:
                    (length(array_to_string(toks, '')) * 1000000)
                      // greatest(len(toks), 1) AS avg_token_len_ppm
             FROM t
+        """,
+        "hll_registers": f"""
+            WITH tok AS (
+              SELECT lang, unnest({_TOKS}) AS v FROM documents),
+            h AS (
+              SELECT lang,
+                     CAST(('0x' || substr(md5(v), 1, 4))::BIGINT % 512
+                          AS BIGINT) AS bucket,
+                     ('0x' || substr(md5(v), 5, 13))::BIGINT AS val
+              FROM tok)
+            SELECT lang, bucket,
+                   CAST(max(CASE WHEN val = 0 THEN 53
+                                 ELSE 53 - length(bin(val)) END)
+                        AS BIGINT) AS r
+            FROM h GROUP BY 1, 2
         """,
         "quality_filter": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),

@@ -211,6 +211,36 @@ def test_winnow_pairs_containment(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_hll_sketch_estimate_and_merge(spark):
+    """Deterministic HLL: the estimate lands within the expected error
+    band (~1.04/sqrt(m) ≈ 4.6% at m=512), duplicates don't move it
+    (insertion idempotence), and merging two half-corpus register
+    tables equals sketching the union."""
+    from mod_reservoir_spark.pipeline.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n = 5000
+    rows = [(i, f"value-{i}") for i in range(n)]
+    # duplicates: every value appears twice
+    df = spark.createDataFrame(rows + rows, "i long, v string")
+    regs = hll_registers(df, "v", (), m=512)
+    est = hll_estimate(
+        [(r.bucket, r.r) for r in regs.collect()], m=512
+    )
+    assert abs(est - n) / n < 0.15
+
+    left = hll_registers(df.filter("i < 2500"), "v", (), m=512)
+    right = hll_registers(df.filter("i >= 2000"), "v", (), m=512)  # overlap
+    merged = hll_merge(left, right)
+    est_merged = hll_estimate(
+        [(r.bucket, r.r) for r in merged.collect()], m=512
+    )
+    assert est_merged == est  # registers merge exactly, overlap-safe
+
+
 def test_asof_join_attribution(spark):
     """Purchases attribute to the latest prior click per user; a
     purchase before any click keeps NULL click columns."""
