@@ -359,6 +359,19 @@ def q_hll_registers(spark, sf_dir):
     return sk.hll_registers(toks, "v", ("lang",), m=512)
 
 
+def q_cm_registers(spark, sf_dir):
+    """Deterministic Count-Min registers for token frequencies per
+    language — pipeline/sketches.py (mergeable frequency sketch,
+    byte-identical across engines)."""
+    from mod_reservoir_spark.pipeline import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
+    ).filter(F.col("v") != "")
+    return sk.cm_registers(toks, "v", ("lang",), depth=4, width=256)
+
+
 def q_quality_filter(spark, sf_dir):
     """Composite Gopher-style keep/drop with audit reasons —
     pipeline/text.py quality_filter."""
@@ -854,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "hll_registers": q_hll_registers,
+        "cm_registers": q_cm_registers,
         "quality_filter": q_quality_filter,
         "pack_shards": q_pack_shards,
         "pii_scrub": q_pii_scrub,
@@ -1444,6 +1458,29 @@ def oracle_sql() -> dict[str, str]:
                    (length(array_to_string(toks, '')) * 1000000)
                      // greatest(len(toks), 1) AS avg_token_len_ppm
             FROM t
+        """,
+        "cm_registers": f"""
+            WITH tok AS (
+              SELECT lang, unnest({_TOKS}) AS v FROM documents),
+            cells AS (
+              SELECT lang, 0 AS d,
+                     ('0x' || substr(md5('0:' || v), 1, 4))::BIGINT % 256
+                       AS cell FROM tok
+              UNION ALL
+              SELECT lang, 1,
+                     ('0x' || substr(md5('1:' || v), 1, 4))::BIGINT % 256
+              FROM tok
+              UNION ALL
+              SELECT lang, 2,
+                     ('0x' || substr(md5('2:' || v), 1, 4))::BIGINT % 256
+              FROM tok
+              UNION ALL
+              SELECT lang, 3,
+                     ('0x' || substr(md5('3:' || v), 1, 4))::BIGINT % 256
+              FROM tok)
+            SELECT lang, d, CAST(cell AS BIGINT) AS cell,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM cells GROUP BY 1, 2, 3
         """,
         "hll_registers": f"""
             WITH tok AS (

@@ -62,6 +62,88 @@ def hll_merge(*register_dfs: DataFrame) -> DataFrame:
     return out.groupBy(*keys).agg(F.max("r").cast("long").alias("r"))
 
 
+def cm_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch registers — the frequency sibling of
+    :func:`hll_registers`, same determinism contract: cell indices are
+    md5-derived (seeded per hash row), so the register table is
+    byte-identical across engines and hash-checkable. Answers
+    "how often did value X appear" within ε = e/width of the input
+    size (one-sided: never under-counts), in groups × depth × width
+    bounded rows regardless of input size.
+
+    Output: (group…, d, cell, c). Merge registers from DISJOINT scans
+    with :func:`cm_merge` (counts ADD — unlike HLL max-merge, merging
+    overlapping scans double-counts)."""
+    if 65536 % width:
+        raise ValueError(f"width={width} must divide 65536")
+    entries = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{d}:"),
+                                F.col(value_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("cell"),
+        )
+        for d in range(depth)
+    ]
+    return (
+        df.select(*group_cols, F.explode(F.array(*entries)).alias("dc"))
+        .select(*group_cols, "dc.d", "dc.cell")
+        .groupBy(*group_cols, "d", "cell")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cm_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Combine register tables from DISJOINT scans: counts add."""
+    out = register_dfs[0]
+    for d in register_dfs[1:]:
+        out = out.unionByName(d)
+    keys = [c for c in out.columns if c != "c"]
+    return out.groupBy(*keys).agg(F.sum("c").cast("long").alias("c"))
+
+
+def cm_estimate(
+    registers: list[tuple[int, int, int]],
+    value,
+    depth: int = 4,
+    width: int = 256,
+) -> int:
+    """Point frequency estimate from (d, cell, c) rows of ONE group:
+    min over the value's cells (the classic CM upper bound)."""
+    import hashlib
+
+    table: dict[tuple[int, int], int] = {
+        (d, cell): c for d, cell, c in registers
+    }
+    est = None
+    for d in range(depth):
+        h = hashlib.md5(f"{d}:{value}".encode()).hexdigest()
+        cell = int(h[:4], 16) % width
+        c = table.get((d, cell), 0)
+        est = c if est is None else min(est, c)
+    return int(est or 0)
+
+
 def hll_estimate(registers: list[tuple[int, int]], m: int = 512) -> float:
     """Standard HLL estimate from (bucket, r) rows of ONE group —
     alpha·m²/Σ2^-r with the small-range (linear counting) and

@@ -241,6 +241,37 @@ def test_hll_sketch_estimate_and_merge(spark):
     assert est_merged == est  # registers merge exactly, overlap-safe
 
 
+def test_cm_sketch_estimate_and_merge(spark):
+    """Count-Min: never under-counts, exact for a heavy hitter in a
+    sparse sketch, and disjoint-scan merge equals the full sketch."""
+    from mod_reservoir_spark.pipeline.sketches import (
+        cm_estimate,
+        cm_merge,
+        cm_registers,
+    )
+
+    rows = [(i, "hot") for i in range(500)] + [
+        (500 + i, f"cold-{i}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "i long, v string")
+    regs = [
+        (r.d, r.cell, r.c)
+        for r in cm_registers(df, "v", (), depth=4, width=256).collect()
+    ]
+    est_hot = cm_estimate(regs, "hot", depth=4, width=256)
+    assert est_hot >= 500
+    assert est_hot <= 500 + 200  # one-sided error bounded by input size
+    assert cm_estimate(regs, "cold-7", 4, 256) >= 1
+    assert cm_estimate(regs, "never-seen", 4, 256) <= 200
+
+    left = cm_registers(df.filter("i < 300"), "v", (), 4, 256)
+    right = cm_registers(df.filter("i >= 300"), "v", (), 4, 256)
+    merged = sorted(
+        (r.d, r.cell, r.c) for r in cm_merge(left, right).collect()
+    )
+    assert merged == sorted(regs)
+
+
 def test_asof_join_attribution(spark):
     """Purchases attribute to the latest prior click per user; a
     purchase before any click keeps NULL click columns."""
