@@ -114,6 +114,29 @@ def test_range_join_has_no_nested_loop(spark):
     assert "NestedLoop" not in p and "Cartesian" not in p, p
 
 
+def test_sketch_plans_single_aggregation_shuffle(docs):
+    """Sketch registers reduce with ONE map-side-combinable
+    aggregation shuffle — the property that bounds shuffle volume at
+    groups × registers regardless of input size."""
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.pipeline.sketches import (
+        cm_registers,
+        hll_registers,
+    )
+
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
+    ).filter(F.col("v") != "")
+    for op in (
+        lambda d: hll_registers(d, "v", ("lang",), m=512),
+        lambda d: cm_registers(d, "v", ("lang",), depth=4, width=256),
+    ):
+        p = plan(op(toks))
+        assert p.count("+- Exchange") == 1, p
+        assert "partial_max" in p or "partial_count" in p, p
+
+
 def test_scan_prunes_unreferenced_columns(docs):
     from pyspark.sql import functions as F
 
