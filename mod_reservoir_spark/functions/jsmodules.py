@@ -128,6 +128,9 @@ for await (const line of rl) {
 # per-process caches: script sha -> materialized dir; worker key -> worker
 _MATERIALIZED: dict[str, str] = {}
 _WORKERS: dict[str, "_NodeWorker"] = {}
+# guards _WORKERS lookup/insert/evict — without it two threads batching
+# the same module can both spawn, leaking the overwritten node process
+_WORKERS_LOCK = threading.Lock()
 _UNSHARE_NET: bool | None = None
 
 
@@ -307,18 +310,20 @@ class JsModuleFunction:
 
     def _get_worker(self) -> _NodeWorker:
         key = self._worker_key()
-        w = _WORKERS.get(key)
-        if w is None or w.proc.poll() is not None:
-            if w is not None:
-                w.kill()
-            w = self._spawn()
-            _WORKERS[key] = w
+        with _WORKERS_LOCK:
+            w = _WORKERS.get(key)
+            if w is None or w.proc.poll() is not None:
+                if w is not None:
+                    w.kill()
+                w = self._spawn()
+                _WORKERS[key] = w
         return w
 
     def _evict(self, worker: _NodeWorker) -> None:
         key = self._worker_key()
-        if _WORKERS.get(key) is worker:
-            del _WORKERS[key]
+        with _WORKERS_LOCK:
+            if _WORKERS.get(key) is worker:
+                del _WORKERS[key]
         worker.kill()
 
     def batch(self, payloads: list) -> list[tuple[object, str | None]]:

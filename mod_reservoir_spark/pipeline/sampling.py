@@ -82,7 +82,11 @@ def pack_shards(
         id_col,
         *strata,
         "n_tokens",
-        F.floor(before / shard_tokens).cast("long").alias("shard_id"),
+        # exact long arithmetic — floor(before / N) via double division
+        # loses exactness past 2^53 cumulative tokens
+        ((before - before % shard_tokens) / shard_tokens)
+        .cast("long")
+        .alias("shard_id"),
         (before % shard_tokens).cast("long").alias("offset_tokens"),
     )
 

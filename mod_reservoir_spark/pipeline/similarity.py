@@ -318,6 +318,11 @@ def kmeans_train(
         .collect()
     )
     cm = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+    # a corpus smaller than n_centroids seeds fewer cells; every
+    # driver-side accumulator below is sized off cm, not the request
+    n_centroids = cm.shape[0]
+    if not n_centroids:
+        raise ValueError("kmeans_train: empty corpus")
     sc = embeddings.sparkSession.sparkContext
     history: list[float] = []
     for _ in range(iterations):

@@ -37,6 +37,9 @@ def hll_registers(
     max() absorbs them). ``m`` must divide 2^16 (bucket uniformity)."""
     if 65536 % m:
         raise ValueError(f"m={m} must divide 65536")
+    # NULLs carry no distinct value and md5(NULL) is NULL, which would
+    # emit a (bucket=NULL, r=NULL) register that breaks estimation.
+    df = df.filter(F.col(value_col).isNotNull())
     h = F.md5(F.col(value_col).cast("string"))
     bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m).alias(
         "bucket"
@@ -82,6 +85,7 @@ def cm_registers(
     overlapping scans double-counts)."""
     if 65536 % width:
         raise ValueError(f"width={width} must divide 65536")
+    df = df.filter(F.col(value_col).isNotNull())
     entries = [
         F.struct(
             F.lit(d).alias("d"),

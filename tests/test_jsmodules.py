@@ -323,3 +323,42 @@ def test_js_matcher_error_probe_batched(spark):
     }
     assert set(errs) == {"B"}  # only the raising record surfaces
     assert "no key for B" in errs["B"]
+
+
+def test_worker_cache_is_thread_safe():
+    """Two threads batching the same module concurrently must share ONE
+    node worker — the unlocked cache could double-spawn and leak the
+    overwritten process."""
+    import threading
+
+    from mod_reservoir_spark.functions import jsmodules as JM
+
+    fn = JM.JsModuleFunction(
+        "export function echo(v) { return v; }", "echo", sandbox=False
+    )
+    key = fn._worker_key()
+    with JM._WORKERS_LOCK:
+        stale = JM._WORKERS.pop(key, None)
+    if stale is not None:
+        stale.kill()
+
+    results: list = [None] * 4
+    errs: list = []
+
+    def run(i):
+        try:
+            results[i] = fn.batch([f"p{i}-{j}" for j in range(50)])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for i, got in enumerate(results):
+        assert [v for v, err in got] == [f"p{i}-{j}" for j in range(50)]
+        assert all(err is None for _, err in got)
+    with JM._WORKERS_LOCK:
+        assert key in JM._WORKERS  # exactly one live cached worker

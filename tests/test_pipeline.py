@@ -879,3 +879,49 @@ def test_near_dedup_keep_collapses_components(spark):
         for r in near_dedup_keep(docs, pairs=manual).collect()
     }
     assert manual_got[21] == 20 and manual_got[10] == 10
+
+
+def test_kmeans_train_corpus_smaller_than_k(spark):
+    """A corpus with fewer rows than the requested centroid count must
+    train on what exists, not crash in the driver reduce."""
+    import numpy as np
+
+    from mod_reservoir_spark.pipeline.similarity import kmeans_train
+
+    rng = np.random.RandomState(7)
+    rows = [(i, (rng.randn(8) + np.eye(8)[i % 2]).tolist()) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids, history = kmeans_train(emb, n_centroids=16, iterations=2)
+    assert len(centroids) == 3
+    assert len(history) == 2
+    assert all(b <= a + 1e-9 for a, b in zip(history, history[1:]))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmeans_train(emb.filter("vec_id < 0"), n_centroids=4)
+
+
+def test_sketches_drop_null_values(spark):
+    """NULL values must not emit a (bucket=NULL, r=NULL) register row —
+    md5(NULL) is NULL and the estimators index registers by bucket."""
+    from mod_reservoir_spark.pipeline.sketches import (
+        cm_estimate,
+        cm_registers,
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = [(i, f"v-{i}" if i % 3 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, v string")
+    regs = hll_registers(df, "v", (), m=512).collect()
+    assert all(r.bucket is not None and r.r is not None for r in regs)
+    n_real = sum(1 for _, v in rows if v is not None)
+    est = hll_estimate([(r.bucket, r.r) for r in regs], m=512)
+    assert abs(est - n_real) / n_real < 0.2
+
+    cregs = cm_registers(df, "v", (), 4, 256).collect()
+    assert all(r.cell is not None for r in cregs)
+    assert sum(r.c for r in cregs) == 4 * n_real
+    est_hot = cm_estimate([(r.d, r.cell, r.c) for r in cregs], "v-4", 4, 256)
+    assert est_hot >= 1
