@@ -324,7 +324,15 @@ def q_cluster_cc(spark, sf_dir):
 # --------------------------------------------------------------------
 
 def q_token_stats(spark, sf_dir):
-    return tx.token_stats(_t(spark, sf_dir, "documents"))
+    """Per-document token statistics PLUS within-document repetition
+    signals (Gopher-style) in one contract row — pipeline/text.py
+    token_stats ⋈ repetition_stats. Merged because the driver records
+    at most 50 CORRECTNESS queries; both operators stay hash-checked
+    through the joined columns."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_stats(docs).join(
+        tx.repetition_stats(docs).drop("n_tokens"), "doc_id"
+    )
 
 
 def q_bpe_tokens(spark, sf_dir):
@@ -335,11 +343,11 @@ def q_bpe_tokens(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    return tx.quality_scores(_t(spark, sf_dir, "documents"))
-
-
-def q_langid(spark, sf_dir):
-    return tx.language_id(_t(spark, sf_dir, "documents"))
+    """Quality scoring PLUS n-gram-heuristic language ID in one
+    contract row — pipeline/text.py quality_scores ⋈ language_id
+    (merged for the 50-query driver cap; both stay hash-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_scores(docs).join(tx.language_id(docs), "doc_id")
 
 
 def q_fingerprint(spark, sf_dir):
@@ -370,6 +378,28 @@ def q_cm_registers(spark, sf_dir):
         "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
     ).filter(F.col("v") != "")
     return sk.cm_registers(toks, "v", ("lang",), depth=4, width=256)
+
+
+def q_sketch_registers(spark, sf_dir):
+    """HyperLogLog + Count-Min register tables in one contract result,
+    normalized to (sketch, lang, k1, k2, v): hll → (bucket, 0, r),
+    cm → (d, cell, c). One query because the driver records at most 50
+    CORRECTNESS rows; both sketches stay hash-checked row-for-row."""
+    hll = q_hll_registers(spark, sf_dir).select(
+        F.lit("hll").alias("sketch"),
+        "lang",
+        F.col("bucket").cast("long").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.col("r").cast("long").alias("v"),
+    )
+    cm = q_cm_registers(spark, sf_dir).select(
+        F.lit("cm").alias("sketch"),
+        "lang",
+        F.col("d").cast("long").alias("k1"),
+        F.col("cell").cast("long").alias("k2"),
+        F.col("c").cast("long").alias("v"),
+    )
+    return hll.unionByName(cm)
 
 
 def q_quality_filter(spark, sf_dir):
@@ -407,12 +437,6 @@ def q_minhash_incremental(spark, sf_dir):
         shingle_n=2,
         threshold_ppm=300000,
     )
-
-
-def q_repetition(spark, sf_dir):
-    """Within-document repetition signals (Gopher-style quality
-    filters) — pipeline/text.py repetition_stats."""
-    return tx.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
 def q_contamination(spark, sf_dir):
@@ -558,6 +582,43 @@ def q_embedding_ivf_topk(spark, sf_dir):
     ).withColumnRenamed("rank", "rnk")
 
 
+def _q6(x: float) -> int:
+    """Half-away-from-zero fixed-point quantization to 1e-6 units —
+    matches DuckDB round() so both engines emit identical BIGINTs."""
+    import math
+
+    return (
+        int(math.floor(x * 1e6 + 0.5))
+        if x >= 0
+        else -int(math.floor(-x * 1e6 + 0.5))
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans_train(spark, sf_dir):
+    """Distributed Lloyd training pinned end-to-end: final centroids
+    (quantized to 1e-6) and the per-iteration inertia history as
+    (cell, dim, q6) rows; inertia rows use cell=-1, dim=iteration.
+    Assignment scores are rounded to 6 decimals inside the operator
+    (cross-engine tie behavior), so the unrolled DuckDB Lloyd oracle
+    reproduces the identical trajectory — pipeline/similarity.py
+    kmeans_train."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, history = sim.kmeans_train(
+        emb, n_centroids=KMEANS_K, iterations=KMEANS_ITERS
+    )
+    rows = [
+        (c, d, _q6(v))
+        for c, cv in enumerate(centroids)
+        for d, v in enumerate(cv)
+    ]
+    rows += [(-1, i, _q6(h)) for i, h in enumerate(history)]
+    return spark.createDataFrame(rows, "cell long, dim long, q6 long")
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -573,14 +634,23 @@ def q_multimodal_features(spark, sf_dir):
     from mod_reservoir_spark.pipeline import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents")
-    media = mm.to_media_table(docs, "doc_id", F.col("text").cast("binary"), "image", "image/png")
+    blob = F.col("text").cast("binary")
+    media = mm.to_media_table(docs, "doc_id", blob, "image", "image/png")
     feats = mm.extract_features(media, decoder=mm.fake_decode)
+    # opaque-binary metadata columns (formerly the multimodal_binary
+    # contract query — folded in for the 50-query driver cap)
+    meta = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+        F.col("source").alias("media_source"),
+    )
     return feats.select(
         "media_id",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         "content_sha256",
-    )
+    ).join(meta, "media_id")
 
 
 def q_multimodal_resize(spark, sf_dir):
@@ -605,21 +675,6 @@ def q_multimodal_resize(spark, sf_dir):
         F.col("out_height").cast("long").alias("out_height"),
         "n_bytes_out",
         "resized_sha256",
-    )
-
-
-def q_multimodal_binary(spark, sf_dir):
-    """Multimodal plumbing: opaque binary column + typed metadata.
-    text→binary stands in for image/audio bytes; the md5/byte-length
-    metadata extraction is the real Spark-side pattern (decode UDFs are
-    stubbed in pipeline.multimodal — libs not in this container)."""
-    docs = _t(spark, sf_dir, "documents")
-    blob = F.col("text").cast("binary")
-    return docs.select(
-        "doc_id",
-        F.length(blob).cast("long").alias("n_bytes"),
-        F.md5(blob).alias("content_md5"),
-        F.col("source").alias("media_source"),
     )
 
 
@@ -844,6 +899,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # HARD CAP: the driver records CORRECTNESS rows for at most the
+    # FIRST 50 keys of this dict and silently drops the rest (observed
+    # r01 33/33, r02 41/41, r03 50-of-53 — the last 3 keys had no row).
+    # Keep len ≤ 50; merge related operators into one contract query
+    # when adding new ones (tests/test_entry.py pins the cap).
     return {
         "pricing_summary": q_pricing_summary,
         "cql_filter": q_cql_filter,
@@ -861,18 +921,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_members": q_cluster_members,
         "json_props": q_json_props,
         "running_total": q_running_total,
+        "sessionize": q_sessionize,
+        "hourly_rollup": q_hourly_rollup,
+        "topk_per_type": q_topk_per_type,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
         "quality": q_quality,
-        "langid": q_langid,
         "fingerprint": q_fingerprint,
-        "hll_registers": q_hll_registers,
-        "cm_registers": q_cm_registers,
+        "sketch_registers": q_sketch_registers,
         "quality_filter": q_quality_filter,
         "pack_shards": q_pack_shards,
         "pii_scrub": q_pii_scrub,
         "minhash_incremental": q_minhash_incremental,
-        "repetition": q_repetition,
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -890,14 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_self": q_embedding_lsh_self,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        "multimodal_binary": q_multimodal_binary,
+        "kmeans_train": q_kmeans_train,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "sessionize": q_sessionize,
-        "hourly_rollup": q_hourly_rollup,
-        "topk_per_type": q_topk_per_type,
     }
 
 
@@ -1253,6 +1310,65 @@ def _langid_oracle() -> str:
     """
 
 
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                   d: int = 64) -> str:
+    """Unrolled Lloyd iterations in SQL: seed = smallest-vec_id rows,
+    per-iteration assignment by 6-decimal-rounded cosine (the same
+    quantization kmeans_train applies — both engines see identical
+    scores, so the trajectory is identical), centroids = cell means
+    with empty cells carrying the previous centroid. Output matches
+    q_kmeans_train: (cell, dim, q6) plus inertia rows at cell=-1."""
+    parts = [f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    c0 AS (
+      SELECT cell, cv FROM (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS cell,
+               embedding::DOUBLE[] AS cv
+        FROM embeddings)
+      WHERE cell < {k})"""]
+    for i in range(iters):
+        parts.append(f"""
+    s{i} AS (
+      SELECT v.vec_id, c.cell,
+             round(list_dot_product(v.ev, c.cv) /
+                   (sqrt(list_dot_product(v.ev, v.ev)) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 6) AS score
+      FROM e v CROSS JOIN c{i} c),
+    a{i} AS (
+      SELECT vec_id, cell, score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+        FROM s{i})
+      WHERE rn = 1),
+    i{i} AS (SELECT round(sum(1.0 - score), 6) AS v FROM a{i}),
+    m{i} AS (
+      SELECT a.cell, r.i AS dim, avg(v.ev[r.i]) AS val
+      FROM a{i} a JOIN e v USING (vec_id), range(1, {d + 1}) r(i)
+      GROUP BY 1, 2),
+    c{i + 1} AS (
+      SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+      FROM c{i} p LEFT JOIN (
+        SELECT cell, list(val ORDER BY dim) AS cv
+        FROM m{i} GROUP BY cell) n
+      USING (cell))""")
+    inert = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST(-1 AS BIGINT) AS cell,
+           CAST({i} AS BIGINT) AS dim,
+           CAST(round(v * 1000000) AS BIGINT) AS q6 FROM i{i}"""
+        for i in range(iters)
+    )
+    return ("WITH " + ",".join(parts) + f""",
+    f AS (SELECT cell, r.i - 1 AS dim, cv[r.i] AS val
+          FROM c{iters}, range(1, {d + 1}) r(i))
+    SELECT cell, CAST(dim AS BIGINT) AS dim,
+           CAST(round(val * 1000000) AS BIGINT) AS q6
+    FROM f
+    UNION ALL
+{inert}
+    """)
+
+
 def oracle_sql() -> dict[str, str]:
     cql_q = parse_cql(ORDERS_CQL)
     cql_where = cql_q.to_sql(ORDER_CQL_FIELDS)
@@ -1450,52 +1566,92 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE event_type = 'purchase'
         """,
         "token_stats": f"""
-            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-            SELECT doc_id,
-                   len(toks) AS n_tokens,
-                   len(list_distinct(toks)) AS n_distinct_tokens,
-                   length(text) AS n_chars_measured,
-                   (length(array_to_string(toks, '')) * 1000000)
-                     // greatest(len(toks), 1) AS avg_token_len_ppm
-            FROM t
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            ts AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct_tokens,
+                     length(text) AS n_chars_measured,
+                     (length(array_to_string(toks, '')) * 1000000)
+                       // greatest(len(toks), 1) AS avg_token_len_ppm
+              FROM t),
+            base AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                     CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+                     CAST(len(list_distinct(str_split(text, chr(10))))
+                          AS BIGINT) AS n_dlines,
+                     toks
+              FROM t),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM base WHERE len(toks) >= 2),
+            cnts AS (
+              SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, max(cnt) AS mx,
+                     CAST(sum(cnt) AS BIGINT) AS total
+              FROM cnts GROUP BY 1),
+            rep AS (
+              SELECT b.doc_id,
+                     CASE WHEN b.n_tokens > 0
+                          THEN (b.n_tokens - b.n_distinct) * 1000000 // b.n_tokens
+                          ELSE 0 END AS dup_token_ppm,
+                     CASE WHEN b.n_lines > 0
+                          THEN (b.n_lines - b.n_dlines) * 1000000 // b.n_lines
+                          ELSE 0 END AS dup_line_ppm,
+                     COALESCE(top.mx * 1000000 // top.total, 0)
+                       AS top_bigram_ppm
+              FROM base b LEFT JOIN top USING (doc_id))
+            SELECT ts.*, rep.dup_token_ppm, rep.dup_line_ppm,
+                   rep.top_bigram_ppm
+            FROM ts JOIN rep USING (doc_id)
         """,
-        "cm_registers": f"""
+        "sketch_registers": f"""
             WITH tok AS (
               SELECT lang, unnest({_TOKS}) AS v FROM documents),
-            cells AS (
-              SELECT lang, 0 AS d,
-                     ('0x' || substr(md5('0:' || v), 1, 4))::BIGINT % 256
-                       AS cell FROM tok
-              UNION ALL
-              SELECT lang, 1,
-                     ('0x' || substr(md5('1:' || v), 1, 4))::BIGINT % 256
-              FROM tok
-              UNION ALL
-              SELECT lang, 2,
-                     ('0x' || substr(md5('2:' || v), 1, 4))::BIGINT % 256
-              FROM tok
-              UNION ALL
-              SELECT lang, 3,
-                     ('0x' || substr(md5('3:' || v), 1, 4))::BIGINT % 256
-              FROM tok)
-            SELECT lang, d, CAST(cell AS BIGINT) AS cell,
-                   CAST(count(*) AS BIGINT) AS c
-            FROM cells GROUP BY 1, 2, 3
-        """,
-        "hll_registers": f"""
-            WITH tok AS (
-              SELECT lang, unnest({_TOKS}) AS v FROM documents),
-            h AS (
-              SELECT lang,
-                     CAST(('0x' || substr(md5(v), 1, 4))::BIGINT % 512
-                          AS BIGINT) AS bucket,
-                     ('0x' || substr(md5(v), 5, 13))::BIGINT AS val
-              FROM tok)
-            SELECT lang, bucket,
-                   CAST(max(CASE WHEN val = 0 THEN 53
-                                 ELSE 53 - length(bin(val)) END)
-                        AS BIGINT) AS r
-            FROM h GROUP BY 1, 2
+            hll AS (
+              WITH h AS (
+                SELECT lang,
+                       CAST(('0x' || substr(md5(v), 1, 4))::BIGINT % 512
+                            AS BIGINT) AS bucket,
+                       ('0x' || substr(md5(v), 5, 13))::BIGINT AS val
+                FROM tok)
+              SELECT lang, bucket,
+                     CAST(max(CASE WHEN val = 0 THEN 53
+                                   ELSE 53 - length(bin(val)) END)
+                          AS BIGINT) AS r
+              FROM h GROUP BY 1, 2),
+            cm AS (
+              WITH cells AS (
+                SELECT lang, 0 AS d,
+                       ('0x' || substr(md5('0:' || v), 1, 4))::BIGINT % 256
+                         AS cell FROM tok
+                UNION ALL
+                SELECT lang, 1,
+                       ('0x' || substr(md5('1:' || v), 1, 4))::BIGINT % 256
+                FROM tok
+                UNION ALL
+                SELECT lang, 2,
+                       ('0x' || substr(md5('2:' || v), 1, 4))::BIGINT % 256
+                FROM tok
+                UNION ALL
+                SELECT lang, 3,
+                       ('0x' || substr(md5('3:' || v), 1, 4))::BIGINT % 256
+                FROM tok)
+              SELECT lang, d, CAST(cell AS BIGINT) AS cell,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM cells GROUP BY 1, 2, 3)
+            SELECT 'hll' AS sketch, lang, bucket AS k1,
+                   CAST(0 AS BIGINT) AS k2, r AS v
+            FROM hll
+            UNION ALL
+            SELECT 'cm' AS sketch, lang, CAST(d AS BIGINT) AS k1,
+                   cell AS k2, c AS v
+            FROM cm
         """,
         "quality_filter": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
@@ -1586,39 +1742,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (" + _minhash_lsh_oracle(16, 4, 300000)
             + ") WHERE doc_a % 2 = 1 OR doc_b % 2 = 1"
         ),
-        "repetition": f"""
-            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-            base AS (
-              SELECT doc_id,
-                     CAST(len(toks) AS BIGINT) AS n_tokens,
-                     CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-                     CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
-                     CAST(len(list_distinct(str_split(text, chr(10))))
-                          AS BIGINT) AS n_dlines,
-                     toks
-              FROM t),
-            bg AS (
-              SELECT doc_id,
-                     unnest(list_transform(range(1, len(toks)),
-                       i -> toks[i] || ' ' || toks[i+1])) AS bg
-              FROM base WHERE len(toks) >= 2),
-            cnts AS (
-              SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
-            top AS (
-              SELECT doc_id, max(cnt) AS mx,
-                     CAST(sum(cnt) AS BIGINT) AS total
-              FROM cnts GROUP BY 1)
-            SELECT b.doc_id, b.n_tokens,
-                   CASE WHEN b.n_tokens > 0
-                        THEN (b.n_tokens - b.n_distinct) * 1000000 // b.n_tokens
-                        ELSE 0 END AS dup_token_ppm,
-                   CASE WHEN b.n_lines > 0
-                        THEN (b.n_lines - b.n_dlines) * 1000000 // b.n_lines
-                        ELSE 0 END AS dup_line_ppm,
-                   COALESCE(top.mx * 1000000 // top.total, 0)
-                     AS top_bigram_ppm
-            FROM base b LEFT JOIN top USING (doc_id)
-        """,
         "contamination": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             sh AS (
@@ -1688,26 +1811,29 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "quality": f"""
-            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-            c AS (
-              SELECT doc_id, text, toks,
-                len(toks) AS n_tokens,
-                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
-                len(list_filter(toks,
-                  x -> list_contains({_LANGS_SQL["en"]}, x))) AS n_stop,
-                len(list_distinct(toks)) AS n_distinct
-              FROM t)
-            SELECT doc_id,
-                   n_tokens,
-                   (n_punct * 1000000) // greatest(length(text), 1) AS punct_ppm,
-                   (n_stop * 1000000) // greatest(n_tokens, 1) AS stopword_ppm,
-                   (n_distinct * 1000000) // greatest(n_tokens, 1) AS distinct_ppm,
-                   (length(text) >= 100 AND
-                    (n_distinct * 1000000) // greatest(n_tokens, 1) > 200000
-                   ) AS passes_quality
-            FROM c
+            WITH qq AS (
+              WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+              c AS (
+                SELECT doc_id, text, toks,
+                  len(toks) AS n_tokens,
+                  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                  len(list_filter(toks,
+                    x -> list_contains({_LANGS_SQL["en"]}, x))) AS n_stop,
+                  len(list_distinct(toks)) AS n_distinct
+                FROM t)
+              SELECT doc_id,
+                     n_tokens,
+                     (n_punct * 1000000) // greatest(length(text), 1) AS punct_ppm,
+                     (n_stop * 1000000) // greatest(n_tokens, 1) AS stopword_ppm,
+                     (n_distinct * 1000000) // greatest(n_tokens, 1) AS distinct_ppm,
+                     (length(text) >= 100 AND
+                      (n_distinct * 1000000) // greatest(n_tokens, 1) > 200000
+                     ) AS passes_quality
+              FROM c),
+            ll AS ({_langid_oracle()})
+            SELECT qq.*, ll.lang_actual, ll.lang_detected, ll.vote_count
+            FROM qq JOIN ll USING (doc_id)
         """,
-        "langid": _langid_oracle(),
         "fingerprint": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
             SELECT doc_id,
@@ -1834,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_self": _embedding_lsh_oracle(3, 10, 4, 64, query_where=""),
         "embedding_near_dup": _embedding_near_dup_oracle(0.3, 10, 4, 64),
         "embedding_ivf_topk": _embedding_ivf_oracle(5, 16, 4),
+        "kmeans_train": _kmeans_oracle(),
         "simhash": _simhash_oracle(24),
         "embedding_topk": """
             WITH q AS (
@@ -1860,7 +1987,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS media_id,
                    64 + ('0x' || substr(sha256(text), 1, 2))::BIGINT % 192 AS width,
                    64 + ('0x' || substr(sha256(text), 3, 2))::BIGINT % 192 AS height,
-                   sha256(text) AS content_sha256
+                   sha256(text) AS content_sha256,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS content_md5,
+                   source AS media_source
             FROM documents
         """,
         "multimodal_resize": """
@@ -1888,13 +2018,6 @@ def oracle_sql() -> dict[str, str]:
                    length(tag)::BIGINT AS n_bytes_out,
                    sha256(tag) AS resized_sha256
             FROM t
-        """,
-        "multimodal_binary": """
-            SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   md5(text) AS content_md5,
-                   source AS media_source
-            FROM documents
         """,
         "sessionize": f"""
             WITH g AS (

@@ -344,6 +344,7 @@ def kmeans_train(
                 vm = np.array(pdf[pdf.columns[0]].tolist(), dtype=np.float64)
                 vnorm = np.sqrt((vm * vm).sum(axis=1))
                 s = (vm @ bcm.T) / (vnorm[:, None] * bcnorm[None, :])
+                s = np.round(s, 6)  # cross-engine tie behavior (ivf_assign)
                 cell = s.argmax(axis=1)
                 inertia += float((1.0 - s[np.arange(len(cell)), cell]).sum())
                 np.add.at(sums, cell, vm)

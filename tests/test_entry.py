@@ -17,6 +17,10 @@ def test_contract_shape():
     qs = em.queries()
     oracles = em.oracle_sql()
     assert len(qs) >= 25
+    # the driver records CORRECTNESS rows for at most the first 50
+    # queries() keys and SILENTLY drops the rest (observed r01-r03);
+    # going over the cap loses hard correctness evidence
+    assert len(qs) <= 50, "driver caps CORRECTNESS at 50 queries"
     unknown = set(oracles) - set(qs)
     assert not unknown, f"oracle without query: {unknown}"
     # every query is callable
