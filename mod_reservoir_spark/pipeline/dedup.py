@@ -314,14 +314,33 @@ def minhash_lsh_pairs(
     return out
 
 
+def signature_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(doc_id, hsh, sig) — the maintained state of incremental LSH
+    dedup: hashed shingle set + MinHash signature per document, the
+    same fully narrow plan as :func:`minhash_signatures`. Persist this
+    once per batch (e.g. ``Warehouse.write('dedup_signatures', ...)``
+    after appending the batch's rows) and pass it back as
+    ``corpus_sigs`` so increments never re-shingle the corpus."""
+    base = hashed_shingle_sets(docs, text_col, shingle_n)
+    return base.select(
+        "doc_id", "hsh", _sig_array("hsh", num_hashes).alias("sig")
+    )
+
+
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 2,
     threshold_ppm: int = 500000,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING a new batch: new-vs-corpus and
     new-vs-new, never corpus-vs-corpus — the incremental-ingest shape.
@@ -331,23 +350,34 @@ def minhash_lsh_pairs_incremental(
     all buckets), so candidate count is O(new × occupancy), not
     O(corpus × occupancy). Results equal the full minhash_lsh_pairs
     over corpus ∪ new restricted to pairs touching a new doc
-    (property-tested). In production the corpus side's (hsh, sig)
-    table is maintained incrementally (append each batch's signatures)
-    rather than recomputed — the signature computation here is the
-    same narrow plan either way.
+    (property-tested).
+
+    ``corpus_sigs``: the maintained (doc_id, hsh, sig) table from
+    :func:`signature_table` — THE production form. With it, the corpus
+    is never rescanned or re-shingled; per-increment cost is the new
+    batch's signatures plus the bucket join. The ``corpus`` raw-text
+    form is a convenience that recomputes signatures per call (fine
+    for one-offs, a scale-killer for a daily increment against a
+    100 TB corpus). Exactly one of the two must be given; a caller
+    maintaining state appends ``signature_table(new_docs)`` to the
+    persisted table after each batch (equivalence pytest pins
+    precomputed ≡ fresh).
 
     Output: (doc_a, doc_b, est_ppm, jaccard_ppm), doc_a < doc_b.
     """
+    if (corpus is None) == (corpus_sigs is None):
+        raise ValueError(
+            "pass exactly one of corpus= (raw text, recomputes "
+            "signatures) or corpus_sigs= (maintained signature table)"
+        )
     rows = num_hashes // bands
 
     def sig_table(d):
-        base = hashed_shingle_sets(d, text_col, shingle_n)
-        return base.select(
-            "doc_id", "hsh", _sig_array("hsh", num_hashes).alias("sig")
-        )
+        return signature_table(d, text_col, num_hashes, shingle_n)
 
     new_sig = sig_table(new_docs).persist()
-    all_sig = sig_table(corpus).unionByName(new_sig).persist()
+    old_sig = corpus_sigs if corpus_sigs is not None else sig_table(corpus)
+    all_sig = old_sig.unionByName(new_sig).persist()
 
     def band_buckets(sig):
         entries = [

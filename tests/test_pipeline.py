@@ -457,6 +457,64 @@ def test_minhash_incremental_matches_full_restriction(spark):
     assert (0, 2) not in inc
 
 
+def test_minhash_incremental_accepts_maintained_signatures(
+    spark, warehouse
+):
+    """The production form: a persisted (doc_id, hsh, sig) table passed
+    as corpus_sigs= gives identical pairs to the raw-text convenience
+    form — the corpus is never re-shingled. Also pins the append
+    lifecycle through the Warehouse and the exactly-one-source guard."""
+    import pytest
+
+    from mod_reservoir_spark.pipeline.dedup import (
+        minhash_lsh_pairs_incremental,
+        signature_table,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (2, base + " lambda"),
+        (4, "unrelated corpus doc with entirely different words here"),
+        (1, base + " mu"),
+        (3, base + " mu nu"),
+        (5, "another unrelated new document nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter("doc_id % 2 = 1")
+    corpus = docs.filter("doc_id % 2 = 0")
+    kw = dict(num_hashes=16, bands=4, shingle_n=1, threshold_ppm=400000)
+
+    # maintained-state lifecycle: persist corpus signatures once...
+    warehouse.write(
+        "dedup_signatures", signature_table(corpus, num_hashes=16, shingle_n=1)
+    )
+    sigs = warehouse.read("dedup_signatures")
+    pre = {
+        (r.doc_a, r.doc_b): (r.est_ppm, r.jaccard_ppm)
+        for r in minhash_lsh_pairs_incremental(
+            new, corpus_sigs=sigs, **kw
+        ).collect()
+    }
+    fresh = {
+        (r.doc_a, r.doc_b): (r.est_ppm, r.jaccard_ppm)
+        for r in minhash_lsh_pairs_incremental(new, corpus, **kw).collect()
+    }
+    assert pre == fresh and pre
+
+    # ...then append the batch's signatures for the next increment
+    warehouse.write(
+        "dedup_signatures",
+        sigs.unionByName(signature_table(new, num_hashes=16, shingle_n=1)),
+    )
+    assert warehouse.read("dedup_signatures").count() == 6
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs_incremental(new, corpus, corpus_sigs=sigs, **kw)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs_incremental(new, **kw)
+
+
 def test_auto_planes_scaling(spark):
     """Corpus-adaptive LSH granularity: plane count grows with the
     corpus so bucket occupancy — and candidate pairs per row — stays
