@@ -4,13 +4,17 @@
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver collect, no result pruning).
+no driver collect, no result pruning). Every query is timed
+$SPARK_GRAFT_REPEATS times (default 3) and the MEDIAN is reported —
+this box shows up to 1.5x run-to-run variance, so single-shot numbers
+are not comparable across rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,6 +63,7 @@ def main() -> None:
     # it remains comparable round-over-round
     order = HEADLINE + [n for n in qs if n not in HEADLINE]
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in order:
         fn = qs[name]
@@ -71,11 +76,14 @@ def main() -> None:
                 "overwrite"
             ).save()
             spark.catalog.clearCache()
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        runs: list[float] = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     print(

@@ -132,10 +132,38 @@ _WORKERS: dict[str, "_NodeWorker"] = {}
 # the same module can both spawn, leaking the overwritten node process
 _WORKERS_LOCK = threading.Lock()
 _UNSHARE_NET: bool | None = None
+_SANDBOX_MODE_WARNED = False
 
 
 def node_available() -> bool:
     return shutil.which("node") is not None
+
+
+def sandbox_mode() -> str:
+    """Which network-egress block sandboxed workers on THIS process
+    get: ``"netns"`` (empty network namespace — kernel-level, covers
+    everything incl. DNS) or ``"in-process"`` (API neutering — does
+    NOT cover DNS-resolver exfiltration). Queryable so a deployment
+    can alert instead of silently running the weaker mode."""
+    return "netns" if _unshare_net_available() else "in-process"
+
+
+def _warn_weak_sandbox() -> None:
+    """Once per process (= once per executor): the netns probe failed,
+    so sandboxed JS modules fall back to in-process API neutering."""
+    global _SANDBOX_MODE_WARNED
+    if _SANDBOX_MODE_WARNED:
+        return
+    _SANDBOX_MODE_WARNED = True
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "JS sandbox: `unshare -n` unavailable on this host — network "
+        "egress for code modules is blocked by in-process API "
+        "neutering only, which does not cover DNS-resolver "
+        "exfiltration. Prefer hosts where empty network namespaces "
+        "can be created (root / CAP_SYS_ADMIN)."
+    )
 
 
 def _unshare_net_available() -> bool:
@@ -284,6 +312,8 @@ class JsModuleFunction:
             env["JSMOD_BLOCK_NET"] = "1"
             if _unshare_net_available():
                 argv = [shutil.which("unshare"), "-n"] + argv
+            else:
+                _warn_weak_sandbox()
         else:
             env["JSMOD_BLOCK_NET"] = "0"
         argv += [runner, module, self.function]

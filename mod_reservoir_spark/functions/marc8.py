@@ -47,6 +47,7 @@ Built-in tables transcribed from the public LoC MARC-8 code tables
 
 from __future__ import annotations
 
+import logging
 import os
 import xml.etree.ElementTree as ET
 
@@ -268,14 +269,72 @@ def load_codetables(path: str) -> list[str]:
     return loaded
 
 
+# Deploy-time discovery: the authoritative ~16k-entry LoC
+# codetables.xml is NOT bundled (this environment has no network to
+# fetch it, and transcribing EACC/Greek/ext-Arabic from memory would
+# risk silently-wrong text — strictly worse than the honest U+FFFD +
+# loud warning below). Drop the public file at the package data path
+# or point MARC8_CODETABLES at it and every set decodes.
+_PACKAGE_CODETABLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "codetables.xml",
+)
+_CODETABLES_SOURCE: str | None = None
+_SET_NAMES = {
+    0x31: "EACC/CJK",
+    0x34: "extended Arabic",
+    0x53: "basic Greek",
+}
+_WARNED_SETS: set[int] = set()
+
+
 def _maybe_load_env_tables() -> None:
-    global _ENV_TABLES_LOADED
+    global _ENV_TABLES_LOADED, _CODETABLES_SOURCE
     if _ENV_TABLES_LOADED:
         return
     _ENV_TABLES_LOADED = True
-    path = os.environ.get("MARC8_CODETABLES")
-    if path and os.path.exists(path):
-        load_codetables(path)
+    for path in (os.environ.get("MARC8_CODETABLES"), _PACKAGE_CODETABLES):
+        if path and os.path.exists(path):
+            load_codetables(path)
+            _CODETABLES_SOURCE = path
+            return
+
+
+def _warn_unmapped_set(final: int) -> None:
+    """Once per process per set: an escape designated a graphic set we
+    have no table for — every character in it will decode to U+FFFD.
+    Executors run one process each, so this surfaces exactly once per
+    executor in its stderr log."""
+    if final in _WARNED_SETS:
+        return
+    _WARNED_SETS.add(final)
+    name = _SET_NAMES.get(final, f"final 0x{final:02X}")
+    logging.getLogger(__name__).warning(
+        "MARC-8 escape designated the %s set but no code table is "
+        "loaded — its characters decode to U+FFFD. Install the public "
+        "LoC codetables.xml at %s or set MARC8_CODETABLES to fix.",
+        name,
+        _PACKAGE_CODETABLES,
+    )
+
+
+def codetables_status() -> dict:
+    """Queryable decoder health: where tables came from (None = env
+    var unset and no packaged file) and which designatable sets would
+    currently decode to U+FFFD."""
+    _maybe_load_env_tables()
+    return {
+        "source": _CODETABLES_SOURCE,
+        "unmapped_sets": sorted(
+            _SET_NAMES.get(f, f"0x{f:02X}")
+            for f, (table, _w) in _SETS.items()
+            if table is None
+        ),
+        "warned_sets": sorted(
+            _SET_NAMES.get(f, f"0x{f:02X}") for f in _WARNED_SETS
+        ),
+    }
 
 
 _G0_INTERMEDIATES = {0x28, 0x2C}      # ( ,
@@ -311,8 +370,11 @@ def _parse_escape(data: bytes, i: int):
     width = 3 if 0x24 in intermediates else 1
     entry = _SETS.get(final)
     if entry is None:
+        _warn_unmapped_set(final)
         return j + 1, target, (None, width)
     table, twidth = entry
+    if table is None:
+        _warn_unmapped_set(final)
     return j + 1, target, (table, max(width, twidth))
 
 

@@ -61,6 +61,27 @@ class ModuleRegistry:
     def list(self) -> list[Module]:
         return sorted(self.modules.values(), key=lambda m: m.id)
 
+    def health(self) -> dict:
+        """Operational status a deployment can poll: module counts by
+        type plus the JS sandbox mode on this process — ``"netns"``
+        (kernel-level egress block) vs ``"in-process"`` (API
+        neutering; weaker — no DNS coverage) vs ``"unavailable"``
+        (no node executable: javascript modules cannot run)."""
+        from mod_reservoir_spark.functions import jsmodules
+
+        by_type: dict[str, int] = {}
+        for m in self.modules.values():
+            by_type[m.type] = by_type.get(m.type, 0) + 1
+        return {
+            "modules": len(self.modules),
+            "by_type": by_type,
+            "js_sandbox_mode": (
+                jsmodules.sandbox_mode()
+                if jsmodules.node_available()
+                else "unavailable"
+            ),
+        }
+
     def resolve(self, invocation: str) -> Callable:
         """'module::function' or bare module id → callable
         (reference ModuleInvocation.java:10-30)."""

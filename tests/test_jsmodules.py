@@ -362,3 +362,44 @@ def test_worker_cache_is_thread_safe():
         assert all(err is None for _, err in got)
     with JM._WORKERS_LOCK:
         assert key in JM._WORKERS  # exactly one live cached worker
+
+
+def test_sandbox_mode_surfaced(monkeypatch, caplog):
+    """The active egress-block mode is queryable (registry health) and
+    the weaker in-process fallback logs exactly one warning per
+    process when a sandboxed worker spawns without netns support."""
+    import logging
+
+    from mod_reservoir_spark.functions import jsmodules as JM
+    from mod_reservoir_spark.functions.modules import Module, ModuleRegistry
+
+    reg = ModuleRegistry()
+    reg.put(Module(id="m", type="python", fn=lambda p: []))
+
+    # forced netns mode: no warning, health reports "netns"
+    monkeypatch.setattr(JM, "_UNSHARE_NET", True)
+    assert JM.sandbox_mode() == "netns"
+    assert reg.health()["js_sandbox_mode"] in ("netns", "unavailable")
+    assert reg.health()["by_type"] == {"python": 1}
+
+    # forced fallback mode: health flips and a spawn warns once
+    monkeypatch.setattr(JM, "_UNSHARE_NET", False)
+    monkeypatch.setattr(JM, "_SANDBOX_MODE_WARNED", False)
+    assert JM.sandbox_mode() == "in-process"
+    if JM.node_available():
+        assert reg.health()["js_sandbox_mode"] == "in-process"
+    caplog.set_level(logging.WARNING, logger=JM.__name__)
+    fn = JM.JsModuleFunction(
+        "export function echo(v) { return v; }", "echo", sandbox=True
+    )
+    key = fn._worker_key()
+    with JM._WORKERS_LOCK:
+        stale = JM._WORKERS.pop(key, None)
+    if stale is not None:
+        stale.kill()
+    assert [v for v, e in fn.batch(["x"])] == ["x"]
+    assert [v for v, e in fn.batch(["y"])] == ["y"]
+    warns = [
+        r for r in caplog.records if "DNS-resolver" in r.getMessage()
+    ]
+    assert len(warns) == 1

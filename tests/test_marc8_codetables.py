@@ -138,3 +138,66 @@ def test_cjk_record_through_iso2709_pipeline(loaded_tables):
     assert rec["leader"][9] == "a"  # marc4j-style rewrite on conversion
     f245 = next(f["245"] for f in rec["fields"] if "245" in f)
     assert f245["subfields"][0]["a"] == "Title 一二!"
+
+
+def test_unmapped_set_warns_once_and_status(caplog):
+    """Designating EACC with no tables loaded must emit ONE warning per
+    process (per set) naming the fix, and codetables_status() must
+    report the gap — the visible signal a stock deployment needs."""
+    import logging
+
+    marc8._WARNED_SETS.clear()
+    caplog.set_level(logging.WARNING, logger=marc8.__name__)
+    data = b"\x1b$1\x21\x23\x20\x1b(BX"
+    assert marc8.marc8_to_unicode(data) == "�X"
+    assert marc8.marc8_to_unicode(data) == "�X"  # second decode
+    hits = [
+        r for r in caplog.records if "EACC/CJK" in r.getMessage()
+    ]
+    assert len(hits) == 1  # once per process, not per record
+    assert "MARC8_CODETABLES" in hits[0].getMessage()
+
+    status = marc8.codetables_status()
+    assert "EACC/CJK" in status["unmapped_sets"]
+    assert "EACC/CJK" in status["warned_sets"]
+    marc8._WARNED_SETS.clear()
+
+
+def test_greek_and_ext_arabic_also_warn(caplog):
+    import logging
+
+    marc8._WARNED_SETS.clear()
+    caplog.set_level(logging.WARNING, logger=marc8.__name__)
+    marc8.marc8_to_unicode(b"\x1b(S\x41")   # basic Greek
+    marc8.marc8_to_unicode(b"\x1b(4\x41")   # extended Arabic
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("basic Greek" in m for m in msgs)
+    assert any("extended Arabic" in m for m in msgs)
+    marc8._WARNED_SETS.clear()
+
+
+def test_packaged_codetables_auto_discovered(monkeypatch, tmp_path):
+    """Dropping the LoC file at mod_reservoir_spark/data/codetables.xml
+    loads it with NO env var set — the documented deploy step."""
+    import shutil
+
+    saved = {k: marc8._SETS.get(k) for k in (0x31, 0x34, 0x53)}
+    pkg_file = tmp_path / "codetables.xml"
+    shutil.copy(FIXTURE, pkg_file)
+    monkeypatch.delenv("MARC8_CODETABLES", raising=False)
+    monkeypatch.setattr(marc8, "_PACKAGE_CODETABLES", str(pkg_file))
+    monkeypatch.setattr(marc8, "_ENV_TABLES_LOADED", False)
+    monkeypatch.setattr(marc8, "_CODETABLES_SOURCE", None)
+    try:
+        assert (
+            marc8.marc8_to_unicode(b"\x1b$1\x21\x23\x20\x21\x23\x21")
+            == "一二"
+        )
+        assert marc8.codetables_status()["source"] == str(pkg_file)
+        assert marc8.codetables_status()["unmapped_sets"] == []
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                marc8._SETS.pop(k, None)
+            else:
+                marc8._SETS[k] = v
