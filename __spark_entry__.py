@@ -326,13 +326,10 @@ def q_cluster_cc(spark, sf_dir):
 def q_token_stats(spark, sf_dir):
     """Per-document token statistics PLUS within-document repetition
     signals (Gopher-style) in one contract row — pipeline/text.py
-    token_stats ⋈ repetition_stats. Merged because the driver records
-    at most 50 CORRECTNESS queries; both operators stay hash-checked
-    through the joined columns."""
-    docs = _t(spark, sf_dir, "documents")
-    return tx.token_stats(docs).join(
-        tx.repetition_stats(docs).drop("n_tokens"), "doc_id"
-    )
+    text_metrics (single-pass composition of token_stats +
+    repetition_stats; merged because the driver records at most 50
+    CORRECTNESS queries, both operators stay hash-checked)."""
+    return tx.text_metrics(_t(spark, sf_dir, "documents"))
 
 
 def q_bpe_tokens(spark, sf_dir):
@@ -344,10 +341,10 @@ def q_bpe_tokens(spark, sf_dir):
 
 def q_quality(spark, sf_dir):
     """Quality scoring PLUS n-gram-heuristic language ID in one
-    contract row — pipeline/text.py quality_scores ⋈ language_id
-    (merged for the 50-query driver cap; both stay hash-checked)."""
-    docs = _t(spark, sf_dir, "documents")
-    return tx.quality_scores(docs).join(tx.language_id(docs), "doc_id")
+    contract row — pipeline/text.py quality_langid (one narrow
+    shuffle-free projection; merged for the 50-query driver cap, both
+    operators stay hash-checked)."""
+    return tx.quality_langid(_t(spark, sf_dir, "documents"))
 
 
 def q_fingerprint(spark, sf_dir):

@@ -212,6 +212,110 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """:func:`token_stats` + :func:`repetition_stats` in ONE pass —
+    the contract-query composition. A naive ``token_stats ⋈
+    repetition_stats`` join costs an extra corpus scan and an extra
+    shuffle; here every narrow column rides the same base projection
+    and only the top-bigram share aggregates (the identical shape
+    repetition_stats alone has), so merging the two operators into one
+    driver-checked row is plan-free. Column names and types match the
+    two source operators exactly."""
+    t = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        "doc_id",
+        t.alias("toks"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_dlines"),
+    )
+    width = F.greatest(F.col("n_tokens") - 1, F.lit(0)).cast("int")
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, width),
+        F.slice(F.col("toks"), 2, width),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top = (
+        base.select("doc_id", F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("mx"),
+            F.sum("cnt").cast("long").alias("total"),
+        )
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_chars_measured",
+        ppm(
+            F.length(F.concat_ws("", F.col("toks"))),
+            F.greatest(F.col("n_tokens"), F.lit(1)),
+        ).alias("avg_token_len_ppm"),
+        F.when(
+            F.col("n_tokens") > 0,
+            ppm(
+                F.col("n_tokens") - F.col("n_distinct_tokens"),
+                F.col("n_tokens"),
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("dup_token_ppm"),
+        F.when(
+            F.col("n_lines") > 0,
+            ppm(F.col("n_lines") - F.col("n_dlines"), F.col("n_lines")),
+        ).otherwise(F.lit(0)).cast("long").alias("dup_line_ppm"),
+        F.coalesce(ppm(F.col("mx"), F.col("total")), F.lit(0))
+        .cast("long")
+        .alias("top_bigram_ppm"),
+    )
+
+
+def quality_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """:func:`quality_scores` + :func:`language_id` as ONE narrow
+    projection — both operators are pure per-row expressions over the
+    same token array, so the merged contract row needs no join and no
+    shuffle at all (plan-guarded). Column names/types match the two
+    source operators exactly."""
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    stop_en = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_en, x)))
+    n_punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+    )
+    distinct_ppm = ppm(
+        F.size(F.array_distinct(t)), F.greatest(n_tokens, F.lit(1))
+    )
+    entries = []
+    for lang in sorted(LANG_STOPWORDS):
+        stop = F.array([F.lit(w) for w in LANG_STOPWORDS[lang]])
+        score = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+        entries.append(
+            F.struct((-score).alias("neg"), F.lit(lang).alias("lang"))
+        )
+    best = F.array_sort(F.array(*entries)).getItem(0)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ppm(n_punct, F.greatest(F.length(text_col), F.lit(1))).alias(
+            "punct_ppm"
+        ),
+        ppm(n_stop, F.greatest(n_tokens, F.lit(1))).alias("stopword_ppm"),
+        distinct_ppm.alias("distinct_ppm"),
+        ((F.length(text_col) >= 100) & (distinct_ppm > 200000)).alias(
+            "passes_quality"
+        ),
+        F.col("lang").alias("lang_actual"),
+        best["lang"].alias("lang_detected"),
+        (-best["neg"]).cast("long").alias("vote_count"),
+    )
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,

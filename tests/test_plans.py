@@ -33,12 +33,27 @@ def test_minhash_signatures_plan_has_no_exchange(docs):
 def test_text_ops_plans_have_no_exchange(docs):
     from mod_reservoir_spark.pipeline.text import (
         bpe_token_stats,
+        quality_langid,
         quality_scores,
         token_stats,
     )
 
-    for op in (token_stats, bpe_token_stats, quality_scores):
+    for op in (token_stats, bpe_token_stats, quality_scores, quality_langid):
         assert "Exchange" not in plan(op(docs)), op.__name__
+
+
+def test_text_metrics_merge_adds_no_plan_cost(docs):
+    """The merged token_stats+repetition contract row must keep the
+    exact shuffle count of repetition_stats alone — the narrow
+    token_stats columns ride the same base projection for free."""
+    from mod_reservoir_spark.pipeline.text import (
+        repetition_stats,
+        text_metrics,
+    )
+
+    merged = plan(text_metrics(docs))
+    alone = plan(repetition_stats(docs))
+    assert merged.count("Exchange") == alone.count("Exchange"), merged
 
 
 def test_cql_filter_pushes_down_to_scan(spark):
