@@ -72,6 +72,29 @@ def _trim_last(s: str, chars: str) -> str:
     return s.rstrip(chars)
 
 
+def _collation_key(s: str):
+    """Sort key reproducing the JDK en-locale RuleBasedCollator that
+    XSLTC's ``xsl:sort`` uses for the holdings location sort (probed
+    through the driver JVM — plain ASCII sort diverges on mixed-case
+    codes): space and hyphen are primary-ignorable with secondary
+    weights space < hyphen, letters fold case at primary (digits sort
+    before letters), and lowercase precedes uppercase at tertiary.
+    Ties beyond that keep document order (xsl:sort is stable, like
+    Python's sorted)."""
+    primary: list = []
+    secondary: list = []
+    tertiary: list = []
+    for ch in s:
+        if ch == " ":
+            secondary.append((len(primary), 1))
+        elif ch == "-":
+            secondary.append((len(primary), 2))
+        else:
+            primary.append(ch.lower())
+            tertiary.append(1 if ch.isalpha() and ch.isupper() else 0)
+    return (primary, secondary, tertiary)
+
+
 def _datafields(marc: dict, tags) -> list:
     out = []
     for f in marc.get("fields") or []:
@@ -336,7 +359,9 @@ def _holdings_records(marc: dict) -> list:
     out = []
     # Python's sorted is stable like Xalan's xsl:sort, so equal keys
     # keep document order
-    for loc, preloc, locs, df in sorted(entries, key=lambda e: e[0]):
+    for loc, preloc, locs, df in sorted(
+        entries, key=lambda e: _collation_key(e[0])
+    ):
         if any(v == preloc for v in locs):   # not($loc=$preloc)
             continue
         loc_clean = _WS.sub(" ", loc).strip()

@@ -68,7 +68,10 @@ def marc_df_to_ingest(
     same Arrow batch: no extra pass over the data.
     with_inventory="cst" runs the full consortium chain instead
     (instance + holdings-items + library-codes stylesheets), adding
-    ``inventory.holdingsRecords``."""
+    ``inventory.holdingsRecords``; with_inventory="cst-uuids" runs the
+    xsl/uuids variant of that chain (functions/inventory_uuids.py),
+    stamping stable FOLIO reference UUIDs and dereferencing relator
+    terms to contributor-type ids."""
     import pandas as pd
 
     def to_ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -76,10 +79,14 @@ def marc_df_to_ingest(
             cst_inventory,
             marc_to_inventory,
         )
-
-        transform = (
-            cst_inventory if with_inventory == "cst" else marc_to_inventory
+        from mod_reservoir_spark.functions.inventory_uuids import (
+            cst_uuids_inventory,
         )
+
+        transform = {
+            "cst": cst_inventory,
+            "cst-uuids": cst_uuids_inventory,
+        }.get(with_inventory, marc_to_inventory)
 
         for pdf in batches:
             out = []

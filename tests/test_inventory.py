@@ -253,3 +253,24 @@ def test_create_ingest_record_contract():
     assert rec["payload"]["inventory"]["instance"]["source"] == "MARC"
     with pytest.raises(ValueError, match="missing record/localIdentifier"):
         create_ingest_record({"leader": "x", "fields": []})
+
+
+def test_cst_chain_mixed_case_location_sort(spark):
+    """xsl:sort under the JDK engine uses the en-locale collator, NOT
+    ASCII order: mixed-case location codes interleave
+    case-insensitively ('nosuchloc' sorts between 'GUNST' and
+    'STACKS'). Pinned against the real stylesheets; inventory.py
+    reproduces the collator with _collation_key."""
+    from mod_reservoir_spark.functions.inventory import cst_inventory
+
+    xml = (
+        SYNTH_999.replace("zloc", "STACKS")
+        .replace("aloc", "GUNST")
+        .replace("bloc", "nosuchloc")
+    )
+    marc = list(parse_marcxml(xml.encode()))[0]
+    expected = chain_oracle(spark, xml)
+    got = cst_inventory(marc)
+    assert got == expected
+    locs = [h["permanentLocationDeref"] for h in got["holdingsRecords"]]
+    assert locs == ["GUNST", "nosuchloc", "nosuchloc", "STACKS", "xxxx"]
