@@ -56,6 +56,80 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_chars: int = 1,
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Corpus-wide repeated-line removal (the C4/RefinedWeb line-dedup
+    pass): every line that occurs more than once ANYWHERE in the corpus
+    is kept only at its first occurrence — ordered by (doc_id,
+    position) — and removed everywhere else; documents are reassembled
+    from their surviving lines in order.
+
+    ``line_sep`` is the split REGEX (default newline); ``join_sep`` is
+    the literal separator used to reassemble (defaults to ``line_sep``
+    — pass it explicitly when splitting on a regex class). Lines
+    shorter than ``min_chars`` never participate in dedup (they are
+    always kept): the C4 recipe only dedups lines long enough to be
+    meaningful boilerplate.
+
+    Scale shape (the skew-safe one): line ownership is a groupBy on the
+    line's md5 with a map-side-combinable ``min(struct(doc_id, pos))``
+    — a boilerplate line repeated across millions of pages partially
+    aggregates inside every task before one tiny row per key shuffles.
+    The alternative single-window formulation
+    (``row_number() over (partition by line)``) moves EVERY copy of a
+    hot line to one task, which is exactly what breaks at 100 TB. Then
+    one equi-join of lines against owners (AQE splits residual hot
+    keys) and one per-document reassembly groupBy. No driver
+    collection; no Python.
+
+    Output: (doc_id, text, n_lines, n_kept) — text is the reassembled
+    document ('' when every line was removed), n_lines the original
+    line count.
+    """
+    if join_sep is None:
+        join_sep = line_sep
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+            "pos", "line"
+        ),
+    )
+    eligible = F.length("line") >= min_chars
+    owners = (
+        lines.filter(eligible)
+        .groupBy(F.md5("line").alias("lkey"))
+        .agg(F.min(F.struct("doc_id", "pos")).alias("own"))
+    )
+    flagged = (
+        lines.join(owners, F.md5(F.col("line")) == F.col("lkey"), "left")
+        .withColumn(
+            "keep",
+            (~eligible)
+            | (F.col("own") == F.struct(F.col("doc_id"), F.col("pos"))),
+        )
+    )
+    kept = F.when(F.col("keep"), F.struct(F.col("pos"), F.col("line")))
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                # collect_list drops the NULLs the when() leaves for
+                # removed lines; struct sort orders by pos (unique per
+                # doc) so reassembly is deterministic
+                F.array_sort(F.collect_list(kept)),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
 def shingle_array(text_col: str, n: int) -> "F.Column":
     """Array of distinct word n-grams (empties removed).
 

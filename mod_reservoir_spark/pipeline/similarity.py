@@ -690,3 +690,84 @@ def embedding_near_dup(
         score, schema="id_a long, id_b long, score double"
     )
     return scored.filter(F.col("score") >= threshold)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove documents
+    whose EMBEDDINGS are near-identical, even when their text is not —
+    the semantic sibling of MinHash near-dedup.
+
+    The published recipe, expressed Spark-first: k-means partition the
+    embedding space (kmeans_train — one broadcast-centroid scan per
+    Lloyd iteration), compare cosine ONLY within a cluster (the k-means
+    cells make the O(n²) pair space an equi-join on `cell`, the same
+    bounded-key shape as the LSH bucket join), connect pairs >=
+    threshold and keep the minimum id per component (near_dedup_keep's
+    CC keeper policy over the pair graph).
+
+    At 100 TB, size n_clusters ~ n/target so cell occupancy — and with
+    it per-cell candidate pairs — stays constant, exactly the
+    auto_planes argument; cells here are data-adaptive where LSH planes
+    are oblivious, which is why SemDeDup finds paraphrase-level
+    duplicates LSH misses. The exact cosine runs JVM-side (zip_with
+    fold over the two vectors) — candidates never cross into Python.
+
+    Output: (vec_id, keep_id, is_kept) — one row per embedding.
+    """
+    from mod_reservoir_spark.pipeline.dedup import near_dedup_keep
+
+    centroids, _history = kmeans_train(
+        embeddings, n_clusters, iterations, id_col, vec_col
+    )
+    cells = ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids
+    )
+    ev = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+        .join(cells, "vec_id")
+        .persist()
+    )
+    paired = (
+        ev.select(
+            F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), "cell"
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("doc_b"),
+                F.col("v").alias("vb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+    def _fold(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = _fold(F.zip_with("va", "vb", lambda x, y: x * y))
+    norm_a = F.sqrt(_fold(F.transform("va", lambda x: x * x)))
+    norm_b = F.sqrt(_fold(F.transform("vb", lambda x: x * x)))
+    pairs = (
+        paired.withColumn("score", F.round(dot / (norm_a * norm_b), 6))
+        .filter(F.col("score") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    kept = near_dedup_keep(
+        embeddings.select(F.col(id_col).alias("doc_id")), pairs=pairs
+    )
+    return kept.select(
+        F.col("doc_id").alias("vec_id"), "keep_id", "is_kept"
+    )

@@ -367,6 +367,54 @@ def contamination(
     )
 
 
+def ngram_counts(
+    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 100
+) -> DataFrame:
+    """Corpus n-gram frequency table, top-k: the building block for
+    stopword derivation, boilerplate discovery and contamination
+    analysis over a pretraining corpus.
+
+    Counts every OCCURRENCE (not the per-document distinct sets the
+    dedup operators use), plus the document frequency. Two shuffles,
+    both map-side combinable: (ngram, doc_id) partial counts, then the
+    per-ngram rollup — a hot n-gram ("of the") combines inside each
+    task before one row per key shuffles. The final top-k is a
+    TakeOrdered (heap per partition + driver merge of k rows), never a
+    global sort. Ties break on the n-gram string so the cut is
+    deterministic.
+
+    Output: (ngram, n_total, n_docs) — k rows, ordered by n_total
+    descending then ngram.
+    """
+    t = tokens(text_col)
+    if n == 1:
+        grams = t
+    else:
+        width = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        acc = F.slice(t, 1, width)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(t, j + 1, width),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        grams = acc
+    per_doc = (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("c").cast("long").alias("n_total"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",

@@ -983,3 +983,190 @@ def test_sketches_drop_null_values(spark):
     assert sum(r.c for r in cregs) == 4 * n_real
     est_hot = cm_estimate([(r.d, r.cell, r.c) for r in cregs], "v-4", 4, 256)
     assert est_hot >= 1
+
+
+def _duck_documents(sf="/root/testdata/sf0.001"):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    return con
+
+
+def _hash_vs_oracle(sdf, con, sql):
+    from tools.oracle_check import arrow_rows, table_hash
+
+    scols, srows, stags = arrow_rows(sdf.toArrow())
+    dcols, drows, dtags = arrow_rows(con.execute(sql).arrow())
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert table_hash(srows, scols, stags) == table_hash(drows, dcols, dtags)
+
+
+def test_line_dedup_oracle(spark):
+    """Corpus-wide C4-style line dedup hash-matches a DuckDB oracle on
+    the real documents table (tokens as 'lines', sep=' ')."""
+    from mod_reservoir_spark.pipeline.dedup import line_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = line_dedup(docs, line_sep=" ", min_chars=1)
+    sql = """
+        WITH lines AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS line,
+                 unnest(generate_series(
+                   0, len(string_split(text, ' ')) - 1)) AS pos
+          FROM documents
+        ), owners AS (
+          SELECT md5(line) AS lkey,
+                 min(doc_id * 1000000 + pos) AS own
+          FROM lines WHERE length(line) >= 1 GROUP BY 1
+        ), flagged AS (
+          SELECT l.doc_id, l.pos, l.line,
+                 (length(l.line) < 1)
+                 OR (l.doc_id * 1000000 + l.pos = o.own) AS keep
+          FROM lines l LEFT JOIN owners o ON md5(l.line) = o.lkey
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keep THEN line END,
+                                   ' ' ORDER BY pos), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+        FROM flagged GROUP BY doc_id
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+
+
+def test_line_dedup_multiline_semantics(spark):
+    """First occurrence (doc order, then position) owns a repeated
+    line; short lines are exempt; a fully-deduped doc keeps its row."""
+    from mod_reservoir_spark.pipeline.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta\ncommon boilerplate line\nunique ten"),
+            (11, "common boilerplate line\nunique eleven\n--"),
+            (12, "common boilerplate line"),
+            (13, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_lines, r.n_kept)
+        for r in line_dedup(docs, min_chars=3).collect()
+    }
+    assert out[10] == (
+        "alpha beta\ncommon boilerplate line\nunique ten", 3, 3
+    )
+    # doc 11 loses the repeated line but keeps the short '--' line
+    assert out[11] == ("unique eleven\n--", 3, 2)
+    assert out[12] == ("", 1, 0)
+    # empty text = one empty line, exempt from dedup (len < min_chars)
+    assert out[13] == ("", 1, 1)
+
+
+def test_ngram_counts_oracle(spark):
+    """Corpus n-gram top-k hash-matches a DuckDB oracle (occurrence
+    counts + doc frequency, deterministic tie-break)."""
+    from mod_reservoir_spark.pipeline.text import ngram_counts
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = ngram_counts(docs, n=3, k=50)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')"
+    )
+    sql = f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS ngram
+          FROM t WHERE len(toks) >= 3),
+        per_doc AS (
+          SELECT ngram, doc_id, count(*) AS c
+          FROM grams GROUP BY 1, 2)
+        SELECT ngram,
+               CAST(sum(c) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM per_doc GROUP BY ngram
+        ORDER BY n_total DESC, ngram ASC LIMIT 50
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """semantic_dedup equals an independent numpy implementation of
+    the same pipeline (deterministic Lloyd -> within-cell cosine ->
+    union-find keeper) on planted clusters with near-dup members."""
+    import numpy as np
+
+    from mod_reservoir_spark.pipeline.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(4, 16)
+    vecs = []
+    for i in range(40):
+        b = base[i % 4].copy()
+        if i >= 36:  # last four: tiny perturbations of their base
+            b = b + rng.randn(16) * 0.01
+        else:
+            b = b + rng.randn(16) * (0.5 if i % 3 else 0.02)
+        vecs.append((i, b.tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    got = {
+        r.vec_id: (r.keep_id, r.is_kept)
+        for r in semantic_dedup(
+            emb, n_clusters=4, threshold=0.999, iterations=2
+        ).collect()
+    }
+
+    # --- independent reference ---
+    ids = np.array([i for i, _ in vecs])
+    vm = np.array([v for _, v in vecs])
+
+    def cos_matrix(a, b):
+        an = a / np.sqrt((a * a).sum(axis=1))[:, None]
+        bn = b / np.sqrt((b * b).sum(axis=1))[:, None]
+        return np.round(an @ bn.T, 6)
+
+    cm = vm[np.argsort(ids)[:4]]
+    for _ in range(2):
+        cell = cos_matrix(vm, cm).argmax(axis=1)
+        for c in range(4):
+            if (cell == c).any():
+                cm[c] = vm[cell == c].mean(axis=0)
+    cell = cos_matrix(vm, cm).argmax(axis=1)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    s = cos_matrix(vm, vm)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if cell[a] == cell[b] and s[a, b] >= 0.999:
+                ra, rb = find(int(ids[a])), find(int(ids[b]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for i in ids:
+        root = find(int(i))
+        comp = [j for j in ids if find(int(j)) == root]
+        keep = min(comp)
+        expected[int(i)] = (keep, 1 if keep == int(i) else 0)
+
+    assert got == expected
+    # the planted near-dups actually collapsed something
+    assert sum(1 for k, (kid, kept) in got.items() if not kept) >= 1

@@ -160,3 +160,34 @@ def test_scan_prunes_unreferenced_columns(docs):
     read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read_schema and "text" in read_schema[0]
     assert "lang" not in read_schema[0]
+
+
+def test_line_dedup_plan_is_skew_safe(docs):
+    """line_dedup must use the map-side-combinable min-struct groupBy
+    for line ownership — never a Window (which would move every copy of
+    a hot boilerplate line to one task) — and partial-aggregate before
+    each of its three shuffles."""
+    from mod_reservoir_spark.pipeline.dedup import line_dedup
+
+    df = line_dedup(docs, line_sep=" ")
+    p = plan(df)
+    assert "Window" not in p
+    assert "partial_min" in p  # ownership min combines map-side
+    simple = plan(df, "simple")
+    # ownership groupBy + reassembly groupBy + (possibly broadcast)
+    # join — never more than 3 data shuffles
+    shuffles = simple.count("Exchange") - simple.count("BroadcastExchange")
+    assert shuffles <= 3, simple
+
+
+def test_ngram_counts_plan(docs):
+    """ngram_counts: both aggregations partial+final (hot n-grams
+    combine before shuffling) and the top-k is a TakeOrdered heap, not
+    a global sort."""
+    from mod_reservoir_spark.pipeline.text import ngram_counts
+
+    df = ngram_counts(docs, n=3, k=10)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert plan(df, "simple").count("Exchange") == 2
