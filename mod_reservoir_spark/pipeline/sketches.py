@@ -1,4 +1,5 @@
-"""Deterministic distinct-count sketches (HyperLogLog).
+"""Deterministic sketches: HyperLogLog (distinct count), Count-Min
+(frequency), Bloom filter (membership).
 
 Spark's ``approx_count_distinct`` and DuckDB's are different HLL
 implementations, so their estimates can't be cross-checked. This
@@ -124,6 +125,151 @@ def cm_merge(*register_dfs: DataFrame) -> DataFrame:
         out = out.unionByName(d)
     keys = [c for c in out.columns if c != "c"]
     return out.groupBy(*keys).agg(F.sum("c").cast("long").alias("c"))
+
+
+def bloom_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    n_hashes: int = 4,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Bloom filter as a register table — the set-MEMBERSHIP sibling of
+    :func:`hll_registers` (distinct count) and :func:`cm_registers`
+    (frequency), same determinism contract: bit indices are md5-derived
+    (seeded per hash), so the set-bit table is byte-identical across
+    engines, and registers are plain rows a warehouse stores, merges
+    and queries without rescanning the corpus.
+
+    The canonical 100 TB use is the "have we seen this URL/doc id"
+    prefilter: build the filter once over the corpus (bounded output —
+    at most groups × m_bits rows no matter the input), broadcast it,
+    and drop the vast majority of non-members before an expensive join
+    or lookup; false positives (the only error mode) just pass a few
+    extra rows through to the exact check.
+
+    Output: (group…, bit) — the DISTINCT set bits. Merge filters built
+    over any scans (disjoint or overlapping) with
+    :func:`bloom_merge` — bitwise OR is just union+distinct.
+    """
+    if 65536 % m_bits:
+        raise ValueError(f"m_bits={m_bits} must divide 65536")
+    df = df.filter(F.col(value_col).isNotNull())
+    entries = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{d}:"), F.col(value_col).cast("string")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        for d in range(n_hashes)
+    ]
+    return df.select(
+        *group_cols, F.explode(F.array(*entries)).alias("bit")
+    ).distinct()
+
+
+def bloom_merge(*register_dfs: DataFrame) -> DataFrame:
+    """OR filters together: union + distinct (idempotent, overlap-safe)."""
+    out = register_dfs[0]
+    for d in register_dfs[1:]:
+        out = out.unionByName(d)
+    return out.distinct()
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    value_col: str,
+    registers: DataFrame,
+    n_hashes: int = 4,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Rows of ``candidates`` that MIGHT be in the filter (all their
+    bits set — definite non-members are dropped, the Bloom guarantee).
+
+    Distributed shape: each candidate's distinct bit set explodes to
+    rows, inner-joins the (tiny, broadcast) register table, and a
+    candidate passes iff every required bit matched — a broadcast hash
+    join plus one combinable count, never a per-row O(m) scan.
+
+    ``n_hashes``/``m_bits`` MUST match the values the registers were
+    built with — a mismatch silently degrades to near-zero matches
+    (bit indices land in a different space). Store the parameters next
+    to the persisted register table.
+    """
+    bits = F.array_distinct(
+        F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{d}:"),
+                                    F.col(value_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                )
+                for d in range(n_hashes)
+            ]
+        )
+    )
+    with_bits = candidates.withColumn("_bits", bits).withColumn(
+        "_need", F.size("_bits")
+    )
+    matched = (
+        with_bits.select(
+            *candidates.columns, "_need", F.explode("_bits").alias("bit")
+        )
+        .join(F.broadcast(registers.select("bit").distinct()), "bit")
+        .groupBy(*candidates.columns, "_need")
+        .agg(F.count("*").alias("_got"))
+        .filter(F.col("_got") == F.col("_need"))
+        .select(*candidates.columns)
+    )
+    return matched
+
+
+def bloom_might_contain(
+    bits: set[int] | list[int], value, n_hashes: int = 4, m_bits: int = 4096
+) -> bool:
+    """Driver-side membership test against one group's set-bit rows."""
+    import hashlib
+
+    bitset = set(bits)
+    for d in range(n_hashes):
+        h = hashlib.md5(f"{d}:{value}".encode()).hexdigest()
+        if int(h[:4], 16) % m_bits not in bitset:
+            return False
+    return True
+
+
+def bloom_cardinality(
+    bits: set[int] | list[int], n_hashes: int = 4, m_bits: int = 4096
+) -> float:
+    """Swamidass-Baldi estimate of the number of inserted distinct
+    values from the set-bit count: -m/k · ln(1 - X/m)."""
+    x = len(set(bits))
+    if x >= m_bits:
+        return float("inf")
+    return -(m_bits / n_hashes) * math.log(1.0 - x / m_bits)
 
 
 def cm_estimate(

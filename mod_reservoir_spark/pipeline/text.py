@@ -415,6 +415,119 @@ def ngram_counts(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the
+    relevance/keyword signal quality and topic filters build on.
+
+    tf = occurrences in the document; idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed scikit-learn form, defined even for df = N); score =
+    tf · idf rounded to 6 decimals so a SQL oracle reproduces it
+    despite ln() being floating-point.
+
+    Scale shape: term df is one combinable groupBy over (term, doc)
+    partials; N is a scalar broadcast (count folded into the idf
+    literal is WRONG for composability, so it joins as a 1-row
+    crossJoin the optimizer broadcasts); the per-doc top-k window
+    partitions by doc_id — bounded by document length, never by corpus
+    size.
+
+    Output: (doc_id, term, tf, df, score_e6, rnk) — score_e6 is the
+    score ×1e6 as a long (exact cross-engine comparison).
+    """
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    term_doc = (
+        docs.select("doc_id", F.explode(t).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tbl = term_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n_docs = docs.select(
+        F.count("*").cast("long").alias("_n")
+    )
+    scored = (
+        term_doc.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_e6",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("_n") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                )
+                * 1000000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score_e6", "rnk")
+    )
+
+
+# URL grammar for the curation ops: scheme + host[:port] + rest.
+# Kept simple on purpose (no userinfo/IPv6) — the contract is
+# deterministic host extraction both engines replicate, not RFC 3986.
+_URL_RE = r"https?://([A-Za-z0-9.-]+)(?::\d+)?[^\s]*"
+
+
+def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, url, host) — every http(s) URL occurrence in each
+    document with its lowercased host. One narrow projection + explode;
+    no shuffle."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+    return docs.select(
+        "doc_id", F.explode(urls).alias("url")
+    ).withColumn(
+        "host",
+        F.lower(F.regexp_extract(F.col("url"), _URL_RE, 1)),
+    )
+
+
+def domain_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain URL and document frequency — the table a curation
+    pipeline ranks to build allow/block lists. Two combinable shuffles
+    ((host, doc) partials, then the host rollup)."""
+    per_doc = (
+        extract_urls(docs, text_col)
+        .groupBy("host", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_doc.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_urls"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked_hosts: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every document containing a URL whose host is on the
+    blocklist (``blocked_hosts``: a 1-column `host` frame). The
+    blocklist broadcasts (it is tiny next to the corpus) and the
+    corpus anti-joins on the matched doc_ids — one scan, no corpus
+    shuffle of text."""
+    bad_docs = (
+        extract_urls(docs, text_col)
+        .join(F.broadcast(blocked_hosts.select("host")), "host")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(bad_docs, "doc_id", "left_anti")
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",

@@ -1170,3 +1170,144 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     assert got == expected
     # the planted near-dups actually collapsed something
     assert sum(1 for k, (kid, kept) in got.items() if not kept) >= 1
+
+
+def test_bloom_filter_membership_and_merge(spark):
+    """Bloom registers: no false negatives, bounded false positives,
+    OR-merge equals the filter over the union, and the distributed
+    prefilter keeps exactly the maybe-members."""
+    from mod_reservoir_spark.pipeline.sketches import (
+        bloom_cardinality,
+        bloom_merge,
+        bloom_might_contain,
+        bloom_prefilter,
+        bloom_registers,
+    )
+
+    a = spark.createDataFrame(
+        [(f"u-{i}",) for i in range(300)], "v string"
+    )
+    b = spark.createDataFrame(
+        [(f"u-{i}",) for i in range(250, 500)], "v string"
+    )
+    ra, rb = bloom_registers(a, "v"), bloom_registers(b, "v")
+    bits_a = {r.bit for r in ra.collect()}
+
+    # no false negatives
+    assert all(bloom_might_contain(bits_a, f"u-{i}") for i in range(300))
+    # false-positive rate stays near theory (k=4, m=4096, n=300 -> ~0.5%)
+    fp = sum(
+        bloom_might_contain(bits_a, f"x-{i}") for i in range(2000)
+    )
+    assert fp < 60
+    # cardinality estimate in range
+    est = bloom_cardinality(bits_a)
+    assert abs(est - 300) / 300 < 0.1
+
+    merged = {r.bit for r in bloom_merge(ra, rb).collect()}
+    union = {
+        r.bit
+        for r in bloom_registers(a.unionByName(b), "v").collect()
+    }
+    assert merged == union
+
+    cand = spark.createDataFrame(
+        [(f"u-{i}",) for i in range(280, 320)]
+        + [(f"y-{i}",) for i in range(40)],
+        "v string",
+    )
+    kept = {r.v for r in bloom_prefilter(cand, "v", ra).collect()}
+    assert {f"u-{i}" for i in range(280, 300)} <= kept
+    # definite non-members of filter A (u >= 300 unseen, y-*) are
+    # dropped except bloom false positives
+    extras = kept - {f"u-{i}" for i in range(280, 300)}
+    assert len(extras) <= 3
+
+
+def test_bloom_registers_oracle(spark):
+    """The set-bit table is byte-identical to a DuckDB replica of the
+    md5 bit derivation (the cross-engine determinism contract)."""
+    from mod_reservoir_spark.pipeline.sketches import bloom_registers
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = bloom_registers(docs, "text", n_hashes=4, m_bits=4096)
+    sql = """
+        SELECT DISTINCT bit FROM (
+          SELECT unnest([
+            ('0x' || substr(md5(d || ':' || text), 1, 4))::BIGINT % 4096
+            FOR d IN range(4)
+          ]) AS bit
+          FROM documents WHERE text IS NOT NULL
+        )
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+
+
+def test_tfidf_top_terms_oracle(spark):
+    """Per-doc TF-IDF top-k hash-matches a DuckDB oracle (smoothed
+    sklearn idf, 6-decimal-quantized scores, deterministic ties)."""
+    from mod_reservoir_spark.pipeline.text import tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = tfidf_top_terms(docs, k=3)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')"
+    )
+    sql = f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        term_doc AS (
+          SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM term_doc GROUP BY 1, 2),
+        df AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(round(tf.tf * (ln((n.n + 1) / (df.df + 1.0)) + 1.0)
+                            * 1000000) AS BIGINT) AS score_e6
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC
+          ) AS rnk FROM scored)
+        SELECT doc_id, term, tf, df, score_e6, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+
+
+def test_url_ops(spark):
+    """URL extraction, domain rollup and broadcast blocklist filter."""
+    from mod_reservoir_spark.pipeline.text import (
+        blocklist_filter,
+        domain_counts,
+        extract_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://SPAM.example.com/x and http://ok.org/a?b=1"),
+            (2, "plain text, no links"),
+            (3, "https://spam.example.com:8080/y https://ok.org/z"),
+            (4, "mail me at a@b.c or visit http://other.net/."),
+        ],
+        "doc_id long, text string",
+    )
+    urls = {(r.doc_id, r.url, r.host) for r in extract_urls(docs).collect()}
+    assert (1, "https://SPAM.example.com/x", "spam.example.com") in urls
+    assert (3, "https://spam.example.com:8080/y", "spam.example.com") in urls
+    assert all(h != "" for _, _, h in urls)
+
+    dc = {r.host: (r.n_urls, r.n_docs) for r in domain_counts(docs).collect()}
+    assert dc["spam.example.com"] == (2, 2)
+    assert dc["ok.org"] == (2, 2)
+
+    blocked = spark.createDataFrame([("spam.example.com",)], "host string")
+    left = {r.doc_id for r in blocklist_filter(docs, blocked).collect()}
+    assert left == {2, 4}

@@ -191,3 +191,36 @@ def test_ngram_counts_plan(docs):
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p or "partial_sum" in p
     assert plan(df, "simple").count("Exchange") == 2
+
+
+def test_bloom_plans(docs):
+    """bloom_registers: ONE combinable distinct shuffle (output bounded
+    by m_bits); bloom_prefilter: the register side broadcasts — the
+    corpus is never shuffled for the membership check."""
+    from mod_reservoir_spark.pipeline.sketches import (
+        bloom_prefilter,
+        bloom_registers,
+    )
+
+    regs = bloom_registers(docs, "text")
+    p = plan(regs, "simple")
+    assert p.count("Exchange") == 1
+    pre = plan(bloom_prefilter(docs.select("doc_id", "text"), "text", regs))
+    assert "BroadcastHashJoin" in pre
+
+
+def test_domain_and_blocklist_plans(docs):
+    """domain_counts: two partial+final aggregations; blocklist_filter:
+    blocklist broadcasts into the anti-join side."""
+    from mod_reservoir_spark.pipeline.text import (
+        blocklist_filter,
+        domain_counts,
+    )
+
+    p = plan(domain_counts(docs), "simple")
+    assert p.count("Exchange") == 2
+    blocked = docs.sparkSession.createDataFrame(
+        [("x.com",)], "host string"
+    )
+    pb = plan(blocklist_filter(docs, blocked))
+    assert "BroadcastHashJoin" in pb
