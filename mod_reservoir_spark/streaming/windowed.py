@@ -209,3 +209,101 @@ def streaming_sessionize(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def streaming_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    warehouse,
+    sig_table: str = "dedup_signatures",
+    pairs_table: str = "neardup_pairs",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold_ppm: int = 500000,
+):
+    """Streaming MinHash near-dup detection with MAINTAINED state —
+    the production lifecycle of `minhash_lsh_pairs_incremental` wired
+    into Structured Streaming via ``foreachBatch``.
+
+    Per micro-batch of documents: (1) run the incremental LSH pass
+    against the Warehouse-persisted corpus signature table — the
+    corpus is never re-shingled, cost is O(batch × bucket occupancy);
+    (2) append the verified pairs; (3) append the batch's signatures,
+    becoming the corpus the NEXT batch joins against. Because every
+    near-dup pair "touches" the batch of its later-arriving member,
+    the union of all per-batch pair outputs equals the full batch
+    `minhash_lsh_pairs` over everything ingested (equivalence pinned
+    in tests/test_windowed_streaming.py).
+
+    Replay safety: ``foreachBatch`` is at-least-once, so both appends
+    are idempotent — signatures dedupe on doc_id, pairs on
+    (doc_a, doc_b); a re-run batch rewrites the same rows. The
+    Warehouse's versioned-pointer write means readers of version N are
+    never disturbed by the version-N+1 write the same batch performs.
+    """
+    from mod_reservoir_spark.pipeline.dedup import (
+        minhash_lsh_pairs_incremental,
+        signature_table,
+    )
+
+    empty_sigs = spark.createDataFrame(
+        [], "doc_id long, hsh array<bigint>, sig array<bigint>"
+    )
+
+    def process(batch_df, batch_id):
+        batch_df = batch_df.filter(
+            F.col("doc_id").isNotNull()
+        ).localCheckpoint(eager=True)
+        corpus_sigs = (
+            warehouse.read(sig_table)
+            if warehouse.exists(sig_table)
+            else empty_sigs
+        )
+        pairs = minhash_lsh_pairs_incremental(
+            batch_df,
+            corpus_sigs=corpus_sigs,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            threshold_ppm=threshold_ppm,
+        )
+        prev_pairs = (
+            warehouse.read(pairs_table)
+            if warehouse.exists(pairs_table)
+            else None
+        )
+        all_pairs = (
+            prev_pairs.unionByName(pairs) if prev_pairs is not None else pairs
+        ).dropDuplicates(["doc_a", "doc_b"])
+        warehouse.write(pairs_table, all_pairs)
+        new_sigs = signature_table(
+            batch_df, num_hashes=num_hashes, shingle_n=shingle_n
+        )
+        warehouse.write(
+            sig_table,
+            corpus_sigs.unionByName(new_sigs).dropDuplicates(["doc_id"]),
+        )
+        # the incremental operator persists its signature frames; drop
+        # them so a long-running stream doesn't accumulate cache
+        spark.catalog.clearCache()
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -139,3 +139,62 @@ def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_streaming_near_dedup_equals_full_batch(spark, tmp_path):
+    """foreachBatch incremental LSH with the Warehouse-maintained
+    signature table: after all batches, the accumulated pairs equal
+    the FULL batch minhash_lsh_pairs over everything ingested (every
+    pair touches the batch of its later member), and the signature
+    table holds every doc exactly once."""
+    from mod_reservoir_spark.core.storage import Warehouse
+    from mod_reservoir_spark.pipeline.dedup import minhash_lsh_pairs
+    from mod_reservoir_spark.streaming.windowed import streaming_near_dedup
+
+    b1 = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over a lazy dog"),
+        (2, "spark structured streaming maintains bounded state"),
+    ]
+    b2 = [
+        (3, "the quick brown fox jumps over the lazy dog today"),
+        (4, "spark structured streaming maintains bounded state nicely"),
+        (5, "completely unrelated text about warehouses"),
+    ]
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    q = streaming_near_dedup(
+        spark,
+        str(indir),
+        str(tmp_path / "ckpt"),
+        wh,
+        threshold_ppm=300000,
+    )
+    try:
+        with open(indir / "b1.jsonl", "w") as f:
+            for i, t in b1:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        q.processAllAvailable()
+        with open(indir / "b2.jsonl", "w") as f:
+            for i, t in b2:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sigs = wh.read("dedup_signatures")
+    assert sorted(r.doc_id for r in sigs.select("doc_id").collect()) == list(
+        range(6)
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.est_ppm, r.jaccard_ppm)
+        for r in wh.read("neardup_pairs").collect()
+    }
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    want = {
+        (r.doc_a, r.doc_b): (r.est_ppm, r.jaccard_ppm)
+        for r in minhash_lsh_pairs(all_docs, threshold_ppm=300000).collect()
+    }
+    assert got == want
+    assert (0, 1) in got  # a real near-dup was found
