@@ -1311,3 +1311,32 @@ def test_url_ops(spark):
     blocked = spark.createDataFrame([("spam.example.com",)], "host string")
     left = {r.doc_id for r in blocklist_filter(docs, blocked).collect()}
     assert left == {2, 4}
+
+
+def test_minhash_xxhash64_fast_path_equivalent_detection(docs):
+    """The xxhash64 hasher (the measured fast path for clusters where
+    oracle-exact md5 isn't required) finds the same verified pairs
+    with the same exact Jaccard — only the internal hash space (and
+    hence est_ppm) differs."""
+    md5_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard_ppm
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=16, bands=8, threshold_ppm=300000
+        ).collect()
+    }
+    xx_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard_ppm
+        for r in minhash_lsh_pairs(
+            docs,
+            num_hashes=16,
+            bands=8,
+            threshold_ppm=300000,
+            hasher="xxhash64",
+        ).collect()
+    }
+    assert md5_pairs == xx_pairs and (0, 1) in md5_pairs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, hasher="fnv").collect()
