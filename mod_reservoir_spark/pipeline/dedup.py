@@ -150,6 +150,75 @@ def line_dedup(
     )
 
 
+def duplicate_span_stats(
+    docs: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span signal (the ExactSubstr statistic
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", as a quality metric): for each document, the
+    fraction of its k-token windows that also occur in at least one
+    OTHER document. High values mean the document is largely assembled
+    from corpus-repeated spans — the docs ExactSubstr surgery would
+    cut and quality filters should flag.
+
+    Every window POSITION counts (not the distinct-shingle sets the
+    Jaccard family uses): a doc that repeats a boilerplate span ten
+    times has ten duplicated windows. Cross-document occurrence is a
+    two-level combinable aggregation on the window hash — (hash, doc)
+    partials, then distinct-doc counts per hash — followed by one
+    equi-join back to the positions; the same skew-safe shape as
+    line_dedup, no window function, no O(n²) stage.
+
+    Output: (doc_id, n_windows, n_dup, dup_ppm) — docs shorter than k
+    tokens report 0 windows and 0 ppm.
+    """
+    t = tokens(text_col)
+    width = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    acc = F.slice(t, 1, width)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(t, j + 1, width),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(acc, lambda s: F.md5(s))
+        ).alias("wh"),
+    )
+    doc_freq = (
+        wins.select("wh", "doc_id")
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count("*").alias("n_docs_with"))
+    )
+    per_doc = (
+        wins.join(doc_freq, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("n_docs_with") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                ppm(F.coalesce("n_dup", F.lit(0)), F.col("n_windows")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )
+
+
 def shingle_array(text_col: str, n: int) -> "F.Column":
     """Array of distinct word n-grams (empties removed).
 

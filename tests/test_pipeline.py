@@ -1340,3 +1340,70 @@ def test_minhash_xxhash64_fast_path_equivalent_detection(docs):
 
     with _pytest.raises(ValueError):
         minhash_lsh_pairs(docs, hasher="fnv").collect()
+
+
+def test_duplicate_span_stats_oracle(spark):
+    """Per-doc duplicated k-window fraction hash-matches a DuckDB
+    oracle over the real corpus (k=4)."""
+    from mod_reservoir_spark.pipeline.dedup import duplicate_span_stats
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = duplicate_span_stats(docs, k=4)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')"
+    )
+    sql = f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, len(toks) - 2),
+                   i -> md5(array_to_string(toks[i:i+3], ' ')))) AS wh
+          FROM t WHERE len(toks) >= 4),
+        freq AS (
+          SELECT wh, count(DISTINCT doc_id) AS n_docs_with
+          FROM wins GROUP BY 1),
+        per_doc AS (
+          SELECT w.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(sum(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup
+          FROM wins w JOIN freq f USING (wh) GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(p.n_windows, 0) AS n_windows,
+               COALESCE(p.n_dup, 0) AS n_dup,
+               CASE WHEN COALESCE(p.n_windows, 0) > 0
+                    THEN COALESCE(p.n_dup, 0) * 1000000 // p.n_windows
+                    ELSE 0 END AS dup_ppm
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """Repeated-position counting: within-doc repeats of a span shared
+    with another doc count every position; spans unique to one doc
+    (even repeated inside it) do not count as duplicated."""
+    from mod_reservoir_spark.pipeline.dedup import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d x y z w"),      # shares 'a b c d' with doc 1
+            (1, "a b c d a b c d"),      # the shared span twice
+            (2, "q q q q q q q q"),      # self-repeated only
+            (3, "one two three"),        # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup, r.dup_ppm)
+        for r in duplicate_span_stats(docs, k=4).collect()
+    }
+    assert got[0] == (5, 1, 200000)
+    # doc 1 has 5 windows; positions 0 and 4 are 'a b c d' (shared
+    # with doc 0) -> both count
+    assert got[1] == (5, 2, 400000)
+    assert got[2] == (5, 0, 0)
+    assert got[3] == (0, 0, 0)

@@ -224,3 +224,14 @@ def test_domain_and_blocklist_plans(docs):
     )
     pb = plan(blocklist_filter(docs, blocked))
     assert "BroadcastHashJoin" in pb
+
+
+def test_duplicate_span_stats_plan(docs):
+    """duplicate_span_stats: the two-level combinable aggregation +
+    join shape — no Window, partial aggregates before every shuffle."""
+    from mod_reservoir_spark.pipeline.dedup import duplicate_span_stats
+
+    df = duplicate_span_stats(docs, k=4)
+    p = plan(df)
+    assert "Window" not in p
+    assert "partial_count" in p
