@@ -113,11 +113,14 @@ def line_dedup(
     """
     if join_sep is None:
         join_sep = line_sep
+    # NULL text would explode to zero rows and silently DROP the
+    # document from the output; treat it as empty text instead (one
+    # empty line, always kept, reassembles to '')
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
-            "pos", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep, -1)
+        ).alias("pos", "line"),
     )
     eligible = F.length("line") >= min_chars
     owners = (

@@ -1053,6 +1053,7 @@ def test_line_dedup_multiline_semantics(spark):
             (11, "common boilerplate line\nunique eleven\n--"),
             (12, "common boilerplate line"),
             (13, ""),
+            (14, None),
         ],
         "doc_id long, text string",
     )
@@ -1068,6 +1069,8 @@ def test_line_dedup_multiline_semantics(spark):
     assert out[12] == ("", 1, 0)
     # empty text = one empty line, exempt from dedup (len < min_chars)
     assert out[13] == ("", 1, 1)
+    # NULL text must not vanish from the output — treated as empty
+    assert out[14] == ("", 1, 1)
 
 
 def test_ngram_counts_oracle(spark):
