@@ -381,22 +381,56 @@ def q_sketch_registers(spark, sf_dir):
     """HyperLogLog + Count-Min register tables in one contract result,
     normalized to (sketch, lang, k1, k2, v): hll → (bucket, 0, r),
     cm → (d, cell, c). One query because the driver records at most 50
-    CORRECTNESS rows; both sketches stay hash-checked row-for-row."""
-    hll = q_hll_registers(spark, sf_dir).select(
-        F.lit("hll").alias("sketch"),
-        "lang",
-        F.col("bucket").cast("long").alias("k1"),
-        F.lit(0).cast("long").alias("k2"),
-        F.col("r").cast("long").alias("v"),
+    CORRECTNESS rows; both sketches stay hash-checked row-for-row.
+
+    Genuinely SINGLE-PASS (unlike a union of the two register queries,
+    which scans and re-tokenizes the corpus twice): each token emits
+    its 1 HLL + depth CM register contributions in one explode, and one
+    map-side-combinable shuffle aggregates both — max(rank) feeds the
+    hll rows, count(*) the cm rows."""
+    from mod_reservoir_spark.pipeline import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
+    ).filter(F.col("v") != "")
+    bucket, rank = sk.hll_bucket_rank("v", 512)
+    entries = [
+        F.struct(
+            F.lit("hll").alias("sketch"),
+            bucket.cast("long").alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            rank.cast("long").alias("rank"),
+        )
+    ] + [
+        F.struct(
+            F.lit("cm").alias("sketch"),
+            F.lit(d).cast("long").alias("k1"),
+            sk.cm_cell("v", d, 256).cast("long").alias("k2"),
+            F.lit(None).cast("long").alias("rank"),
+        )
+        for d in range(4)
+    ]
+    rows = toks.select(
+        "lang", F.explode(F.array(*entries)).alias("e")
+    ).select("lang", "e.*")
+    return (
+        rows.groupBy("sketch", "lang", "k1", "k2")
+        .agg(
+            F.max("rank").alias("_mr"),
+            F.count("*").cast("long").alias("_c"),
+        )
+        .select(
+            "sketch",
+            "lang",
+            "k1",
+            "k2",
+            F.when(F.col("sketch") == "hll", F.col("_mr"))
+            .otherwise(F.col("_c"))
+            .cast("long")
+            .alias("v"),
+        )
     )
-    cm = q_cm_registers(spark, sf_dir).select(
-        F.lit("cm").alias("sketch"),
-        "lang",
-        F.col("d").cast("long").alias("k1"),
-        F.col("cell").cast("long").alias("k2"),
-        F.col("c").cast("long").alias("v"),
-    )
-    return hll.unionByName(cm)
 
 
 def q_quality_filter(spark, sf_dir):

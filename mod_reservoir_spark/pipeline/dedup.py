@@ -175,19 +175,12 @@ def duplicate_span_stats(
     Output: (doc_id, n_windows, n_dup, dup_ppm) — docs shorter than k
     tokens report 0 windows and 0 ppm.
     """
-    t = tokens(text_col)
-    width = F.greatest(F.size(t) - (k - 1), F.lit(0))
-    acc = F.slice(t, 1, width)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(t, j + 1, width),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
     wins = docs.select(
         "doc_id",
         F.explode(
-            F.transform(acc, lambda s: F.md5(s))
+            F.transform(
+                ngram_array(tokens(text_col), k), lambda s: F.md5(s)
+            )
         ).alias("wh"),
     )
     doc_freq = (
@@ -222,28 +215,36 @@ def duplicate_span_stats(
     )
 
 
-def shingle_array(text_col: str, n: int) -> "F.Column":
-    """Array of distinct word n-grams (empties removed).
+def ngram_array(token_array, n: int):
+    """Array of word n-grams IN POSITION ORDER (one entry per window,
+    repeats kept) from a token-array column.
 
     Built from n shifted slices folded with zip_with, NOT per-element
     element_at lambdas: a lambda that references the tokenization
     expression re-evaluates it per element (no common-subexpression
     elimination inside higher-order functions), turning shingling
     O(tokens²) per document. Slices evaluate the token array a constant
-    n times per row."""
-    t = tokens(text_col)
+    n times per row. The single shared implementation of the ladder —
+    shingle_array, ngram_counts and duplicate_span_stats all build on
+    it so the pitfall above is dodged in one place."""
     if n == 1:
-        sh = F.array_distinct(t)
-    else:
-        width = F.greatest(F.size(t) - (n - 1), F.lit(0))
-        acc = F.slice(t, 1, width)
-        for j in range(1, n):
-            acc = F.zip_with(
-                acc,
-                F.slice(t, j + 1, width),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        sh = F.array_distinct(acc)
+        return token_array
+    width = F.greatest(F.size(token_array) - (n - 1), F.lit(0))
+    acc = F.slice(token_array, 1, width)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(token_array, j + 1, width),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
+
+
+def shingle_array(text_col: str, n: int) -> "F.Column":
+    """Array of DISTINCT word n-grams (empties removed) — the set the
+    Jaccard/MinHash family operates on; see :func:`ngram_array` for
+    the positional form and the evaluation-cost rationale."""
+    sh = F.array_distinct(ngram_array(tokens(text_col), n))
     return F.filter(sh, lambda s: s != "")
 
 
@@ -543,14 +544,36 @@ def minhash_lsh_pairs_incremental(
             "pass exactly one of corpus= (raw text, recomputes "
             "signatures) or corpus_sigs= (maintained signature table)"
         )
-    rows = num_hashes // bands
 
     def sig_table(d):
         return signature_table(d, text_col, num_hashes, shingle_n, hasher)
 
     new_sig = sig_table(new_docs).persist()
     old_sig = corpus_sigs if corpus_sigs is not None else sig_table(corpus)
-    all_sig = old_sig.unionByName(new_sig).persist()
+    return incremental_pairs_from_sigs(
+        new_sig, old_sig, num_hashes, bands, threshold_ppm
+    )
+
+
+def incremental_pairs_from_sigs(
+    new_sig: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold_ppm: int = 500000,
+    persist: bool = True,
+) -> DataFrame:
+    """The signatures-level core of incremental LSH dedup: near-dup
+    pairs touching ``new_sig`` given both sides as (doc_id, hsh, sig)
+    tables. Callers that manage their own lifecycle (the streaming
+    foreachBatch pipeline persists the batch signatures itself, reuses
+    them for the state append, and unpersists after the batch) pass
+    ``persist=False``; the default caches the unioned signature table
+    across the candidate and verify joins."""
+    rows = num_hashes // bands
+    all_sig = corpus_sigs.unionByName(new_sig)
+    if persist:
+        all_sig = all_sig.persist()
 
     def band_buckets(sig):
         entries = [

@@ -78,16 +78,17 @@ def pack_shards(
         id_col, *strata, F.size(tokens(text_col)).cast("long").alias("n_tokens")
     )
     before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
-    return with_counts.select(
+    # true integral division: Spark's `/` on longs goes through double
+    # and loses exactness past 2^53 cumulative tokens; the SQL `div`
+    # operator stays in long arithmetic like the DuckDB oracle's `//`
+    return with_counts.withColumn("_before", before).select(
         id_col,
         *strata,
         "n_tokens",
-        # exact long arithmetic — floor(before / N) via double division
-        # loses exactness past 2^53 cumulative tokens
-        ((before - before % shard_tokens) / shard_tokens)
+        F.expr(f"_before div {int(shard_tokens)}")
         .cast("long")
         .alias("shard_id"),
-        (before % shard_tokens).cast("long").alias("offset_tokens"),
+        (F.col("_before") % shard_tokens).cast("long").alias("offset_tokens"),
     )
 
 

@@ -41,18 +41,43 @@ def hll_registers(
     # NULLs carry no distinct value and md5(NULL) is NULL, which would
     # emit a (bucket=NULL, r=NULL) register that breaks estimation.
     df = df.filter(F.col(value_col).isNotNull())
-    h = F.md5(F.col(value_col).cast("string"))
-    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m).alias(
-        "bucket"
+    bucket, rank = hll_bucket_rank(value_col, m)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").cast("long").alias("r"))
     )
+
+
+def hll_bucket_rank(value_col: str, m: int):
+    """The (bucket, rank) column pair of one value — THE HLL register
+    derivation, exposed so fused multi-sketch queries reuse the exact
+    expressions `hll_registers` aggregates."""
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m
     val = F.conv(F.substring(h, 5, 13), 16, 10).cast("long")
     rank = F.when(val == 0, F.lit(HLL_BITS + 1)).otherwise(
         F.lit(HLL_BITS + 1) - F.length(F.bin(val))
     )
+    return bucket, rank
+
+
+def cm_cell(value_col: str, d: int, width: int):
+    """The depth-``d`` cell index of one value — THE Count-Min cell
+    derivation (seeded md5), shared with fused multi-sketch queries."""
     return (
-        df.select(*group_cols, bucket, rank.alias("rank"))
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rank").cast("long").alias("r"))
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{d}:"), F.col(value_col).cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
     )
 
 
@@ -90,23 +115,7 @@ def cm_registers(
     entries = [
         F.struct(
             F.lit(d).alias("d"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"{d}:"),
-                                F.col(value_col).cast("string"),
-                            )
-                        ),
-                        1,
-                        4,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % width
-            ).alias("cell"),
+            cm_cell(value_col, d, width).alias("cell"),
         )
         for d in range(depth)
     ]
@@ -155,28 +164,41 @@ def bloom_registers(
     if 65536 % m_bits:
         raise ValueError(f"m_bits={m_bits} must divide 65536")
     df = df.filter(F.col(value_col).isNotNull())
-    entries = [
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{d}:"), F.col(value_col).cast("string")
-                        )
-                    ),
-                    1,
-                    4,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-        )
-        for d in range(n_hashes)
-    ]
     return df.select(
-        *group_cols, F.explode(F.array(*entries)).alias("bit")
+        *group_cols,
+        F.explode(_bloom_bit_array(value_col, n_hashes, m_bits)).alias(
+            "bit"
+        ),
     ).distinct()
+
+
+def _bloom_bit_array(value_col: str, n_hashes: int, m_bits: int):
+    """The n_hashes md5-seeded bit indices of a value — THE bit
+    derivation, shared by registers and prefilter so the two can never
+    drift into disjoint bit spaces (bloom_might_contain mirrors it
+    driver-side)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{d}:"),
+                                F.col(value_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for d in range(n_hashes)
+        ]
+    )
 
 
 def bloom_merge(*register_dfs: DataFrame) -> DataFrame:
@@ -206,40 +228,28 @@ def bloom_prefilter(
     built with — a mismatch silently degrades to near-zero matches
     (bit indices land in a different space). Store the parameters next
     to the persisted register table.
+
+    Duplicate candidate rows pass or fail independently (each row gets
+    a unique tag before the explode — without it, grouping by the
+    candidate columns would merge duplicates and the doubled match
+    count would FAIL the all-bits check, a false negative the Bloom
+    contract forbids).
     """
-    bits = F.array_distinct(
-        F.array(
-            *[
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"{d}:"),
-                                    F.col(value_col).cast("string"),
-                                )
-                            ),
-                            1,
-                            4,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % m_bits
-                )
-                for d in range(n_hashes)
-            ]
-        )
-    )
-    with_bits = candidates.withColumn("_bits", bits).withColumn(
-        "_need", F.size("_bits")
+    bits = F.array_distinct(_bloom_bit_array(value_col, n_hashes, m_bits))
+    with_bits = (
+        candidates.withColumn("_row", F.monotonically_increasing_id())
+        .withColumn("_bits", bits)
+        .withColumn("_need", F.size("_bits"))
     )
     matched = (
         with_bits.select(
-            *candidates.columns, "_need", F.explode("_bits").alias("bit")
+            *candidates.columns,
+            "_row",
+            "_need",
+            F.explode("_bits").alias("bit"),
         )
         .join(F.broadcast(registers.select("bit").distinct()), "bit")
-        .groupBy(*candidates.columns, "_need")
+        .groupBy(*candidates.columns, "_row", "_need")
         .agg(F.count("*").alias("_got"))
         .filter(F.col("_got") == F.col("_need"))
         .select(*candidates.columns)

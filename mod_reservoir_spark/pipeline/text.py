@@ -386,19 +386,9 @@ def ngram_counts(
     Output: (ngram, n_total, n_docs) — k rows, ordered by n_total
     descending then ngram.
     """
-    t = tokens(text_col)
-    if n == 1:
-        grams = t
-    else:
-        width = F.greatest(F.size(t) - (n - 1), F.lit(0))
-        acc = F.slice(t, 1, width)
-        for j in range(1, n):
-            acc = F.zip_with(
-                acc,
-                F.slice(t, j + 1, width),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        grams = acc
+    from mod_reservoir_spark.pipeline.dedup import ngram_array
+
+    grams = ngram_array(tokens(text_col), n)
     per_doc = (
         docs.select("doc_id", F.explode(grams).alias("ngram"))
         .groupBy("ngram", "doc_id")

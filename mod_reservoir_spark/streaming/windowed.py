@@ -223,79 +223,85 @@ def streaming_near_dedup(
     spark: SparkSession,
     input_dir: str,
     checkpoint_dir: str,
-    warehouse,
-    sig_table: str = "dedup_signatures",
-    pairs_table: str = "neardup_pairs",
+    state_dir: str,
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 2,
     threshold_ppm: int = 500000,
 ):
     """Streaming MinHash near-dup detection with MAINTAINED state —
-    the production lifecycle of `minhash_lsh_pairs_incremental` wired
-    into Structured Streaming via ``foreachBatch``.
+    the production lifecycle of incremental LSH dedup wired into
+    Structured Streaming via ``foreachBatch``.
 
-    Per micro-batch of documents: (1) run the incremental LSH pass
-    against the Warehouse-persisted corpus signature table — the
-    corpus is never re-shingled, cost is O(batch × bucket occupancy);
-    (2) append the verified pairs; (3) append the batch's signatures,
-    becoming the corpus the NEXT batch joins against. Because every
-    near-dup pair "touches" the batch of its later-arriving member,
-    the union of all per-batch pair outputs equals the full batch
-    `minhash_lsh_pairs` over everything ingested (equivalence pinned
-    in tests/test_windowed_streaming.py).
+    Per micro-batch of documents: (1) sign the batch once (persisted
+    for the duration of the batch); (2) run the signatures-level
+    incremental pass against the accumulated corpus signature state —
+    the corpus is read, never re-shingled, and cost is
+    O(batch × bucket occupancy); (3) APPEND the batch's verified pairs
+    and signatures as per-batch partitions under ``state_dir``
+    (``signatures/batch=<id>/``, ``pairs/batch=<id>/``) — per-batch
+    write volume is O(batch), NOT a rewrite of the accumulated state
+    (a versioned full-table write would pay O(corpus) I/O per batch,
+    quadratic cumulative work). Because every near-dup pair "touches"
+    the batch of its later-arriving member, the union of the per-batch
+    pair partitions equals the full batch `minhash_lsh_pairs` over
+    everything ingested (equivalence pinned in
+    tests/test_windowed_streaming.py). Read the accumulated state with
+    :func:`read_near_dedup_state`.
 
-    Replay safety: ``foreachBatch`` is at-least-once, so both appends
-    are idempotent — signatures dedupe on doc_id, pairs on
-    (doc_a, doc_b); a re-run batch rewrites the same rows. The
-    Warehouse's versioned-pointer write means readers of version N are
-    never disturbed by the version-N+1 write the same batch performs.
+    Replay safety: ``foreachBatch`` is at-least-once; a replayed batch
+    overwrites ITS OWN partition directory with identical rows, so the
+    state converges. Cross-batch duplicates cannot arise as long as
+    doc_ids are unique across batches (re-ingesting a changed document
+    under the same id needs a compaction pass, same as any
+    append-structured store).
+
+    The batch signatures are persisted at the top of the batch and
+    unpersisted at the end — no global cache invalidation, so caches
+    the embedding application holds are untouched.
     """
+    import os
+
     from mod_reservoir_spark.pipeline.dedup import (
-        minhash_lsh_pairs_incremental,
+        incremental_pairs_from_sigs,
         signature_table,
     )
 
+    sig_root = os.path.join(state_dir, "signatures")
+    pairs_root = os.path.join(state_dir, "pairs")
     empty_sigs = spark.createDataFrame(
         [], "doc_id long, hsh array<bigint>, sig array<bigint>"
     )
 
+    def read_sigs():
+        if not os.path.isdir(sig_root) or not any(
+            e.startswith("batch=") for e in os.listdir(sig_root)
+        ):
+            return empty_sigs
+        return spark.read.parquet(sig_root).select("doc_id", "hsh", "sig")
+
     def process(batch_df, batch_id):
-        batch_df = batch_df.filter(
-            F.col("doc_id").isNotNull()
-        ).localCheckpoint(eager=True)
-        corpus_sigs = (
-            warehouse.read(sig_table)
-            if warehouse.exists(sig_table)
-            else empty_sigs
-        )
-        pairs = minhash_lsh_pairs_incremental(
-            batch_df,
-            corpus_sigs=corpus_sigs,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
-            threshold_ppm=threshold_ppm,
-        )
-        prev_pairs = (
-            warehouse.read(pairs_table)
-            if warehouse.exists(pairs_table)
-            else None
-        )
-        all_pairs = (
-            prev_pairs.unionByName(pairs) if prev_pairs is not None else pairs
-        ).dropDuplicates(["doc_a", "doc_b"])
-        warehouse.write(pairs_table, all_pairs)
+        batch_df = batch_df.filter(F.col("doc_id").isNotNull())
         new_sigs = signature_table(
             batch_df, num_hashes=num_hashes, shingle_n=shingle_n
-        )
-        warehouse.write(
-            sig_table,
-            corpus_sigs.unionByName(new_sigs).dropDuplicates(["doc_id"]),
-        )
-        # the incremental operator persists its signature frames; drop
-        # them so a long-running stream doesn't accumulate cache
-        spark.catalog.clearCache()
+        ).persist()
+        try:
+            pairs = incremental_pairs_from_sigs(
+                new_sigs,
+                read_sigs(),
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold_ppm=threshold_ppm,
+                persist=False,
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_root, f"batch={batch_id}")
+            )
+            new_sigs.write.mode("overwrite").parquet(
+                os.path.join(sig_root, f"batch={batch_id}")
+            )
+        finally:
+            new_sigs.unpersist()
 
     docs = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -307,3 +313,17 @@ def streaming_near_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_near_dedup_state(spark: SparkSession, state_dir: str):
+    """(signatures, pairs) DataFrames of the accumulated streaming
+    near-dedup state — unions of the per-batch partitions."""
+    import os
+
+    sigs = spark.read.parquet(os.path.join(state_dir, "signatures")).select(
+        "doc_id", "hsh", "sig"
+    )
+    pairs = spark.read.parquet(os.path.join(state_dir, "pairs")).select(
+        "doc_a", "doc_b", "est_ppm", "jaccard_ppm"
+    )
+    return sigs, pairs

@@ -1410,3 +1410,21 @@ def test_duplicate_span_stats_semantics(spark):
     assert got[1] == (5, 2, 400000)
     assert got[2] == (5, 0, 0)
     assert got[3] == (0, 0, 0)
+
+
+def test_bloom_prefilter_duplicate_candidates(spark):
+    """Duplicate candidate rows must EACH pass — grouping that merges
+    duplicates would double the matched-bit count and produce a false
+    negative, which the Bloom contract forbids."""
+    from mod_reservoir_spark.pipeline.sketches import (
+        bloom_prefilter,
+        bloom_registers,
+    )
+
+    corpus = spark.createDataFrame([("m-1",), ("m-2",)], "v string")
+    regs = bloom_registers(corpus, "v")
+    cand = spark.createDataFrame(
+        [("m-1",), ("m-1",), ("m-2",), ("nope",)], "v string"
+    )
+    kept = sorted(r.v for r in bloom_prefilter(cand, "v", regs).collect())
+    assert kept == ["m-1", "m-1", "m-2"]

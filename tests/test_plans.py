@@ -235,3 +235,14 @@ def test_duplicate_span_stats_plan(docs):
     p = plan(df)
     assert "Window" not in p
     assert "partial_count" in p
+
+
+def test_fused_sketch_contract_query_single_pass(spark):
+    """q_sketch_registers must stay ONE corpus scan + ONE combinable
+    aggregation shuffle — not a union of two independent sketch
+    pipelines re-reading the corpus."""
+    import __spark_entry__ as E
+
+    p = plan(E.q_sketch_registers(spark, SF_DIR), "simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("Scan parquet") == 1, p

@@ -142,14 +142,17 @@ def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
 
 
 def test_streaming_near_dedup_equals_full_batch(spark, tmp_path):
-    """foreachBatch incremental LSH with the Warehouse-maintained
-    signature table: after all batches, the accumulated pairs equal
-    the FULL batch minhash_lsh_pairs over everything ingested (every
-    pair touches the batch of its later member), and the signature
-    table holds every doc exactly once."""
-    from mod_reservoir_spark.core.storage import Warehouse
+    """foreachBatch incremental LSH with per-batch partition appends:
+    after all batches, the accumulated pairs equal the FULL batch
+    minhash_lsh_pairs over everything ingested (every pair touches the
+    batch of its later member), the signature state holds every doc
+    exactly once, and each batch wrote only ITS OWN partition (no
+    state rewrite amplification)."""
     from mod_reservoir_spark.pipeline.dedup import minhash_lsh_pairs
-    from mod_reservoir_spark.streaming.windowed import streaming_near_dedup
+    from mod_reservoir_spark.streaming.windowed import (
+        read_near_dedup_state,
+        streaming_near_dedup,
+    )
 
     b1 = [
         (0, "the quick brown fox jumps over the lazy dog"),
@@ -163,12 +166,12 @@ def test_streaming_near_dedup_equals_full_batch(spark, tmp_path):
     ]
     indir = tmp_path / "docs"
     indir.mkdir()
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    state = str(tmp_path / "state")
     q = streaming_near_dedup(
         spark,
         str(indir),
         str(tmp_path / "ckpt"),
-        wh,
+        state,
         threshold_ppm=300000,
     )
     try:
@@ -183,13 +186,22 @@ def test_streaming_near_dedup_equals_full_batch(spark, tmp_path):
     finally:
         q.stop()
 
-    sigs = wh.read("dedup_signatures")
+    sigs, got_pairs = read_near_dedup_state(spark, state)
     assert sorted(r.doc_id for r in sigs.select("doc_id").collect()) == list(
         range(6)
     )
+    # append-shaped state: exactly one partition dir per micro-batch
+    import os
+
+    sig_parts = sorted(
+        e
+        for e in os.listdir(os.path.join(state, "signatures"))
+        if e.startswith("batch=")
+    )
+    assert sig_parts == ["batch=0", "batch=1"]
     got = {
         (r.doc_a, r.doc_b): (r.est_ppm, r.jaccard_ppm)
-        for r in wh.read("neardup_pairs").collect()
+        for r in got_pairs.collect()
     }
     all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
     want = {
