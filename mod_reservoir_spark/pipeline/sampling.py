@@ -118,3 +118,63 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, *strata, "n_tokens", "cum_tokens")
     )
+
+
+def mixture_quotas(weights: dict[str, float], n_total: int) -> dict[str, int]:
+    """Exact largest-remainder allocation of ``n_total`` slots by
+    weight (Hamilton's method): floor the proportional shares, then
+    hand the leftover slots to the largest fractional remainders
+    (ties broken by stratum name for determinism). Σ quotas ==
+    n_total exactly — no floating-point drift in the mix."""
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    shares = {
+        k: (w * n_total) / total_w for k, w in weights.items()
+    }
+    quotas = {k: int(s) for k, s in shares.items()}
+    leftover = n_total - sum(quotas.values())
+    by_remainder = sorted(
+        weights, key=lambda k: (-(shares[k] - quotas[k]), k)
+    )
+    for k in by_remainder[:leftover]:
+        quotas[k] += 1
+    return quotas
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    n_total: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mix construction: draw ``n_total`` documents with
+    target per-source proportions (the Pile/DoReMi-style domain
+    reweighting step), in the deterministic md5 shuffle order.
+
+    Quotas are exact largest-remainder allocations
+    (:func:`mixture_quotas`); strata absent from ``weights``
+    contribute nothing; a stratum with fewer documents than its quota
+    yields what it has — the shortfall is visible by comparing row
+    counts to the quota table, never silently rebalanced onto other
+    strata (silent rebalancing changes the mix proportions, which is
+    the one thing this operator exists to control).
+
+    Scale shape: same single stratum-key shuffle as
+    :func:`stratified_sample`, plus a broadcast join against the
+    (tiny) quota table. Output: (id, stratum, sample_rank, quota).
+    """
+    quotas = mixture_quotas(weights, n_total)
+    spark = docs.sparkSession
+    quota_df = spark.createDataFrame(
+        sorted(quotas.items()), f"{stratum_col} string, quota long"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(_shuffle_key(id_col))
+    return (
+        docs.select(id_col, stratum_col)
+        .join(F.broadcast(quota_df), stratum_col)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, stratum_col, "sample_rank", "quota")
+    )

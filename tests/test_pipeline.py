@@ -1428,3 +1428,59 @@ def test_bloom_prefilter_duplicate_candidates(spark):
     )
     kept = sorted(r.v for r in bloom_prefilter(cand, "v", regs).collect())
     assert kept == ["m-1", "m-1", "m-2"]
+
+
+def test_mixture_sample_oracle_and_quotas(spark):
+    """Weighted mix construction: exact largest-remainder quotas, and
+    the drawn sample hash-matches a DuckDB oracle replicating the md5
+    shuffle order with the same (inlined) quota table."""
+    from mod_reservoir_spark.pipeline.sampling import (
+        mixture_quotas,
+        mixture_sample,
+    )
+
+    weights = {"en": 0.5, "de": 0.25, "fr": 0.2, "zz": 0.05}
+    quotas = mixture_quotas(weights, 101)
+    assert sum(quotas.values()) == 101
+    assert quotas["en"] == 51 and quotas["de"] == 25
+    assert quotas["fr"] == 20 and quotas["zz"] == 5
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = mixture_sample(docs, weights, 101)
+    vals = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(quotas.items())
+    )
+    sql = f"""
+        WITH q(lang, quota) AS (VALUES {vals}),
+        ranked AS (
+          SELECT d.doc_id, d.lang, q.quota,
+                 row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR))
+                 ) AS sample_rank
+          FROM documents d JOIN q USING (lang))
+        SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank,
+               CAST(quota AS BIGINT) AS quota
+        FROM ranked WHERE sample_rank <= quota
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+    # absent stratum ('zz') contributes nothing; shortfall visible
+    got = out.groupBy("lang").count().collect()
+    langs = {r.lang for r in got}
+    assert "zz" not in langs
+
+
+def test_line_dedup_idempotent(spark):
+    """Applying line_dedup to its own output removes nothing further:
+    every surviving eligible line is the unique corpus-wide owner."""
+    from mod_reservoir_spark.pipeline.dedup import line_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    once = line_dedup(docs, line_sep=" ", min_chars=1).select(
+        "doc_id", "text"
+    )
+    twice = line_dedup(once, line_sep=" ", min_chars=1)
+    changed = twice.filter(F.col("n_kept") != F.col("n_lines")).count()
+    assert changed == 0

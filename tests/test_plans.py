@@ -246,3 +246,13 @@ def test_fused_sketch_contract_query_single_pass(spark):
     p = plan(E.q_sketch_registers(spark, SF_DIR), "simple")
     assert p.count("Exchange") == 1, p
     assert p.count("Scan parquet") == 1, p
+
+
+def test_mixture_sample_plan(docs):
+    """mixture_sample: the quota table broadcasts and the stratum
+    window is the single data shuffle."""
+    from mod_reservoir_spark.pipeline.sampling import mixture_sample
+
+    p = plan(mixture_sample(docs, {"en": 0.6, "de": 0.4}, 100))
+    assert "BroadcastHashJoin" in p
+    assert p.count("+- Exchange") == 1, p
