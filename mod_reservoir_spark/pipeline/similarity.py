@@ -692,9 +692,24 @@ def embedding_near_dup(
     return scored.filter(F.col("score") >= threshold)
 
 
+def auto_clusters(
+    n_rows: int, target_cell: int = 64, lo: int = 16
+) -> int:
+    """Cluster count keeping expected k-means cell occupancy ≈
+    target_cell — the auto_planes argument applied to SemDeDup: with k
+    FIXED, cell occupancy grows linearly with the corpus and
+    within-cell candidate pairs quadratically; k = n/target holds
+    per-cell pair cost constant, which is what keeps the cell join
+    linear at 100×. (SemDeDup's published runs use k ∝ n for the same
+    reason.)"""
+    import math
+
+    return max(lo, math.ceil(max(n_rows, 1) / target_cell))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     threshold: float = 0.95,
     iterations: int = 3,
     id_col: str = "vec_id",
@@ -723,6 +738,8 @@ def semantic_dedup(
     """
     from mod_reservoir_spark.pipeline.dedup import near_dedup_keep
 
+    if n_clusters == "auto":
+        n_clusters = auto_clusters(embeddings.count())
     centroids, _history = kmeans_train(
         embeddings, n_clusters, iterations, id_col, vec_col
     )

@@ -1484,3 +1484,11 @@ def test_line_dedup_idempotent(spark):
     twice = line_dedup(once, line_sep=" ", min_chars=1)
     changed = twice.filter(F.col("n_kept") != F.col("n_lines")).count()
     assert changed == 0
+
+
+def test_auto_clusters_occupancy_rule():
+    from mod_reservoir_spark.pipeline.similarity import auto_clusters
+
+    assert auto_clusters(64 * 16) == 16  # floor at lo
+    assert auto_clusters(640_000) == 10_000  # n/target
+    assert auto_clusters(0) == 16

@@ -128,3 +128,62 @@ def test_iso2709_parser_is_total(data):
 
     for rec in parse_iso2709(data):
         assert "leader" in rec and "fields" in rec
+
+
+def test_bloom_never_false_negative_property():
+    """Property: for ANY inserted value set, bloom_might_contain is
+    true for every member (driver-side mirror of the distributed bit
+    derivation — the Bloom guarantee has no exceptions)."""
+    from hypothesis import given, settings, strategies as st
+
+    from mod_reservoir_spark.pipeline.sketches import bloom_might_contain
+
+    import hashlib
+
+    def bits_of(values, n_hashes=4, m_bits=4096):
+        bits = set()
+        for v in values:
+            for d in range(n_hashes):
+                h = hashlib.md5(f"{d}:{v}".encode()).hexdigest()
+                bits.add(int(h[:4], 16) % m_bits)
+        return bits
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=40), max_size=50))
+    def check(values):
+        bits = bits_of(values)
+        for v in values:
+            assert bloom_might_contain(bits, v)
+
+    check()
+
+
+def test_mixture_quotas_property():
+    """Property: quotas always sum EXACTLY to n_total, are
+    non-negative, and are within 1 of the proportional share."""
+    from hypothesis import given, settings, strategies as st
+
+    from mod_reservoir_spark.pipeline.sampling import mixture_quotas
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(min_size=1, max_size=8),
+            st.floats(
+                min_value=0.001, max_value=1000, allow_nan=False
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        st.integers(min_value=0, max_value=10000),
+    )
+    def check(weights, n_total):
+        q = mixture_quotas(weights, n_total)
+        assert sum(q.values()) == n_total
+        total_w = sum(weights.values())
+        for k, w in weights.items():
+            share = w * n_total / total_w
+            assert q[k] >= 0
+            assert abs(q[k] - share) < 1 + 1e-9
+
+    check()
