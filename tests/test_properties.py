@@ -187,3 +187,44 @@ def test_mixture_quotas_property():
             assert abs(q[k] - share) < 1 + 1e-9
 
     check()
+
+
+def test_line_dedup_matches_python_reference(spark):
+    """Property: line_dedup equals a direct Python implementation of
+    the first-occurrence-keeps rule over randomized small corpora
+    (including empty lines, within-doc repeats, and min_chars
+    exemptions)."""
+    from hypothesis import given, settings, strategies as st
+
+    from mod_reservoir_spark.pipeline.dedup import line_dedup
+
+    line = st.sampled_from(["", "x", "dup line", "other dup", "u1", "u2 longer"])
+    doc = st.lists(line, min_size=0, max_size=5).map("\n".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def check(texts):
+        min_chars = 2
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.text, r.n_lines, r.n_kept)
+            for r in line_dedup(docs, min_chars=min_chars).collect()
+        }
+        seen: set[str] = set()
+        for i, t in enumerate(texts):
+            lines = t.split("\n")
+            kept = []
+            for ln in lines:
+                if len(ln) < min_chars:
+                    kept.append(ln)
+                elif ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            assert got[i] == ("\n".join(kept), len(lines), len(kept)), (
+                i,
+                texts,
+            )
+
+    check()
