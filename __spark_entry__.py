@@ -351,16 +351,24 @@ def q_fingerprint(spark, sf_dir):
     return tx.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _lang_tokens(spark, sf_dir):
+    """(lang, v) exploded token rows of the documents table — THE
+    tokenization all three sketch register queries share (the fused
+    contract result hash-depends on the copies staying identical, so
+    there is exactly one copy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
+    ).filter(F.col("v") != "")
+
+
 def q_hll_registers(spark, sf_dir):
     """Deterministic HyperLogLog registers for distinct tokens per
     language — pipeline/sketches.py (engine-reproducible sketch: the
     oracle builds byte-identical registers)."""
     from mod_reservoir_spark.pipeline import sketches as sk
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
-    ).filter(F.col("v") != "")
+    toks = _lang_tokens(spark, sf_dir)
     return sk.hll_registers(toks, "v", ("lang",), m=512)
 
 
@@ -370,10 +378,7 @@ def q_cm_registers(spark, sf_dir):
     byte-identical across engines)."""
     from mod_reservoir_spark.pipeline import sketches as sk
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
-    ).filter(F.col("v") != "")
+    toks = _lang_tokens(spark, sf_dir)
     return sk.cm_registers(toks, "v", ("lang",), depth=4, width=256)
 
 
@@ -390,10 +395,7 @@ def q_sketch_registers(spark, sf_dir):
     hll rows, count(*) the cm rows."""
     from mod_reservoir_spark.pipeline import sketches as sk
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
-    ).filter(F.col("v") != "")
+    toks = _lang_tokens(spark, sf_dir)
     bucket, rank = sk.hll_bucket_rank("v", 512)
     entries = [
         F.struct(

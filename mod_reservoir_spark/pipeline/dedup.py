@@ -515,6 +515,7 @@ def minhash_lsh_pairs_incremental(
     threshold_ppm: int = 500000,
     corpus_sigs: DataFrame | None = None,
     hasher: str = "md5",
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING a new batch: new-vs-corpus and
     new-vs-new, never corpus-vs-corpus — the incremental-ingest shape.
@@ -548,10 +549,16 @@ def minhash_lsh_pairs_incremental(
     def sig_table(d):
         return signature_table(d, text_col, num_hashes, shingle_n, hasher)
 
-    new_sig = sig_table(new_docs).persist()
+    new_sig = sig_table(new_docs)
+    if persist:
+        # caches live for the lifetime of the returned plan; a long-
+        # lived driver issuing many increments should use the
+        # signatures-level core with persist=False and manage its own
+        # handles (the streaming pipeline does exactly this)
+        new_sig = new_sig.persist()
     old_sig = corpus_sigs if corpus_sigs is not None else sig_table(corpus)
     return incremental_pairs_from_sigs(
-        new_sig, old_sig, num_hashes, bands, threshold_ppm
+        new_sig, old_sig, num_hashes, bands, threshold_ppm, persist
     )
 
 

@@ -126,6 +126,11 @@ def mixture_quotas(weights: dict[str, float], n_total: int) -> dict[str, int]:
     hand the leftover slots to the largest fractional remainders
     (ties broken by stratum name for determinism). Σ quotas ==
     n_total exactly — no floating-point drift in the mix."""
+    negative = {k: w for k, w in weights.items() if w < 0}
+    if negative:
+        # a negative weight would allocate a negative quota and push
+        # the other strata past n_total — silently wrong proportions
+        raise ValueError(f"negative weights not allowed: {negative}")
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -250,17 +250,28 @@ def streaming_near_dedup(
     :func:`read_near_dedup_state`.
 
     Replay safety: ``foreachBatch`` is at-least-once; a replayed batch
-    overwrites ITS OWN partition directory with identical rows, so the
-    state converges. Cross-batch duplicates cannot arise as long as
-    doc_ids are unique across batches (re-ingesting a changed document
-    under the same id needs a compaction pass, same as any
-    append-structured store).
+    rewrites ITS OWN partition directory with identical rows, so the
+    state converges. Two details make that literally true: the corpus
+    side EXCLUDES the replaying batch's own doc_ids (broadcast
+    anti-join — without it, a crash between the state commit and the
+    stream checkpoint would replay against a corpus that already
+    contains the batch, and the verify joins would emit each pair 2-4
+    times), and each partition is written to a staging directory then
+    atomically renamed into place, so a concurrent
+    :func:`read_near_dedup_state` never lists a half-written batch.
+    Cross-batch duplicates cannot arise as long as doc_ids are unique
+    across batches (re-ingesting a changed document under the same id
+    needs a compaction pass, same as any append-structured store).
 
-    The batch signatures are persisted at the top of the batch and
-    unpersisted at the end — no global cache invalidation, so caches
-    the embedding application holds are untouched.
+    The batch signatures AND the accumulated corpus read are persisted
+    for the duration of the batch and unpersisted at the end (the
+    incremental pass references the corpus in its bucket join and both
+    verify joins — unpersisted, that is 3 full re-reads of the
+    accumulated state per batch); no global cache invalidation, so
+    caches the embedding application holds are untouched.
     """
     import os
+    import shutil
 
     from mod_reservoir_spark.pipeline.dedup import (
         incremental_pairs_from_sigs,
@@ -280,28 +291,45 @@ def streaming_near_dedup(
             return empty_sigs
         return spark.read.parquet(sig_root).select("doc_id", "hsh", "sig")
 
+    def commit(df, root, batch_id):
+        staging = os.path.join(root, f".staging-{batch_id}")
+        final = os.path.join(root, f"batch={batch_id}")
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):  # replay: replace the old partition
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
     def process(batch_df, batch_id):
         batch_df = batch_df.filter(F.col("doc_id").isNotNull())
         new_sigs = signature_table(
             batch_df, num_hashes=num_hashes, shingle_n=shingle_n
         ).persist()
+        # anti-join out this batch's ids so a replay (state committed,
+        # checkpoint not) recomputes against the SAME corpus as the
+        # original run; new-batch ids broadcast
+        corpus = (
+            read_sigs()
+            .join(
+                F.broadcast(new_sigs.select("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+            .persist()
+        )
         try:
             pairs = incremental_pairs_from_sigs(
                 new_sigs,
-                read_sigs(),
+                corpus,
                 num_hashes=num_hashes,
                 bands=bands,
                 threshold_ppm=threshold_ppm,
                 persist=False,
             )
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(pairs_root, f"batch={batch_id}")
-            )
-            new_sigs.write.mode("overwrite").parquet(
-                os.path.join(sig_root, f"batch={batch_id}")
-            )
+            commit(pairs, pairs_root, batch_id)
+            commit(new_sigs, sig_root, batch_id)
         finally:
             new_sigs.unpersist()
+            corpus.unpersist()
 
     docs = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -317,13 +345,27 @@ def streaming_near_dedup(
 
 def read_near_dedup_state(spark: SparkSession, state_dir: str):
     """(signatures, pairs) DataFrames of the accumulated streaming
-    near-dedup state — unions of the per-batch partitions."""
+    near-dedup state — unions of the per-batch partitions. Empty typed
+    frames before the stream commits its first batch (or for whichever
+    table has no committed partition yet), so pollers never crash on a
+    starting stream."""
     import os
 
-    sigs = spark.read.parquet(os.path.join(state_dir, "signatures")).select(
-        "doc_id", "hsh", "sig"
+    def read_or_empty(root, schema, cols):
+        if not os.path.isdir(root) or not any(
+            e.startswith("batch=") for e in os.listdir(root)
+        ):
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(root).select(*cols)
+
+    sigs = read_or_empty(
+        os.path.join(state_dir, "signatures"),
+        "doc_id long, hsh array<bigint>, sig array<bigint>",
+        ["doc_id", "hsh", "sig"],
     )
-    pairs = spark.read.parquet(os.path.join(state_dir, "pairs")).select(
-        "doc_a", "doc_b", "est_ppm", "jaccard_ppm"
+    pairs = read_or_empty(
+        os.path.join(state_dir, "pairs"),
+        "doc_a long, doc_b long, est_ppm long, jaccard_ppm long",
+        ["doc_a", "doc_b", "est_ppm", "jaccard_ppm"],
     )
     return sigs, pairs

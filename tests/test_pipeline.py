@@ -1492,3 +1492,10 @@ def test_auto_clusters_occupancy_rule():
     assert auto_clusters(64 * 16) == 16  # floor at lo
     assert auto_clusters(640_000) == 10_000  # n/target
     assert auto_clusters(0) == 16
+
+
+def test_mixture_quotas_rejects_negative_weights():
+    from mod_reservoir_spark.pipeline.sampling import mixture_quotas
+
+    with pytest.raises(ValueError):
+        mixture_quotas({"a": -1.0, "b": 3.0}, 10)

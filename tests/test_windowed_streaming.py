@@ -210,3 +210,57 @@ def test_streaming_near_dedup_equals_full_batch(spark, tmp_path):
     }
     assert got == want
     assert (0, 1) in got  # a real near-dup was found
+
+
+def test_streaming_near_dedup_replay_identical(spark, tmp_path):
+    """The crash-replay scenario: state for batch N already committed,
+    checkpoint not — the replayed computation must produce EXACTLY the
+    original partition rows (the anti-join excludes the batch's own
+    committed signatures from the corpus side; without it the verify
+    joins emit each pair 2-4 times)."""
+    from mod_reservoir_spark.pipeline.dedup import (
+        incremental_pairs_from_sigs,
+        signature_table,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over a lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus_docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    new_sigs = signature_table(batch)
+    clean = signature_table(corpus_docs)
+    # replay corpus: the batch's signatures are already committed
+    dirty = clean.unionByName(new_sigs)
+    original = incremental_pairs_from_sigs(
+        new_sigs, clean, threshold_ppm=300000
+    ).collect()
+    from pyspark.sql import functions as F
+
+    replay = incremental_pairs_from_sigs(
+        new_sigs,
+        dirty.join(
+            F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti"
+        ),
+        threshold_ppm=300000,
+    ).collect()
+    assert sorted(map(tuple, replay)) == sorted(map(tuple, original))
+    assert len(original) >= 1
+    # and WITHOUT the anti-join the replay would inflate rows
+    inflated = incremental_pairs_from_sigs(
+        new_sigs, dirty, threshold_ppm=300000
+    ).collect()
+    assert len(inflated) > len(original)
+
+
+def test_read_near_dedup_state_empty(spark, tmp_path):
+    from mod_reservoir_spark.streaming.windowed import read_near_dedup_state
+
+    sigs, pairs = read_near_dedup_state(spark, str(tmp_path / "nothing"))
+    assert sigs.count() == 0 and pairs.count() == 0
