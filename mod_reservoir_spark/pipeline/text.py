@@ -405,6 +405,71 @@ def ngram_counts(
     )
 
 
+def unigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean token negative log-probability under the
+    corpus's own unigram distribution — the self-perplexity quality
+    signal (the cheap stand-in for the KenLM-perplexity filter in
+    CCNet/Gopher pipelines): documents made of globally-rare tokens
+    score high (gibberish, OCR noise, wrong-language fragments),
+    boilerplate scores low.
+
+    p(tok) = count(tok) / total_tokens over the full corpus; the score
+    is mean(-ln p) over the document's tokens, ×1e6 and rounded to a
+    long so a SQL oracle compares exactly. Two combinable aggregation
+    shuffles build the (term, doc) and vocabulary tables (the same
+    shape as tfidf_top_terms); totals join as broadcast scalars; the
+    per-doc reduce is one more combinable groupBy — no window, no
+    Python.
+
+    Output: (doc_id, n_tokens, mean_nll_e6); empty docs report 0
+    tokens and 0 score.
+    """
+    t = tokens(text_col)
+    term_doc = (
+        docs.select("doc_id", F.explode(t).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    vocab = term_doc.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("ctf")
+    )
+    totals = vocab.select(
+        F.sum("ctf").cast("long").alias("_total")
+    )
+    scored = (
+        term_doc.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf")
+                * -F.log(F.col("ctf") / F.col("_total"))
+            ).alias("_nll_sum"),
+        )
+        .withColumn(
+            "mean_nll_e6",
+            F.round(F.col("_nll_sum") / F.col("n_tokens") * 1000000).cast(
+                "long"
+            ),
+        )
+        .select("doc_id", "n_tokens", "mean_nll_e6")
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("mean_nll_e6", F.lit(0))
+            .cast("long")
+            .alias("mean_nll_e6"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", k: int = 5
 ) -> DataFrame:

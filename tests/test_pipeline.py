@@ -1499,3 +1499,63 @@ def test_mixture_quotas_rejects_negative_weights():
 
     with pytest.raises(ValueError):
         mixture_quotas({"a": -1.0, "b": 3.0}, 10)
+
+
+def test_unigram_logprob_oracle(spark):
+    """Self-perplexity quality scores hash-match a DuckDB oracle
+    (corpus unigram distribution, 1e6-scaled mean NLL)."""
+    from mod_reservoir_spark.pipeline.text import unigram_logprob_scores
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = unigram_logprob_scores(docs)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')"
+    )
+    sql = f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        term_doc AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+          GROUP BY 1, 2),
+        vocab AS (
+          SELECT term, CAST(sum(tf) AS BIGINT) AS ctf
+          FROM term_doc GROUP BY 1),
+        tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM vocab),
+        scored AS (
+          SELECT td.doc_id,
+                 CAST(sum(td.tf) AS BIGINT) AS n_tokens,
+                 CAST(round(
+                   sum(td.tf * -ln(v.ctf / CAST(tot.total AS DOUBLE)))
+                     / sum(td.tf) * 1000000) AS BIGINT) AS mean_nll_e6
+          FROM term_doc td JOIN vocab v USING (term) CROSS JOIN tot
+          GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(s.n_tokens, 0) AS n_tokens,
+               COALESCE(s.mean_nll_e6, 0) AS mean_nll_e6
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+
+
+def test_unigram_logprob_ranks_rare_text_higher(spark):
+    """A doc of globally-unique tokens must outscore a doc of corpus-
+    common tokens; empty docs report zeros."""
+    from mod_reservoir_spark.pipeline.text import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common common"),
+            (1, "common common common rareword"),
+            (2, "zxqv wkjh pqrs tuvw"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_nll_e6)
+        for r in unigram_logprob_scores(docs).collect()
+    }
+    assert got[3] == (0, 0)
+    assert got[2][1] > got[1][1] > got[0][1]
