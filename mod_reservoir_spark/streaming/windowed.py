@@ -369,3 +369,59 @@ def read_near_dedup_state(spark: SparkSession, state_dir: str):
         ["doc_a", "doc_b", "est_ppm", "jaccard_ppm"],
     )
     return sigs, pairs
+
+
+def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> dict:
+    """Consolidate the per-batch partitions of the streaming near-dedup
+    state into one — the compaction pass the append-structured store
+    needs: thousands of small per-batch directories become one
+    well-sized partition, and a document RE-INGESTED under the same
+    doc_id in a later batch replaces its older signature row (latest
+    batch wins; same rule for a re-verified pair).
+
+    Keep-latest is a map-side-combinable ``max(struct(batch, …))`` per
+    key — no window, skew-safe like the other state reductions. Run
+    while the stream is STOPPED (the standard compaction contract):
+    the consolidated partition is staged and renamed in, but clearing
+    the old per-batch directories is not atomic with it.
+
+    Returns {"signatures": n_rows, "pairs": n_rows, "batches": n}.
+    """
+    import os
+    import shutil
+
+    stats = {}
+    n_batches = 0
+    for table, key_cols, val_cols in (
+        ("signatures", ["doc_id"], ["hsh", "sig"]),
+        ("pairs", ["doc_a", "doc_b"], ["est_ppm", "jaccard_ppm"]),
+    ):
+        root = os.path.join(state_dir, table)
+        if not os.path.isdir(root):
+            stats[table] = 0
+            continue
+        parts = sorted(
+            e for e in os.listdir(root) if e.startswith("batch=")
+        )
+        n_batches = max(n_batches, len(parts))
+        if not parts:
+            stats[table] = 0
+            continue
+        df = spark.read.parquet(root)
+        latest = (
+            df.groupBy(*key_cols)
+            .agg(
+                F.max(F.struct(F.col("batch"), *val_cols)).alias("_m")
+            )
+            .select(*key_cols, *[f"_m.{c}" for c in val_cols])
+        )
+        max_batch = max(int(p.split("=", 1)[1]) for p in parts)
+        staging = os.path.join(root, ".staging-compact")
+        latest.write.mode("overwrite").parquet(staging)
+        n_rows = spark.read.parquet(staging).count()
+        for p in parts:
+            shutil.rmtree(os.path.join(root, p))
+        os.rename(staging, os.path.join(root, f"batch={max_batch}"))
+        stats[table] = n_rows
+    stats["batches"] = n_batches
+    return stats

@@ -264,3 +264,57 @@ def test_read_near_dedup_state_empty(spark, tmp_path):
 
     sigs, pairs = read_near_dedup_state(spark, str(tmp_path / "nothing"))
     assert sigs.count() == 0 and pairs.count() == 0
+
+
+def test_compact_near_dedup_state(spark, tmp_path):
+    """Compaction folds the per-batch partitions into one, preserves
+    the state contents exactly, and keeps the latest row for a doc_id
+    re-ingested in a later batch."""
+    import os
+
+    from mod_reservoir_spark.streaming.windowed import (
+        compact_near_dedup_state,
+        read_near_dedup_state,
+        streaming_near_dedup,
+    )
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_near_dedup(
+        spark, str(indir), str(tmp_path / "ckpt"), state,
+        threshold_ppm=300000,
+    )
+    try:
+        batches = [
+            [(0, "the quick brown fox jumps over the lazy dog"),
+             (1, "the quick brown fox jumps over a lazy dog")],
+            [(2, "totally different content here"),
+             (0, "doc zero rewritten with new text")],  # re-ingest
+        ]
+        for b, rows in enumerate(batches):
+            with open(indir / f"b{b}.jsonl", "w") as f:
+                for i, t in rows:
+                    f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sigs_before, pairs_before = read_near_dedup_state(spark, state)
+    pairs_set = {tuple(r) for r in pairs_before.collect()}
+    stats = compact_near_dedup_state(spark, state)
+    assert stats["batches"] == 2 and stats["signatures"] == 3
+
+    parts = [
+        e
+        for e in os.listdir(os.path.join(state, "signatures"))
+        if e.startswith("batch=")
+    ]
+    assert parts == ["batch=1"]
+    sigs_after, pairs_after = read_near_dedup_state(spark, state)
+    assert {tuple(r) for r in pairs_after.collect()} == pairs_set
+    # re-ingested doc 0 kept the batch-1 signature: its hashed shingle
+    # set must differ from doc 1's (they were near-dups in batch 0)
+    rows = {r.doc_id: r.hsh for r in sigs_after.collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert set(rows[0]) != set(rows[1])
