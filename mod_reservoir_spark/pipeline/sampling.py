@@ -183,3 +183,86 @@ def mixture_sample(
         .filter(F.col("sample_rank") <= F.col("quota"))
         .select(id_col, stratum_col, "sample_rank", "quota")
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    fracs: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash: u =
+    md5(salt:id) as a 28-bit integer, cut at the cumulative-fraction
+    boundaries (computed exactly as integer thresholds, so the DuckDB
+    oracle reproduces the cut bit-for-bit). The property that matters:
+    a document's split NEVER changes — not when the corpus grows, not
+    across reruns, not per engine — which quota-based splitting cannot
+    give (new data reshuffles everyone's assignment). ``salt`` yields
+    independent re-splits.
+
+    Output: (id, split). Pure narrow projection — no shuffle.
+    """
+    if fracs is None:
+        fracs = {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fracs.values())
+    if total <= 0 or any(f < 0 for f in fracs.values()):
+        raise ValueError("fractions must be non-negative, positive sum")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cum = 0.0
+    expr = None
+    items = list(fracs.items())
+    for name, f in items[:-1]:
+        cum += f / total
+        bound = int(cum * (1 << 28))
+        cond = u < bound
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.select(id_col, expr.alias("split"))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fracs: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle:
+    connected components over the near-dup ``pairs`` graph (doc_a,
+    doc_b — from minhash_lsh_pairs, simhash_pairs, semantic_dedup…)
+    give each document a group keeper id, and the WHOLE GROUP is
+    assigned by hashing the keeper id. Splitting documents
+    independently leaks test data into training through near-copies —
+    the classic contamination path benchmark decontam then misses
+    because the leaked copy isn't verbatim.
+
+    Output: (id, keep_id, split) — singleton documents are their own
+    group, so their assignment matches plain split_assign on keep_id.
+    """
+    from mod_reservoir_spark.pipeline.dedup import near_dedup_keep
+
+    groups = near_dedup_keep(
+        docs.select(F.col(id_col).alias("doc_id")), pairs=pairs
+    ).select(F.col("doc_id").alias(id_col), "keep_id")
+    assigned = split_assign(
+        groups.select(F.col("keep_id").alias(id_col)).distinct(),
+        fracs,
+        id_col,
+        salt,
+    ).select(F.col(id_col).alias("keep_id"), "split")
+    return groups.join(assigned, "keep_id").select(
+        id_col, "keep_id", "split"
+    )

@@ -1559,3 +1559,68 @@ def test_unigram_logprob_ranks_rare_text_higher(spark):
     }
     assert got[3] == (0, 0)
     assert got[2][1] > got[1][1] > got[0][1]
+
+
+def test_split_assign_oracle(spark):
+    """Hash splitting hash-matches a DuckDB oracle (same md5-derived
+    28-bit integer, same exact boundary cuts)."""
+    from mod_reservoir_spark.pipeline.sampling import split_assign
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(docs, fracs)
+    b1 = int(0.8 * (1 << 28))
+    b2 = int(0.9 * (1 << 28))
+    sql = f"""
+        SELECT doc_id,
+               CASE WHEN u < {b1} THEN 'train'
+                    WHEN u < {b2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 7))::BIGINT AS u
+          FROM documents)
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+    per = {
+        r.split: r.n
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert per["train"] > per.get("val", 0) and per["train"] > per.get(
+        "test", 0
+    )
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Near-dup groups land in ONE split; singletons match plain
+    hashing of their own id."""
+    from mod_reservoir_spark.pipeline.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    # pair chains: (0,1),(1,2) one group; (10,11); rest singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    rows = {r.doc_id: (r.keep_id, r.split) for r in out.collect()}
+    assert len(rows) == 100
+    assert rows[0] == rows[1] == rows[2]  # whole chain together
+    assert rows[10] == rows[11]
+    # singleton assignment equals plain split_assign on its own id
+    plain = {
+        r.doc_id: r.split
+        for r in split_assign(
+            docs, {"train": 0.5, "val": 0.25, "test": 0.25}
+        ).collect()
+    }
+    for i in range(20, 40):
+        assert rows[i] == (i, plain[i])
