@@ -200,22 +200,23 @@ def split_assign(
     give (new data reshuffles everyone's assignment). ``salt`` yields
     independent re-splits.
 
+    Rows with a NULL id are DROPPED (an id-less document has no stable
+    hash to assign by) — the same rule in :func:`leakage_safe_split`,
+    so the two forms always agree on the row set.
+
     Output: (id, split). Pure narrow projection — no shuffle.
     """
+    from mod_reservoir_spark.pipeline.dedup import hex7_to_long
+
     if fracs is None:
         fracs = {"train": 0.98, "val": 0.01, "test": 0.01}
     total = sum(fracs.values())
     if total <= 0 or any(f < 0 for f in fracs.values()):
         raise ValueError("fractions must be non-negative, positive sum")
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
-            1,
-            7,
-        ),
-        16,
-        10,
-    ).cast("long")
+    docs = docs.filter(F.col(id_col).isNotNull())
+    u = hex7_to_long(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
     cum = 0.0
     expr = None
     items = list(fracs.items())
@@ -251,11 +252,15 @@ def leakage_safe_split(
 
     Output: (id, keep_id, split) — singleton documents are their own
     group, so their assignment matches plain split_assign on keep_id.
+    Rows with a NULL id are dropped, matching :func:`split_assign`.
     """
     from mod_reservoir_spark.pipeline.dedup import near_dedup_keep
 
     groups = near_dedup_keep(
-        docs.select(F.col(id_col).alias("doc_id")), pairs=pairs
+        docs.select(F.col(id_col).alias("doc_id")).filter(
+            F.col("doc_id").isNotNull()
+        ),
+        pairs=pairs,
     ).select(F.col("doc_id").alias(id_col), "keep_id")
     assigned = split_assign(
         groups.select(F.col("keep_id").alias(id_col)).distinct(),

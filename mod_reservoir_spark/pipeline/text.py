@@ -405,6 +405,18 @@ def ngram_counts(
     )
 
 
+def _term_doc_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, term, tf) — THE per-document term-frequency
+    aggregation shared by tfidf_top_terms and unigram_logprob_scores
+    (their DuckDB oracles mirror this exact tokenization, so there is
+    one copy to keep in sync)."""
+    return (
+        docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
 def unigram_logprob_scores(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -426,12 +438,7 @@ def unigram_logprob_scores(
     Output: (doc_id, n_tokens, mean_nll_e6); empty docs report 0
     tokens and 0 score.
     """
-    t = tokens(text_col)
-    term_doc = (
-        docs.select("doc_id", F.explode(t).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
+    term_doc = _term_doc_counts(docs, text_col)
     vocab = term_doc.groupBy("term").agg(
         F.sum("tf").cast("long").alias("ctf")
     )
@@ -493,12 +500,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    t = tokens(text_col)
-    term_doc = (
-        docs.select("doc_id", F.explode(t).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
+    term_doc = _term_doc_counts(docs, text_col)
     df_tbl = term_doc.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )

@@ -371,19 +371,36 @@ def read_near_dedup_state(spark: SparkSession, state_dir: str):
     return sigs, pairs
 
 
+COMPACTED_BATCH = -1  # below every real streaming batch id
+
+
 def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> dict:
     """Consolidate the per-batch partitions of the streaming near-dedup
     state into one — the compaction pass the append-structured store
     needs: thousands of small per-batch directories become one
-    well-sized partition, and a document RE-INGESTED under the same
-    doc_id in a later batch replaces its older signature row (latest
-    batch wins; same rule for a re-verified pair).
+    well-sized partition, a document RE-INGESTED under the same doc_id
+    in a later batch replaces its older signature row (latest batch
+    wins), and pairs whose member was re-ingested AFTER the pair was
+    verified are DROPPED — they certified the old content, and keeping
+    them would corrupt downstream keeper/split decisions about the
+    rewritten document.
 
-    Keep-latest is a map-side-combinable ``max(struct(batch, …))`` per
-    key — no window, skew-safe like the other state reductions. Run
-    while the stream is STOPPED (the standard compaction contract):
-    the consolidated partition is staged and renamed in, but clearing
-    the old per-batch directories is not atomic with it.
+    The consolidated partition is named ``batch=-1`` — a value no
+    streaming batch can ever have, so a post-restart replay of the
+    last batch (which legitimately rewrites its OWN partition) can
+    never collide with, and destroy, the compacted history. Its rows
+    sort below every real batch in the keep-latest
+    ``max(struct(batch, …))``, so post-compaction batches still win.
+
+    Run while the stream is STOPPED. Commit order is
+    crash-recoverable: the consolidated partition is staged, any
+    previous ``batch=-1`` is set aside via atomic rename (restored at
+    the start of the next run if a crash strands it), the staging dir
+    renames in, and only then are the folded per-batch directories
+    cleared. A crash mid-clear leaves transient DUPLICATE rows (the
+    consolidated partition plus not-yet-removed originals) — benign
+    for keep-latest consumers and converged by rerunning compaction —
+    never an empty or shrunken state.
 
     Returns {"signatures": n_rows, "pairs": n_rows, "batches": n}.
     """
@@ -392,14 +409,25 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> dict:
 
     stats = {}
     n_batches = 0
+    latest_sig_batch = None
     for table, key_cols, val_cols in (
         ("signatures", ["doc_id"], ["hsh", "sig"]),
         ("pairs", ["doc_a", "doc_b"], ["est_ppm", "jaccard_ppm"]),
     ):
         root = os.path.join(state_dir, table)
+        staging = os.path.join(root, ".staging-compact")
+        old_compact = os.path.join(root, ".old-compact")
+        final = os.path.join(root, f"batch={COMPACTED_BATCH}")
         if not os.path.isdir(root):
             stats[table] = 0
             continue
+        # crash recovery: a stranded set-aside means the previous run
+        # died between set-aside and rename-in — restore it
+        if os.path.isdir(old_compact) and not os.path.isdir(final):
+            os.rename(old_compact, final)
+        for leftover in (staging, old_compact):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
         parts = sorted(
             e for e in os.listdir(root) if e.startswith("batch=")
         )
@@ -413,15 +441,47 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> dict:
             .agg(
                 F.max(F.struct(F.col("batch"), *val_cols)).alias("_m")
             )
-            .select(*key_cols, *[f"_m.{c}" for c in val_cols])
+            .select(
+                *key_cols,
+                F.col("_m.batch").alias("_batch"),
+                *[f"_m.{c}" for c in val_cols],
+            )
         )
-        max_batch = max(int(p.split("=", 1)[1]) for p in parts)
-        staging = os.path.join(root, ".staging-compact")
-        latest.write.mode("overwrite").parquet(staging)
+        if table == "signatures":
+            # eagerly materialized: the pairs pass below consumes this
+            # AFTER the signature source directories are cleared, so
+            # the lineage back to those parquet files must be cut
+            latest_sig_batch = latest.select(
+                "doc_id", F.col("_batch").alias("_sig_batch")
+            ).localCheckpoint(eager=True)
+        else:
+            # drop pairs staler than either member's current content
+            for side in ("doc_a", "doc_b"):
+                latest = (
+                    latest.join(
+                        latest_sig_batch.select(
+                            F.col("doc_id").alias(side), "_sig_batch"
+                        ),
+                        side,
+                        "left",
+                    )
+                    .filter(
+                        F.col("_sig_batch").isNull()
+                        | (F.col("_batch") >= F.col("_sig_batch"))
+                    )
+                    .drop("_sig_batch")
+                )
+        out = latest.drop("_batch")
+        out.write.mode("overwrite").parquet(staging)
         n_rows = spark.read.parquet(staging).count()
+        if os.path.isdir(final):
+            os.rename(final, old_compact)
+        os.rename(staging, final)
+        if os.path.isdir(old_compact):
+            shutil.rmtree(old_compact)
         for p in parts:
-            shutil.rmtree(os.path.join(root, p))
-        os.rename(staging, os.path.join(root, f"batch={max_batch}"))
+            if p != f"batch={COMPACTED_BATCH}":
+                shutil.rmtree(os.path.join(root, p))
         stats[table] = n_rows
     stats["batches"] = n_batches
     return stats

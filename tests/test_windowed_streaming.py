@@ -301,20 +301,77 @@ def test_compact_near_dedup_state(spark, tmp_path):
         q.stop()
 
     sigs_before, pairs_before = read_near_dedup_state(spark, state)
-    pairs_set = {tuple(r) for r in pairs_before.collect()}
+    assert {(r.doc_a, r.doc_b) for r in pairs_before.collect()} == {(0, 1)}
     stats = compact_near_dedup_state(spark, state)
     assert stats["batches"] == 2 and stats["signatures"] == 3
+    # the (0,1) pair certified doc 0's OLD content; doc 0 was
+    # re-ingested in a later batch, so compaction must drop it
+    assert stats["pairs"] == 0
 
     parts = [
         e
         for e in os.listdir(os.path.join(state, "signatures"))
         if e.startswith("batch=")
     ]
-    assert parts == ["batch=1"]
+    # the consolidated partition uses a batch id no stream replay can
+    # ever rewrite (a replayed last-batch commit would rmtree its own
+    # batch=N — naming the compacted dir batch=N would destroy history)
+    assert parts == ["batch=-1"]
     sigs_after, pairs_after = read_near_dedup_state(spark, state)
-    assert {tuple(r) for r in pairs_after.collect()} == pairs_set
+    assert pairs_after.count() == 0
     # re-ingested doc 0 kept the batch-1 signature: its hashed shingle
     # set must differ from doc 1's (they were near-dups in batch 0)
     rows = {r.doc_id: r.hsh for r in sigs_after.collect()}
     assert sorted(rows) == [0, 1, 2]
     assert set(rows[0]) != set(rows[1])
+
+
+def test_compact_near_dedup_state_keeps_valid_pairs(spark, tmp_path):
+    """Pairs whose members were NOT re-ingested survive compaction
+    unchanged, and a second compaction is a no-op fold of batch=-1."""
+    import os
+
+    from mod_reservoir_spark.streaming.windowed import (
+        compact_near_dedup_state,
+        read_near_dedup_state,
+        streaming_near_dedup,
+    )
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_near_dedup(
+        spark, str(indir), str(tmp_path / "ckpt"), state,
+        threshold_ppm=300000,
+    )
+    try:
+        batches = [
+            [(0, "the quick brown fox jumps over the lazy dog"),
+             (1, "the quick brown fox jumps over a lazy dog")],
+            [(2, "totally different content here")],
+        ]
+        for b, rows in enumerate(batches):
+            with open(indir / f"b{b}.jsonl", "w") as f:
+                for i, t in rows:
+                    f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _, pairs_before = read_near_dedup_state(spark, state)
+    pb = {tuple(r) for r in pairs_before.collect()}
+    assert pb
+    stats1 = compact_near_dedup_state(spark, state)
+    _, pairs_mid = read_near_dedup_state(spark, state)
+    assert {tuple(r) for r in pairs_mid.collect()} == pb
+    stats2 = compact_near_dedup_state(spark, state)
+    assert stats2["signatures"] == stats1["signatures"]
+    assert stats2["pairs"] == stats1["pairs"]
+    sigs, pairs = read_near_dedup_state(spark, state)
+    assert {tuple(r) for r in pairs.collect()} == pb
+    assert sigs.count() == 3
+    assert sorted(
+        e
+        for e in os.listdir(os.path.join(state, "pairs"))
+        if e.startswith("batch=")
+    ) == ["batch=-1"]
