@@ -40,6 +40,14 @@ def _enable_nanos(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    # the DuckDB oracle treats timestamps naively; pin the session tz so
+    # NTZ→timestamp casts and date_trunc agree with it even when the
+    # harness session was built without mod_reservoir_spark.session's
+    # UTC default (runtime-settable conf, safe to set per query)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -34,6 +34,45 @@ def test_entry_smoke(spark):
     assert df.columns == ["record_id", "cluster_id"]
 
 
+EVENT_QUERIES = ["sessionize", "hourly_rollup", "topk_per_type"]
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_event_queries_timestamp_encoding_agnostic(spark, name, tmp_path):
+    """The driver regenerates events.parquet every round and its ts
+    encoding has changed before (r03: the three event-window queries
+    lost their CORRECTNESS rows across a regeneration). Pin that the
+    queries produce oracle-identical results whatever parquet chose:
+    naive micros (NTZ), UTC-adjusted micros, or int64 nanos."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    i = src.schema.get_field_index("ts")
+    ts = src.column("ts").cast(pa.timestamp("us"))
+    variants = {
+        "ntz_us": ts,
+        "utc_us": ts.cast(pa.timestamp("us", tz="UTC")),
+        "ntz_ns": ts.cast(pa.timestamp("ns")),
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    dcols, drows, dtags = arrow_rows(con.execute(em.oracle_sql()[name]).arrow())
+    want = table_hash(drows, dcols, dtags)
+    for label, col in variants.items():
+        d = tmp_path / label
+        d.mkdir()
+        tbl = src.set_column(i, pa.field("ts", col.type), col)
+        pq.write_table(tbl, d / "events.parquet", version="2.6")
+        sdf = em.queries()[name](spark, str(d))
+        scols, srows, stags = arrow_rows(sdf.toArrow())
+        assert sorted(scols) == sorted(dcols), label
+        assert table_hash(srows, scols, stags) == want, label
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_oracle_sample(spark, name):
     con = duckdb.connect()
