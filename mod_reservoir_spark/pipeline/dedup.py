@@ -215,6 +215,101 @@ def duplicate_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """ExactSubstr SURGERY (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") — the removal whose extent
+    :func:`duplicate_span_stats` only measures: every k-token window
+    that occurs more than once in the corpus keeps only its FIRST
+    occurrence — ordered by (doc_id, position) — and every token
+    covered by a non-owner occurrence is cut; documents are reassembled
+    from the surviving tokens (single-space joined, the tokenizer's
+    normalization). Like the paper's suffix-array pass, repeats inside
+    one document are cut too, and adjacent/overlapping duplicated
+    windows are removed as one merged span.
+
+    Scale shape: window ownership is a groupBy on the window md5 with a
+    map-side-combinable ``min(struct(doc_id, pos))`` + count — hot
+    boilerplate windows partially aggregate before one row per key
+    shuffles (never a Window function). One equi-join of positions
+    against the duplicated owners, then one per-document sort +
+    all-JVM array pass: because all windows share width k, overlapping
+    starts chain-merge exactly when consecutive sorted starts differ by
+    < k, so span merging is a linear zip_with over the start array (no
+    quadratic fold), and the kept text is the concatenation of the gap
+    slices. No driver collection; no Python.
+
+    Output: (doc_id, text, n_tokens, n_removed) — n_tokens counts the
+    ORIGINAL tokens; text is '' when everything was duplicated.
+    """
+    toks = docs.select(
+        "doc_id",
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(ngram_array(F.col("toks"), k), lambda s: F.md5(s))
+        ).alias("pos", "wh"),
+    )
+    owners_dup = (
+        wins.groupBy("wh")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("own"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select("wh", "own")
+    )
+    dup_starts = (
+        wins.join(owners_dup, "wh")
+        .filter(F.col("own") != F.struct(F.col("doc_id"), F.col("pos")))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    n = F.size(starts)
+    # consecutive-gap group breaks: with equal widths, window i chains
+    # onto window i-1 iff start_i - start_{i-1} < k, so merged-span
+    # boundaries fall exactly where the sorted gap is >= k
+    breaks = F.zip_with(
+        F.slice(starts, 2, F.greatest(n - 1, F.lit(0))),
+        F.slice(starts, 1, F.greatest(n - 1, F.lit(0))),
+        lambda cur, prev: cur - prev >= k,
+    )
+    is_first = F.concat(F.array(F.lit(True)), breaks)
+    is_last = F.concat(breaks, F.array(F.lit(True)))
+    pick = lambda flags: F.filter(  # noqa: E731
+        F.zip_with(starts, flags, lambda s, f: F.when(f, s)),
+        lambda x: x.isNotNull(),
+    )
+    span_a = pick(is_first)
+    span_b = F.transform(pick(is_last), lambda s: s + k)
+    t_len = F.size("toks")
+    gap_starts = F.concat(F.array(F.lit(0)), span_b)
+    gap_ends = F.concat(span_a, F.array(t_len))
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda a, b: F.slice(
+                F.col("toks"), a + 1, F.greatest(b - a, F.lit(0))
+            ),
+        )
+    )
+    return (
+        toks.join(dup_starts, "doc_id", "left")
+        .withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("_kept")).alias("text"),
+            t_len.cast("long").alias("n_tokens"),
+            (t_len - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def ngram_array(token_array, n: int):
     """Array of word n-grams IN POSITION ORDER (one entry per window,
     repeats kept) from a token-array column.

@@ -271,3 +271,162 @@ def leakage_safe_split(
     return groups.join(assigned, "keep_id").select(
         id_col, "keep_id", "split"
     )
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 2,
+    buckets: int = 10_007,
+) -> DataFrame:
+    """(id, bucket, tf): the hashed bag-of-n-grams representation DSIR
+    operates on — uni- through ``n_max``-grams hashed into ``buckets``
+    via the engine-portable 28-bit md5 (DuckDB computes the identical
+    bucket ids, so every downstream count is oracle-exact). One narrow
+    explode + one combinable (id, bucket) aggregation."""
+    from mod_reservoir_spark.pipeline.dedup import hex7_to_long, ngram_array
+
+    toks = tokens(text_col)
+    grams = ngram_array(toks, 1)
+    for n in range(2, n_max + 1):
+        grams = F.concat(grams, ngram_array(toks, n))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(
+            id_col,
+            (hex7_to_long(F.col("_g")) % buckets).cast("long").alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def _bucket_counts(feats: DataFrame, name: str) -> DataFrame:
+    return feats.groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias(name)
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 2,
+    buckets: int = 10_007,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): per-document log importance weight
+    log p_target(doc) - log p_raw(doc) under add-one-smoothed hashed
+    n-gram bag models of the small TARGET corpus (the domain you want
+    more of) and the big RAW corpus. High-weight raw documents look
+    like the target; resampling by these weights shifts the mix toward
+    the target distribution without training a classifier.
+
+    Cross-engine exactness: the per-bucket log-ratio
+    λ(b) = ln((c_t(b)+1)/(T_t+B)) - ln((c_r(b)+1)/(T_r+B)) is
+    quantized ONCE per bucket to integer micro-nats (≤ ``buckets``
+    rows, each a deterministic per-row double→long round); a document's
+    weight is then the exact long sum Σ tf(b)·λ_e6(b) — no
+    floating-point accumulation across partitions, so the DuckDB
+    oracle hash-matches.
+
+    Scale shape: the raw corpus is touched by exactly one explode +
+    two combinable aggregations; the λ table is bounded by ``buckets``
+    and BROADCASTS to the per-doc join — the 100 TB side never
+    shuffles on anything but (id, bucket) partial counts. The target
+    corpus is small by construction (it's the domain sample).
+
+    Output: (id, n_feats, logw_e6); docs with no features score 0.
+    """
+    raw_feats = hashed_ngram_features(raw, text_col, id_col, n_max, buckets)
+    tgt_feats = hashed_ngram_features(target, text_col, id_col, n_max, buckets)
+    rc = _bucket_counts(raw_feats, "rc")
+    tc = _bucket_counts(tgt_feats, "tc")
+    r_total = raw_feats.select(F.sum("tf").cast("long").alias("_rt"))
+    t_total = tgt_feats.select(F.sum("tf").cast("long").alias("_tt"))
+    lam = (
+        rc.join(tc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(r_total))
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("tc", F.lit(0)) + 1)
+                        / (F.col("_tt") + F.lit(buckets))
+                    )
+                    - F.log(
+                        (F.coalesce("rc", F.lit(0)) + 1)
+                        / (F.col("_rt") + F.lit(buckets))
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lam_e6"),
+        )
+    )
+    scored = (
+        raw_feats.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("lam_e6")).cast("long").alias("logw_e6"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("logw_e6", F.lit(0)).cast("long").alias("logw_e6"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 2,
+    buckets: int = 10_007,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k over the importance weights —
+    exactly equivalent to sampling k documents WITHOUT replacement with
+    probability ∝ exp(logw) (Vieira 2014's Gumbel-max trick), but with
+    the noise derived from md5(salt:id) so the draw is deterministic,
+    engine-portable and stable as the corpus grows. The Gumbel noise
+    g = -ln(-ln(u)) is quantized per row to micro-nats and ADDED TO THE
+    LONG weight, keeping the ranking key exact; ties break by id.
+
+    Top-k is orderBy+limit — Spark's TakeOrdered heap per partition +
+    k-row driver merge, never a global sort. Output: (id, n_feats,
+    logw_e6, gumbel_e6, score_e6, sample_rank), rank 1 = best.
+    """
+    from mod_reservoir_spark.pipeline.dedup import hex7_to_long
+
+    w = dsir_weights(raw, target, text_col, id_col, n_max, buckets)
+    u = (
+        hex7_to_long(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        )
+        + 1
+    ) / F.lit(float((1 << 28) + 1))
+    g_e6 = F.round(-F.log(-F.log(u)) * 1000000).cast("long")
+    scored = w.withColumn("gumbel_e6", g_e6).withColumn(
+        "score_e6", (F.col("logw_e6") + F.col("gumbel_e6")).cast("long")
+    )
+    ranked = scored.orderBy(
+        F.col("score_e6").desc(), F.col(id_col).asc()
+    ).limit(k)
+    win = Window.orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
+    return ranked.withColumn(
+        "sample_rank", F.row_number().over(win).cast("long")
+    )

@@ -1412,6 +1412,86 @@ def test_duplicate_span_stats_semantics(spark):
     assert got[3] == (0, 0, 0)
 
 
+def _ref_remove_duplicate_spans(rows, k):
+    """Independent Python reference of the ExactSubstr surgery: first
+    occurrence by (doc_id, pos) owns a repeated k-window; tokens under
+    any non-owner occurrence are cut."""
+    toks = {d: (t or "").lower().split() for d, t in rows}
+    occ = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for i in range(max(len(t) - k + 1, 0)):
+            occ.setdefault(" ".join(t[i : i + k]), []).append((d, i))
+    out = {}
+    for d, t in toks.items():
+        removed = set()
+        for i in range(max(len(t) - k + 1, 0)):
+            hits = occ[" ".join(t[i : i + k])]
+            if len(hits) >= 2 and min(hits) != (d, i):
+                removed.update(range(i, i + k))
+        kept = [tok for j, tok in enumerate(t) if j not in removed]
+        out[d] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Owner (corpus-first occurrence) keeps its span; later and
+    within-doc repeats are cut; overlapping duplicated windows merge
+    into one removed span; short docs pass through untouched."""
+    from mod_reservoir_spark.pipeline.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d x y z w"),       # owns 'a b c d'
+            (1, "a b c d a b c d"),       # both occurrences cut -> ''
+            (2, "p a b c d e q r"),       # 'a b c d' + chained 'b c d e'?
+            (3, "one two three"),         # < k tokens, untouched
+            (4, None),                    # NULL text -> ''
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(docs, k=4).collect()
+    }
+    assert got[0] == ("a b c d x y z w", 8, 0)
+    assert got[1] == ("", 8, 8)
+    # doc 2: only window 'a b c d' (pos 1) duplicates -> cut 4 tokens
+    assert got[2] == ("p e q r", 8, 4)
+    assert got[3] == ("one two three", 3, 0)
+    assert got[4] == ("", 0, 0)
+
+
+def test_remove_duplicate_spans_vs_reference(spark):
+    """Full-corpus equivalence with the independent Python reference at
+    sf0.001 (k=4 — the corpus has real repeated spans at that width),
+    and consistency with duplicate_span_stats: exactly the documents
+    with dup_ppm > 0 lose tokens."""
+    from mod_reservoir_spark.pipeline.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    want = _ref_remove_duplicate_spans(rows, 4)
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(docs, k=4).collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in got.values())  # surgery actually ran
+    stats = {
+        r.doc_id: r.dup_ppm for r in duplicate_span_stats(docs, k=4).collect()
+    }
+    # stats count non-owner AND owner positions of shared windows, so
+    # removal ⊆ flagged; but every doc losing tokens must be flagged
+    for d, (_, _, n_removed) in got.items():
+        if n_removed:
+            assert stats[d] > 0
+
+
 def test_bloom_prefilter_duplicate_candidates(spark):
     """Duplicate candidate rows must EACH pass — grouping that merges
     duplicates would double the matched-bit count and produce a false
@@ -1624,3 +1704,96 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     }
     for i in range(20, 40):
         assert rows[i] == (i, plain[i])
+
+
+def test_dsir_weights_oracle(spark):
+    """DSIR log importance weights hash-match a DuckDB oracle that
+    rebuilds the whole chain — hashed uni+bigram buckets, add-one
+    smoothed bucket models of target vs raw, per-bucket micro-nat
+    quantization, exact long per-doc sums — on the real corpus with
+    target = the doc_id < 50 slice."""
+    from mod_reservoir_spark.pipeline.sampling import dsir_weights
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = dsir_weights(docs, docs.filter("doc_id < 50"), buckets=1009)
+    sql = """
+        WITH rt AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(toks) AS g FROM rt
+          UNION ALL
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM rt),
+        feats AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 7))::BIGINT % 1009 AS bucket,
+                 CAST(count(*) AS BIGINT) AS tf
+          FROM grams GROUP BY 1, 2),
+        tfeats AS (SELECT * FROM feats WHERE doc_id < 50),
+        rc AS (SELECT bucket, sum(tf) AS rc FROM feats GROUP BY 1),
+        tc AS (SELECT bucket, sum(tf) AS tc FROM tfeats GROUP BY 1),
+        tot AS (SELECT (SELECT sum(tf) FROM feats) AS rt,
+                       (SELECT sum(tf) FROM tfeats) AS tt),
+        lam AS (
+          SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+                 CAST(round((ln((COALESCE(tc, 0) + 1) / (tt + 1009.0))
+                           - ln((COALESCE(rc, 0) + 1) / (rt + 1009.0)))
+                          * 1000000) AS BIGINT) AS lam_e6
+          FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot),
+        scored AS (
+          SELECT f.doc_id,
+                 CAST(sum(f.tf) AS BIGINT) AS n_feats,
+                 CAST(sum(f.tf * l.lam_e6) AS BIGINT) AS logw_e6
+          FROM feats f JOIN lam l USING (bucket) GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(s.n_feats, 0) AS n_feats,
+               COALESCE(s.logw_e6, 0) AS logw_e6
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+
+
+def test_dsir_sample_shifts_toward_target(spark):
+    """Selection property: with a target drawn from one topic, the
+    Gumbel-top-k picks overwhelmingly from that topic; the draw is
+    deterministic and matches an independent Python reference of the
+    u -> Gumbel -> score chain."""
+    import hashlib
+    import math
+
+    from mod_reservoir_spark.pipeline.sampling import (
+        dsir_sample,
+        dsir_weights,
+    )
+
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            rows.append((i, f"stellar spectra redshift galaxy survey item {i % 7}"))
+        else:
+            rows.append((i, f"butter flour sugar oven recipe bake item {i % 7}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id % 2 = 0 and doc_id < 40")
+    got = dsir_sample(docs, target, k=30, buckets=1009)
+    picked = [r.doc_id for r in got.orderBy("sample_rank").collect()]
+    assert len(picked) == 30
+    astro = sum(1 for d in picked if d % 2 == 0)
+    assert astro >= 27, f"expected astro-dominated pick, got {astro}/30"
+    # independent reference of the noise + ranking chain
+    w = {
+        r.doc_id: r.logw_e6
+        for r in dsir_weights(docs, target, buckets=1009).collect()
+    }
+    scores = {}
+    for d, logw in w.items():
+        h = hashlib.md5(f"dsir:{d}".encode()).hexdigest()[:7]
+        u = (int(h, 16) + 1) / float((1 << 28) + 1)
+        scores[d] = logw + round(-math.log(-math.log(u)) * 1000000)
+    want = [d for d, _ in sorted(scores.items(), key=lambda t: (-t[1], t[0]))][:30]
+    assert picked == want
