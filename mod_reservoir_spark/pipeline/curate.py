@@ -1,0 +1,166 @@
+"""End-to-end corpus curation: the standard pretraining data funnel —
+quality filter → exact dedup → near dedup → benchmark decontamination →
+PII scrub — composed as ONE lazy Spark plan with a per-document audit
+ledger (the C4/RefinedWeb/Gopher pipeline shape, built from this
+package's individually oracle-checked operators).
+
+Why a composed operator and not a script: the stages are ORDER-
+DEPENDENT — dedup keepers must be chosen among quality survivors (a
+kept document may be the near-dup of a quality-dropped one; running
+dedup on the raw corpus would drop the survivor too), and the audit
+must attribute each document to the FIRST stage that dropped it. The
+composition encodes that contract once and equivalence-tests it against
+the hand-chained operators.
+
+Scale shape: no action runs between stages — Spark sees one DAG, so
+column pruning and shared scans apply across the whole funnel; each
+stage only adds the joins its own operator already needs (all of them
+individually plan-audited in SCALE.md). The funnel histogram is one
+extra combinable aggregation over the ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mod_reservoir_spark.pipeline.dedup import (
+    exact_duplicates,
+    near_dedup_keep,
+)
+from mod_reservoir_spark.pipeline.text import (
+    contamination,
+    pii_scrub_expr,
+    quality_filter,
+)
+
+# funnel order is the attribution order: a document dropped by several
+# rules reports the FIRST stage in this list that rejected it
+STAGES = ("quality", "exact_dup", "near_dup", "contaminated")
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    quality_kwargs: dict | None = None,
+    near_kwargs: dict | None = None,
+    max_contamination_ppm: int = 0,
+    scrub: bool = True,
+) -> DataFrame:
+    """Run the full curation funnel and return the per-document LEDGER:
+    one row per input document with
+
+    - ``drop_stage``: the first stage that dropped it (see ``STAGES``),
+      NULL for survivors;
+    - ``reject_reasons``: the quality filter's sorted reason list;
+    - ``keep_id``: the near-dup component keeper (its own id outside
+      any near-dup pair, NULL for docs that never reached that stage);
+    - ``contamination_ppm``: benchmark n-gram overlap (NULL when not
+      reached or no benchmark given);
+    - ``text``: the (optionally PII-scrubbed) text for survivors, NULL
+      for dropped documents — so ``.filter("drop_stage IS NULL")`` IS
+      the curated corpus and the full frame IS the audit trail.
+
+    ``benchmark=None`` skips decontamination; ``max_contamination_ppm``
+    is the keep threshold (0 = any benchmark 8-gram overlap drops).
+    ``quality_kwargs`` / ``near_kwargs`` pass through to
+    :func:`quality_filter` / :func:`near_dedup_keep`.
+    """
+    base = docs.select("doc_id", F.col(text_col).alias("_text"))
+
+    q = quality_filter(docs, text_col, **(quality_kwargs or {})).select(
+        "doc_id", "reject_reasons", F.col("keep").alias("_q_keep")
+    )
+    q_surv = base.join(q.filter("_q_keep = 1"), "doc_id").select(
+        "doc_id", "_text"
+    )
+
+    # exact dedup among quality survivors: fingerprint keeper = min id
+    fp = exact_duplicates(q_surv, "_text").select(
+        "fingerprint", "keeper_doc_id"
+    )
+    from mod_reservoir_spark.pipeline.text import tokens
+
+    with_fp = q_surv.withColumn(
+        "_fp", F.md5(F.concat_ws(" ", tokens("_text")))
+    )
+    e = with_fp.join(
+        fp, with_fp["_fp"] == fp["fingerprint"]
+    ).select(
+        "doc_id",
+        "_text",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("_e_keep"),
+    )
+    e_surv = e.filter("_e_keep").select("doc_id", "_text")
+
+    # near dedup among exact survivors
+    n = near_dedup_keep(
+        e_surv.select("doc_id", F.col("_text").alias("text")),
+        **(near_kwargs or {}),
+    ).select("doc_id", "keep_id", F.col("is_kept").alias("_n_keep"))
+    n_surv = e_surv.join(n.filter("_n_keep = 1"), "doc_id").select(
+        "doc_id", "_text"
+    )
+
+    # decontamination among near survivors
+    if benchmark is not None:
+        c = contamination(
+            n_surv.select("doc_id", F.col("_text").alias("text")), benchmark
+        ).select(
+            "doc_id",
+            "contamination_ppm",
+            (F.col("contamination_ppm") <= max_contamination_ppm).alias(
+                "_c_keep"
+            ),
+        )
+    else:
+        c = n_surv.select(
+            "doc_id",
+            F.lit(None).cast("long").alias("contamination_ppm"),
+            F.lit(True).alias("_c_keep"),
+        )
+
+    ledger = (
+        base.join(q, "doc_id", "left")
+        .join(e.select("doc_id", "_e_keep"), "doc_id", "left")
+        .join(n.select("doc_id", "keep_id", "_n_keep"), "doc_id", "left")
+        .join(c, "doc_id", "left")
+    )
+    drop_stage = (
+        F.when(F.col("_q_keep") == 0, F.lit("quality"))
+        .when(~F.col("_e_keep"), F.lit("exact_dup"))
+        .when(F.col("_n_keep") == 0, F.lit("near_dup"))
+        .when(~F.col("_c_keep"), F.lit("contaminated"))
+    )
+    out_text = F.when(
+        drop_stage.isNull(),
+        pii_scrub_expr(F.col("_text")) if scrub else F.col("_text"),
+    )
+    return ledger.select(
+        "doc_id",
+        drop_stage.alias("drop_stage"),
+        "reject_reasons",
+        "keep_id",
+        "contamination_ppm",
+        out_text.alias("text"),
+    )
+
+
+def curation_funnel(ledger: DataFrame) -> DataFrame:
+    """The audit histogram over a :func:`curate` ledger: one row per
+    stage in funnel order — (stage, n_dropped) — plus a final
+    ('kept', n) row. One combinable aggregation."""
+    counts = (
+        ledger.groupBy(
+            F.coalesce("drop_stage", F.lit("kept")).alias("stage")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    order = {s: i for i, s in enumerate(STAGES)}
+    order["kept"] = len(STAGES)
+    omap = F.create_map(
+        *[F.lit(x) for kv in order.items() for x in kv]
+    )
+    return counts.withColumn("stage_order", omap[F.col("stage")]).orderBy(
+        "stage_order"
+    )

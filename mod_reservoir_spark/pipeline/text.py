@@ -652,6 +652,20 @@ PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"(\+?\d{1,3}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}"
 
 
+def pii_scrub_expr(c: Column) -> Column:
+    """The scrub expression itself (emails → <EMAIL>, IPs → <IP>,
+    phones → <PHONE>, in that order) — shared by :func:`pii_scrub`'s
+    md5-pinned contract form and pipelines that need the actual
+    scrubbed text (pipeline/curate.py)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction for training corpora: emails → <EMAIL>, IPv4
     literals → <IP>, NANP-style phone numbers → <PHONE>, applied in
@@ -667,13 +681,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: (doc_id, n_emails, n_ips, n_phones, scrubbed_md5).
     """
     c = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
+    scrubbed = pii_scrub_expr(c)
     return docs.select(
         "doc_id",
         F.regexp_count(c, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),

@@ -1,0 +1,137 @@
+"""curate() — the composed funnel must equal the hand-chained stage
+operators (same survivor sets, same first-drop attribution), and the
+ledger/funnel must account for every input document exactly once."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from mod_reservoir_spark.pipeline.curate import curate, curation_funnel
+
+
+def _hand_chain(spark, docs, benchmark, near_kwargs):
+    """Independent sequential composition of the stage operators."""
+    from mod_reservoir_spark.pipeline.dedup import (
+        exact_duplicates,
+        near_dedup_keep,
+    )
+    from mod_reservoir_spark.pipeline.text import (
+        contamination,
+        fingerprint,
+        quality_filter,
+    )
+
+    drops = {}
+    q = quality_filter(docs)
+    q_fail = {r.doc_id for r in q.filter("keep = 0").collect()}
+    for d in q_fail:
+        drops[d] = "quality"
+    surv = docs.filter(~F.col("doc_id").isin(q_fail) if q_fail else F.lit(True))
+
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(surv).collect()}
+    keeper = {
+        r.fingerprint: r.keeper_doc_id
+        for r in exact_duplicates(surv).collect()
+    }
+    e_fail = {d for d, f in fps.items() if keeper[f] != d}
+    for d in sorted(e_fail):
+        drops[d] = "exact_dup"
+    surv = surv.filter(
+        ~F.col("doc_id").isin(e_fail) if e_fail else F.lit(True)
+    )
+
+    n = near_dedup_keep(surv, **near_kwargs)
+    n_fail = {r.doc_id for r in n.filter("is_kept = 0").collect()}
+    for d in sorted(n_fail):
+        drops[d] = "near_dup"
+    surv = surv.filter(
+        ~F.col("doc_id").isin(n_fail) if n_fail else F.lit(True)
+    )
+
+    if benchmark is not None:
+        c = contamination(surv, benchmark)
+        c_fail = {r.doc_id for r in c.filter("contamination_ppm > 0").collect()}
+        for d in sorted(c_fail):
+            drops[d] = "contaminated"
+        surv = surv.filter(
+            ~F.col("doc_id").isin(c_fail) if c_fail else F.lit(True)
+        )
+    return drops, {r.doc_id for r in surv.select("doc_id").collect()}
+
+
+def _filler(tag):
+    """≥ 40 distinct tokens so the quality rules pass but documents
+    with different tags share (almost) no shingles."""
+    return " ".join(f"{tag}w{i} {tag}x{i} {tag}y{i} {tag}z{i}" for i in range(10))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, _filler("a") + " original document body"),
+        (1, _filler("a") + " original document body"),   # exact dup of 0
+        (2, _filler("a") + " original document bodily"), # near dup of 0
+        (3, "tiny"),                                     # quality: too_short
+        (4, _filler("d") + " the quick brown fox jumps over the lazy dog today"),
+        (5, _filler("e") + " reach me at bob@example.com for details thanks"),
+        (6, _filler("f") + " fully independent content about glacier moraines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+
+
+NEAR = dict(shingle_n=2, threshold_ppm=500000)
+
+
+def test_curate_equals_hand_chain(spark, corpus, bench_docs):
+    ledger = curate(corpus, benchmark=bench_docs, near_kwargs=NEAR).cache()
+    got_drops = {
+        r.doc_id: r.drop_stage
+        for r in ledger.filter("drop_stage IS NOT NULL").collect()
+    }
+    got_surv = {
+        r.doc_id for r in ledger.filter("drop_stage IS NULL").collect()
+    }
+    want_drops, want_surv = _hand_chain(spark, corpus, bench_docs, NEAR)
+    assert got_drops == want_drops
+    assert got_surv == want_surv
+    # every stage actually fired on this corpus
+    assert set(got_drops.values()) == {
+        "quality", "exact_dup", "near_dup", "contaminated"
+    }
+
+
+def test_curate_ledger_complete_and_scrubbed(spark, corpus, bench_docs):
+    ledger = curate(corpus, benchmark=bench_docs, near_kwargs=NEAR).cache()
+    assert ledger.count() == corpus.count()
+    rows = {r.doc_id: r for r in ledger.collect()}
+    # survivors carry scrubbed text; dropped docs carry NULL text
+    assert "<EMAIL>" in rows[5].text and "bob@example.com" not in rows[5].text
+    for r in rows.values():
+        assert (r.text is None) == (r.drop_stage is not None)
+    # funnel accounts for every document once, in stage order
+    funnel = {r.stage: r.n for r in curation_funnel(ledger).collect()}
+    assert sum(funnel.values()) == corpus.count()
+    assert funnel["kept"] == len(
+        [r for r in rows.values() if r.drop_stage is None]
+    )
+
+
+def test_curate_real_corpus(spark, bench_docs):
+    """sf0.001 end-to-end: the funnel runs on the real documents table
+    and the composed result equals the hand chain."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ledger = curate(docs, benchmark=None, near_kwargs=NEAR).cache()
+    got_drops = {
+        r.doc_id: r.drop_stage
+        for r in ledger.filter("drop_stage IS NOT NULL").collect()
+    }
+    want_drops, want_surv = _hand_chain(spark, docs, None, NEAR)
+    assert got_drops == want_drops
+    assert ledger.filter("drop_stage IS NULL").count() == len(want_surv)
