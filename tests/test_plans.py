@@ -256,3 +256,37 @@ def test_mixture_sample_plan(docs):
     p = plan(mixture_sample(docs, {"en": 0.6, "de": 0.4}, 100))
     assert "BroadcastHashJoin" in p
     assert p.count("+- Exchange") == 1, p
+
+
+def test_remove_duplicate_spans_plan(docs):
+    """remove_duplicate_spans: ownership is a combinable aggregation
+    (never a Window over every window copy); the interval merge and
+    reassembly are array expressions, not Python."""
+    from mod_reservoir_spark.pipeline.dedup import remove_duplicate_spans
+
+    p = plan(remove_duplicate_spans(docs, k=4))
+    assert "Window" not in p
+    assert "partial_min" in p or "partial_count" in p
+    assert "Python" not in p  # BatchEvalPython/ArrowEvalPython absent
+
+
+def test_dsir_lambda_table_broadcasts(docs):
+    """dsir_weights: the bucket-bounded λ table must BROADCAST to the
+    per-doc feature join — shuffling the corpus features against it
+    would add a corpus-size exchange per scoring run."""
+    from mod_reservoir_spark.pipeline.sampling import dsir_weights
+
+    p = plan(dsir_weights(docs, docs.filter("doc_id < 50"), buckets=1009))
+    assert "BroadcastHashJoin" in p
+
+
+def test_dsir_sample_is_takeordered(docs):
+    """dsir_sample: top-k must be a TakeOrdered heap, never a global
+    sort of the scored corpus."""
+    from mod_reservoir_spark.pipeline.sampling import dsir_sample
+
+    p = plan(
+        dsir_sample(docs, docs.filter("doc_id < 50"), k=10, buckets=1009),
+        "simple",
+    )
+    assert "TakeOrderedAndProject" in p
