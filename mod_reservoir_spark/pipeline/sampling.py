@@ -430,3 +430,40 @@ def dsir_sample(
     return ranked.withColumn(
         "sample_rank", F.row_number().over(win).cast("long")
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int = 100_000,
+    strata: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize :func:`pack_shards` as the on-disk training layout a
+    data loader consumes: hive-partitioned parquet
+    ``path/<stratum>=<v>/shard_id=<n>/`` with ONE file per shard whose
+    rows are in offset order — the loader streams a shard file
+    top-to-bottom and gets the deterministic token layout without any
+    coordination.
+
+    Scale shape: one ``repartition`` on the write-partition key
+    (stratum, shard_id) + ``sortWithinPartitions`` on the offset —
+    exactly one shuffle, one file per shard (no small-files explosion:
+    a shard IS the file-size unit by construction), and the sort is
+    in-partition (never global). Returns the assignment table it
+    wrote, so callers can audit counts without re-reading the output.
+    """
+    assignments = pack_shards(docs, shard_tokens, strata, text_col, id_col)
+    rows = assignments.join(
+        docs.select(id_col, text_col), id_col
+    )
+    keys = [*strata, "shard_id"]
+    (
+        rows.repartition(*keys)
+        .sortWithinPartitions(*keys, "offset_tokens")
+        .write.mode("overwrite")
+        .partitionBy(*keys)
+        .parquet(path)
+    )
+    return assignments

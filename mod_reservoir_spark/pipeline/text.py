@@ -477,6 +477,61 @@ def unigram_logprob_scores(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    strata: tuple[str, ...] = ("lang",),
+    head_ppm: int = 333334,
+    middle_ppm: int = 666667,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each stratum (per language, like CCNet), rank documents by the
+    self-perplexity score and cut the ranking into head / middle /
+    tail bands — head = best-scoring (most fluent) third by default.
+    Bucketing by RANK position rather than by an interpolated
+    percentile threshold keeps the cut exact-integer (ties broken by
+    doc_id), so the DuckDB oracle reproduces the band assignment
+    bit-for-bit — no floating-point threshold comparisons at band
+    edges.
+
+    pos_ppm = floor((rank-1) * 1e6 / (n-1)) spans 0..1e6 inclusive per
+    stratum (a singleton stratum lands at 0 = head). Scale shape: the
+    scoring is :func:`unigram_logprob_scores` (combinable
+    aggregations); the banding is ONE stratum-key shuffle + in-
+    partition sort — the :func:`~mod_reservoir_spark.pipeline.sampling.
+    stratified_sample` shape, with the same skewed-stratum mitigation
+    available (pre-bucket a dominant language).
+
+    Output: (doc_id, strata, mean_nll_e6, pos_ppm, bucket).
+    """
+    from pyspark.sql import Window
+
+    scores = unigram_logprob_scores(docs, text_col)
+    j = docs.select("doc_id", *strata).join(scores, "doc_id")
+    w = Window.partitionBy(*strata).orderBy("mean_nll_e6", "doc_id")
+    wn = Window.partitionBy(*strata)
+    ranked = j.select(
+        "doc_id",
+        *strata,
+        "mean_nll_e6",
+        (F.row_number().over(w) - 1).cast("long").alias("_pos"),
+        (F.count("*").over(wn) - 1).cast("long").alias("_den"),
+    )
+    pos_ppm = ppm(F.col("_pos"), F.greatest(F.col("_den"), F.lit(1)))
+    bucket = (
+        F.when(pos_ppm < head_ppm, F.lit("head"))
+        .when(pos_ppm < middle_ppm, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id",
+        *strata,
+        "mean_nll_e6",
+        pos_ppm.alias("pos_ppm"),
+        bucket.alias("bucket"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", k: int = 5
 ) -> DataFrame:

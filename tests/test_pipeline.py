@@ -1797,3 +1797,124 @@ def test_dsir_sample_shifts_toward_target(spark):
         scores[d] = logw + round(-math.log(-math.log(u)) * 1000000)
     want = [d for d, _ in sorted(scores.items(), key=lambda t: (-t[1], t[0]))][:30]
     assert picked == want
+
+
+def test_perplexity_buckets_oracle(spark):
+    """Per-language head/middle/tail banding hash-matches a DuckDB
+    oracle: unigram self-perplexity scores, rank-position ppm, exact
+    integer band cuts."""
+    from mod_reservoir_spark.pipeline.text import perplexity_buckets
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = perplexity_buckets(docs)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')"
+    )
+    sql = f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        term_doc AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+          GROUP BY 1, 2),
+        vocab AS (
+          SELECT term, CAST(sum(tf) AS BIGINT) AS ctf
+          FROM term_doc GROUP BY 1),
+        tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM vocab),
+        scored AS (
+          SELECT td.doc_id,
+                 CAST(round(
+                   sum(td.tf * -ln(v.ctf / CAST(tot.total AS DOUBLE)))
+                     / sum(td.tf) * 1000000) AS BIGINT) AS mean_nll_e6
+          FROM term_doc td JOIN vocab v USING (term) CROSS JOIN tot
+          GROUP BY 1),
+        allscored AS (
+          SELECT d.doc_id, d.lang,
+                 COALESCE(s.mean_nll_e6, 0) AS mean_nll_e6
+          FROM documents d LEFT JOIN scored s USING (doc_id)),
+        ranked AS (
+          SELECT doc_id, lang, mean_nll_e6,
+                 CAST(row_number() OVER
+                      (PARTITION BY lang ORDER BY mean_nll_e6, doc_id) - 1
+                      AS BIGINT) AS pos,
+                 CAST(count(*) OVER (PARTITION BY lang) - 1
+                      AS BIGINT) AS den
+          FROM allscored)
+        SELECT doc_id, lang, mean_nll_e6,
+               pos * 1000000 // greatest(den, 1) AS pos_ppm,
+               CASE WHEN pos * 1000000 // greatest(den, 1) < 333334
+                    THEN 'head'
+                    WHEN pos * 1000000 // greatest(den, 1) < 666667
+                    THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+
+
+def test_perplexity_buckets_semantics(spark):
+    """Bands are per-stratum: each language's best third is head; a
+    singleton stratum is head; bucket sizes split ~evenly."""
+    from mod_reservoir_spark.pipeline.text import perplexity_buckets
+
+    rows = []
+    for i in range(30):
+        # doc i repeats a token whose corpus frequency rises with i:
+        # low i -> rare tokens -> high NLL -> tail
+        rows.append((i, "en", " ".join(f"tok{j}" for j in range(i + 1))))
+    rows.append((100, "xx", "lone stratum doc"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: (r.bucket, r.pos_ppm)
+        for r in perplexity_buckets(docs).collect()
+    }
+    assert got[100] == ("head", 0)
+    en = [v for k, v in got.items() if k != 100]
+    from collections import Counter
+
+    c = Counter(b for b, _ in en)
+    assert c["head"] == 10 and c["middle"] == 10 and c["tail"] == 10
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """The materialized layout: hive-partitioned by (stratum,
+    shard_id), one parquet file per shard, rows inside a shard in
+    offset order, token sums matching pack_shards exactly."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mod_reservoir_spark.pipeline.sampling import (
+        pack_shards,
+        write_training_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "shards")
+    returned = write_training_shards(docs, out, shard_tokens=2000)
+    want = {
+        (r.lang, r.shard_id): r
+        for r in pack_shards(docs, shard_tokens=2000).collect()
+    }
+    shard_dirs = sorted(glob.glob(f"{out}/lang=*/shard_id=*"))
+    assert shard_dirs, "no shard directories written"
+    seen = set()
+    for d in shard_dirs:
+        lang = d.split("lang=")[1].split("/")[0]
+        sid = int(d.split("shard_id=")[1])
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: expected ONE file per shard"
+        t = pq.read_table(os.path.join(d, files[0]))
+        offs = t.column("offset_tokens").to_pylist()
+        assert offs == sorted(offs), f"{d}: rows not in offset order"
+        for doc in t.column("doc_id").to_pylist():
+            seen.add((lang, sid, doc))
+    want_rows = {
+        (r.lang, r.shard_id, r.doc_id)
+        for r in pack_shards(docs, shard_tokens=2000).collect()
+    }
+    assert seen == want_rows
+    assert returned.count() == len(want_rows)
