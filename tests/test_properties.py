@@ -228,3 +228,31 @@ def test_line_dedup_matches_python_reference(spark):
             )
 
     check()
+
+
+def test_remove_duplicate_spans_matches_python_reference(spark):
+    """Property: the ExactSubstr surgery equals the independent Python
+    reference over randomized small corpora — within-doc repeats,
+    overlapping windows, sub-k docs, duplicated whole docs."""
+    from hypothesis import given, settings, strategies as st
+
+    from mod_reservoir_spark.pipeline.dedup import remove_duplicate_spans
+    from tests.test_pipeline import _ref_remove_duplicate_spans
+
+    word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5), st.integers(2, 4))
+    def check(texts, k):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.n_removed)
+            for r in remove_duplicate_spans(docs, k=k).collect()
+        }
+        want = _ref_remove_duplicate_spans(list(enumerate(texts)), k)
+        assert got == want, (texts, k)
+
+    check()
