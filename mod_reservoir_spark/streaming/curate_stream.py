@@ -1,0 +1,312 @@
+"""Streaming curation: the batch curate() funnel (quality → exact
+dedup → near dedup → decontamination → PII scrub) running continuously
+over a document stream with MAINTAINED state — the production lifecycle
+where a corpus is curated as it is ingested, not in one offline pass.
+
+State under ``state_dir`` (per-batch hive partitions, the same
+append-only + atomic-rename contract as streaming_near_dedup):
+
+- ``fingerprints/batch=<id>/`` — (fingerprint, doc_id) of each batch's
+  NEW exact keepers: later batches drop any document whose fingerprint
+  is already owned (first-seen wins).
+- ``signatures/batch=<id>/``  — (doc_id, hsh, sig) of each batch's
+  exact survivors (INCLUDING near-dropped and contaminated ones: the
+  batch funnel's pair graph contains them, so the streaming funnel's
+  must too or later near-dup chains through a dropped document would
+  break).
+- ``ledger/batch=<id>/``      — the per-document audit rows
+  (doc_id, drop_stage, reject_reasons, text) — the streaming face of
+  the batch ledger; text is PII-scrubbed for survivors, NULL otherwise.
+
+Keeper policy: FIRST-SEEN WINS across batches, min-doc_id inside a
+batch. When ingest order is doc_id-ordered this is exactly the batch
+funnel's min-id CC keeper, and the equivalence is pinned by test:
+after N ordered batches, the accumulated ledger equals batch
+``curate()`` over everything ingested — drop stages and all. Near-dup
+semantics across batches: a new-new pair component that touches the
+existing corpus through ANY pair is dropped whole (its keeper already
+lives in the corpus); an untouched component keeps its min id. That is
+the incremental image of connected-components keeper selection.
+
+Replay safety: state reads filter out the replaying batch's own
+partition (``batch != batch_id`` on the hive partition column), so a
+crash between state commit and stream checkpoint replays against the
+SAME corpus as the original run; partition writes stage + rename
+atomically.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mod_reservoir_spark.pipeline.dedup import (
+    incremental_pairs_from_sigs,
+    near_dedup_keep,
+    signature_table,
+)
+from mod_reservoir_spark.pipeline.text import (
+    contamination,
+    pii_scrub_expr,
+    quality_filter,
+    tokens,
+)
+from mod_reservoir_spark.streaming.windowed import DOC_SCHEMA
+
+_FP_SCHEMA = "fingerprint string, doc_id long"
+_SIG_SCHEMA = "doc_id long, hsh array<bigint>, sig array<bigint>"
+_LEDGER_SCHEMA = (
+    "doc_id long, drop_stage string, reject_reasons string, text string"
+)
+
+
+def _commit(df: DataFrame, root: str, batch_id: int) -> None:
+    staging = os.path.join(root, f".staging-{batch_id}")
+    final = os.path.join(root, f"batch={batch_id}")
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.isdir(final):  # replay rewrites its own partition
+        shutil.rmtree(final)
+    os.rename(staging, final)
+
+
+def _read_state(
+    spark: SparkSession, root: str, schema: str, exclude_batch: int | None
+) -> DataFrame:
+    cols = [f.split(" ")[0] for f in schema.split(", ")]
+    if not os.path.isdir(root) or not any(
+        e.startswith("batch=") for e in os.listdir(root)
+    ):
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(root)
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch") != exclude_batch)
+    return df.select(*cols)
+
+
+def streaming_curate(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    benchmark: DataFrame | None = None,
+    quality_kwargs: dict | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold_ppm: int = 500000,
+    max_contamination_ppm: int = 0,
+    scrub: bool = True,
+):
+    """Start the streaming funnel over JSONL documents in ``input_dir``
+    (schema ``{doc_id, text}``). Returns the StreamingQuery; read the
+    accumulated results with :func:`read_curate_state`."""
+    fp_root = os.path.join(state_dir, "fingerprints")
+    sig_root = os.path.join(state_dir, "signatures")
+    ledger_root = os.path.join(state_dir, "ledger")
+    bench_ng = None
+    if benchmark is not None:
+        # static for the stream's lifetime; tiny by definition
+        bench_ng = benchmark.persist()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(F.col("doc_id").isNotNull()).persist()
+        try:
+            _process_batch(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _process_batch(batch: DataFrame, batch_id: int) -> None:
+        q = quality_filter(batch, **(quality_kwargs or {})).select(
+            "doc_id", "reject_reasons", F.col("keep").alias("_q_keep")
+        )
+        q_surv = batch.join(q.filter("_q_keep = 1"), "doc_id").select(
+            "doc_id", "text"
+        )
+
+        # exact dedup: batch-min keeper per fingerprint, then drop
+        # fingerprints already owned by an earlier batch
+        state_fps = _read_state(spark, fp_root, _FP_SCHEMA, batch_id)
+        with_fp = q_surv.withColumn(
+            "_fp", F.md5(F.concat_ws(" ", tokens("text")))
+        )
+        batch_min = with_fp.groupBy("_fp").agg(
+            F.min("doc_id").alias("_kid")
+        )
+        flagged = (
+            with_fp.join(batch_min, "_fp")
+            .join(
+                state_fps.select(
+                    F.col("fingerprint").alias("_fp"),
+                    F.lit(True).alias("_owned"),
+                ),
+                "_fp",
+                "left",
+            )
+            .withColumn(
+                "_e_keep",
+                (F.col("doc_id") == F.col("_kid"))
+                & F.col("_owned").isNull(),
+            )
+        ).persist()
+        e_surv = flagged.filter("_e_keep").select("doc_id", "text", "_fp")
+
+        new_sigs = signature_table(
+            e_surv, num_hashes=num_hashes, shingle_n=shingle_n
+        ).persist()
+        corpus_sigs = _read_state(
+            spark, sig_root, _SIG_SCHEMA, batch_id
+        ).persist()
+        handles = [new_sigs, corpus_sigs, flagged]
+        try:
+            pairs = incremental_pairs_from_sigs(
+                new_sigs,
+                corpus_sigs,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold_ppm=threshold_ppm,
+                persist=False,
+            ).persist()
+            handles.append(pairs)
+            bids = new_sigs.select("doc_id")
+            a_new = F.col("_an").isNotNull()
+            b_new = F.col("_bn").isNotNull()
+            tagged = (
+                pairs.join(
+                    F.broadcast(
+                        bids.select(
+                            F.col("doc_id").alias("doc_a"),
+                            F.lit(True).alias("_an"),
+                        )
+                    ),
+                    "doc_a",
+                    "left",
+                )
+                .join(
+                    F.broadcast(
+                        bids.select(
+                            F.col("doc_id").alias("doc_b"),
+                            F.lit(True).alias("_bn"),
+                        )
+                    ),
+                    "doc_b",
+                    "left",
+                )
+            )
+            new_new = tagged.filter(a_new & b_new).select("doc_a", "doc_b")
+            anchored = (
+                tagged.filter(a_new != b_new)
+                .select(
+                    F.when(a_new, F.col("doc_a"))
+                    .otherwise(F.col("doc_b"))
+                    .alias("doc_id")
+                )
+                .distinct()
+            )
+            # CC keeper over the batch-internal pair graph; components
+            # touching the corpus through any anchored member drop whole
+            comp = near_dedup_keep(
+                e_surv.select("doc_id"), pairs=new_new
+            ).select("doc_id", "keep_id", "is_kept")
+            anchored_comps = (
+                comp.join(anchored, "doc_id").select("keep_id").distinct()
+            )
+            n_flag = comp.join(
+                F.broadcast(
+                    anchored_comps.withColumn("_anc", F.lit(True))
+                ),
+                "keep_id",
+                "left",
+            ).select(
+                "doc_id",
+                ((F.col("is_kept") == 1) & F.col("_anc").isNull()).alias(
+                    "_n_keep"
+                ),
+            )
+            n_surv = e_surv.join(
+                n_flag.filter("_n_keep"), "doc_id"
+            ).select("doc_id", "text")
+
+            if bench_ng is not None:
+                c = contamination(n_surv, bench_ng).select(
+                    "doc_id",
+                    (
+                        F.col("contamination_ppm")
+                        <= max_contamination_ppm
+                    ).alias("_c_keep"),
+                )
+            else:
+                c = n_surv.select(
+                    "doc_id", F.lit(True).alias("_c_keep")
+                )
+
+            ledger = (
+                batch.join(q, "doc_id", "left")
+                .join(
+                    flagged.select("doc_id", "_e_keep"), "doc_id", "left"
+                )
+                .join(n_flag, "doc_id", "left")
+                .join(c, "doc_id", "left")
+            )
+            drop_stage = (
+                F.when(F.col("_q_keep") == 0, F.lit("quality"))
+                .when(~F.col("_e_keep"), F.lit("exact_dup"))
+                .when(~F.col("_n_keep"), F.lit("near_dup"))
+                .when(~F.col("_c_keep"), F.lit("contaminated"))
+            )
+            out_text = F.when(
+                drop_stage.isNull(),
+                pii_scrub_expr(F.col("text")) if scrub else F.col("text"),
+            )
+            ledger_rows = ledger.select(
+                "doc_id",
+                drop_stage.alias("drop_stage"),
+                "reject_reasons",
+                out_text.alias("text"),
+            )
+            _commit(ledger_rows, ledger_root, batch_id)
+            _commit(
+                e_surv.select(
+                    F.col("_fp").alias("fingerprint"), "doc_id"
+                ),
+                fp_root,
+                batch_id,
+            )
+            _commit(new_sigs, sig_root, batch_id)
+        finally:
+            for h in handles:
+                h.unpersist()
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_curate_state(spark: SparkSession, state_dir: str):
+    """(ledger, fingerprints, signatures) DataFrames of the accumulated
+    streaming-curation state; empty typed frames before first commit."""
+    return (
+        _read_state(
+            spark, os.path.join(state_dir, "ledger"), _LEDGER_SCHEMA, None
+        ),
+        _read_state(
+            spark,
+            os.path.join(state_dir, "fingerprints"),
+            _FP_SCHEMA,
+            None,
+        ),
+        _read_state(
+            spark,
+            os.path.join(state_dir, "signatures"),
+            _SIG_SCHEMA,
+            None,
+        ),
+    )

@@ -1,0 +1,135 @@
+"""streaming_curate: after id-ordered micro-batches, the accumulated
+ledger must equal batch curate() over everything ingested — same kept
+set, same first-drop attribution, same scrubbed text."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+
+def _filler(tag):
+    return " ".join(
+        f"{tag}w{i} {tag}x{i} {tag}y{i} {tag}z{i}" for i in range(10)
+    )
+
+
+B1 = [
+    (0, _filler("a") + " original document body"),
+    (1, _filler("a") + " original document body"),    # exact dup of 0
+    (2, "tiny"),                                      # quality drop
+    (3, _filler("c") + " independent early content here now"),
+]
+B2 = [
+    (4, _filler("a") + " original document bodily"),  # near dup of 0 (cross-batch)
+    (5, _filler("a") + " original document body"),    # exact dup of 0 (cross-batch)
+    (6, _filler("d") + " the quick brown fox jumps over the lazy dog today"),
+    (7, _filler("e") + " reach me at bob@example.com for details thanks"),
+]
+B3 = [
+    (8, _filler("a") + " original document bodilys"),  # near dup of 4 (chain)
+    (9, _filler("f") + " and a final unique closing document right here"),
+]
+
+
+def _write(indir, name, rows):
+    with open(os.path.join(indir, name), "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+
+def test_streaming_curate_equals_batch_curate(spark, tmp_path):
+    from mod_reservoir_spark.pipeline.curate import curate
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_curate(
+        spark,
+        str(indir),
+        str(tmp_path / "ckpt"),
+        state,
+        benchmark=bench,
+        threshold_ppm=500000,
+    )
+    try:
+        for name, rows in (("b1.jsonl", B1), ("b2.jsonl", B2), ("b3.jsonl", B3)):
+            _write(str(indir), name, rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ledger, fps, sigs = read_curate_state(spark, state)
+    got = {
+        r.doc_id: (r.drop_stage, r.text) for r in ledger.collect()
+    }
+    all_rows = B1 + B2 + B3
+    assert set(got) == {i for i, _ in all_rows}
+
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {
+        r.doc_id: (r.drop_stage, r.text)
+        for r in curate(docs, benchmark=bench).collect()
+    }
+    assert got == want
+    # the scenario exercised every stage
+    stages = {s for s, _ in got.values() if s}
+    assert stages == {"quality", "exact_dup", "near_dup", "contaminated"}
+    # chain check: 8 near-dups 4 which near-dups 0 -> both dropped even
+    # though 8 never paired with 0 directly
+    assert got[4][0] == "near_dup" and got[8][0] == "near_dup"
+    # scrub check
+    assert "<EMAIL>" in got[7][1]
+    # state invariants: signatures hold exact survivors only, exactly once
+    sig_ids = sorted(r.doc_id for r in sigs.collect())
+    assert sig_ids == sorted(
+        i for i, (s, _) in got.items() if s not in ("quality", "exact_dup")
+    )
+    fp_ids = sorted(r.doc_id for r in fps.collect())
+    assert fp_ids == sig_ids
+
+
+def test_streaming_curate_replay_identical(spark, tmp_path):
+    """Replaying the last batch (crash between state commit and stream
+    checkpoint) must converge to the same state: the replayed batch
+    reads a corpus EXCLUDING its own partitions."""
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        q = streaming_curate(
+            spark, str(indir), str(tmp_path / ckpt), state
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write(str(indir), "b1.jsonl", B1)
+    run("ckpt1")
+    before = {
+        r.doc_id: (r.drop_stage, r.text)
+        for r in read_curate_state(spark, state)[0].collect()
+    }
+    # fresh checkpoint -> batch 0 replays over the SAME input with the
+    # state dir already committed
+    run("ckpt2")
+    after = {
+        r.doc_id: (r.drop_stage, r.text)
+        for r in read_curate_state(spark, state)[0].collect()
+    }
+    assert before == after
