@@ -1,0 +1,200 @@
+"""Distributed BPE tokenizer training — the corpus-side half of
+building a tokenizer for the training run (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+Scale design: the corpus is touched by exactly ONE combinable
+aggregation — pretokenized word counts, output bounded by the word
+VOCABULARY, not the corpus (the classic BPE formulation trains on the
+word-frequency table). The merge loop then runs driver-side over that
+bounded table with the standard incremental pair-count updates: at
+100 TB the vocabulary (after a ``min_count`` floor that drops hapax
+noise) is millions of rows — kilobyte-scale next to the corpus — so
+"collect the word counts, iterate locally, broadcast the merge table
+back" is the honest Spark shape, not a shortcut. Applying the learned
+merges back over the corpus is an Arrow-batched Pandas UDF with a
+per-word memo (Zipf makes the memo hit rate extreme); merging inside
+SQL expressions cannot express the iterative ranked-merge semantics.
+
+Determinism: ties in pair frequency break lexicographically, so the
+merge list is a pure function of the word-count table — identical
+across runs, partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import DataFrame, functions as F
+
+from mod_reservoir_spark.pipeline.text import BPE_PRETOKEN_RE
+
+
+def bpe_word_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(word, n) counts of GPT-2-pretokenizer pieces (whitespace-only
+    runs excluded) — the bounded table BPE trains on. One explode +
+    one combinable shuffle; ``min_count`` floors away hapax noise
+    (what keeps the table driver-collectable at corpus scale)."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0
+    )
+    out = (
+        docs.select(
+            F.explode(
+                F.filter(pieces, lambda x: x.rlike(r"\S"))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out
+
+
+def bpe_train_from_counts(
+    counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The driver-side merge loop: standard BPE with incremental
+    pair-count maintenance (pair → affected-word index; on merge only
+    the words containing the pair are re-paired). Ties break on the
+    lexicographically smallest pair; stops early when no pair occurs
+    twice. Pure function of the count table."""
+    words = [tuple(w) for w, _ in counts]
+    freqs = [n for _, n in counts]
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for i, w in enumerate(words):
+        for a, b in zip(w, w[1:]):
+            pair_counts[(a, b)] += freqs[i]
+            where[(a, b)].add(i)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for i in sorted(where.pop(best, ())):
+            w = words[i]
+            for a, b in zip(w, w[1:]):
+                pair_counts[(a, b)] -= freqs[i]
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                where[(a, b)].discard(i)
+            new = []
+            j = 0
+            while j < len(w):
+                if j < len(w) - 1 and (w[j], w[j + 1]) == best:
+                    new.append(joined)
+                    j += 2
+                else:
+                    new.append(w[j])
+                    j += 1
+            words[i] = tuple(new)
+            for a, b in zip(words[i], words[i][1:]):
+                pair_counts[(a, b)] += freqs[i]
+                where[(a, b)].add(i)
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 1000,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_vocab_rows: int = 2_000_000,
+    word_counts: DataFrame | None = None,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from the corpus (or from a maintained
+    ``word_counts`` table — the production form when counts are kept
+    in the warehouse and updated per ingest batch; same pattern as
+    ``corpus_sigs`` in incremental LSH). Raises if the floored
+    vocabulary exceeds ``max_vocab_rows`` rather than silently
+    collecting an unbounded table to the driver — raise the floor
+    (``min_count``), not the cap."""
+    wc = (
+        word_counts
+        if word_counts is not None
+        else bpe_word_counts(docs, text_col, min_count)
+    )
+    rows = wc.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"word vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
+            "raise min_count to floor rare words"
+        )
+    # deterministic input order -> deterministic merges regardless of
+    # partitioning
+    counts = sorted((r.word, r.n) for r in rows)
+    return bpe_train_from_counts(counts, n_merges)
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply ranked merges to one pretokenized piece (the GPT-2 bpe()
+    shape): repeatedly merge the lowest-rank adjacent pair."""
+    sym = list(word)
+    while len(sym) > 1:
+        pairs = [(ranks.get((a, b)), i) for i, (a, b) in enumerate(zip(sym, sym[1:]))]
+        ranked = [(r, i) for r, i in pairs if r is not None]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        sym[i : i + 2] = [sym[i] + sym[i + 1]]
+    return sym
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list. Arrow-batched
+    ``mapInPandas`` with a per-word memo (Zipf: the same words repeat,
+    so most pieces hit the memo); the merge table ships once per task
+    via closure serialization, never a join. Output:
+    (doc_id, pieces array<string>, n_tokens) — concatenating ``pieces``
+    restores the pretokenized text exactly (BPE merges never cross
+    piece boundaries)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    pattern = BPE_PRETOKEN_RE
+
+    def run(iterator):
+        import pandas as pd
+        import regex  # stdlib `re` has no \p{L}/\p{N}; `regex` matches
+        # the Java-regex pretokenization Spark-side counting uses
+
+        rx = regex.compile(pattern)
+        memo: dict[str, list[str]] = {}
+
+        def encode(text):
+            out = []
+            for piece in rx.findall(text or ""):
+                if not piece.strip():
+                    continue
+                got = memo.get(piece)
+                if got is None:
+                    got = bpe_encode_word(piece, ranks)
+                    memo[piece] = got
+                out.extend(got)
+            return out
+
+        for pdf in iterator:
+            toks = pdf["text"].map(encode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pieces": toks,
+                    "n_tokens": toks.map(len).astype("int64"),
+                }
+            )
+
+    src = docs.select("doc_id", F.col(text_col).alias("text"))
+    return src.mapInPandas(
+        run, "doc_id long, pieces array<string>, n_tokens long"
+    )

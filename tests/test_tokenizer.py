@@ -1,0 +1,117 @@
+"""BPE training/apply: merges equal an independent naive reference,
+are partitioning-invariant, and applying them reconstructs the
+pretokenized text exactly."""
+
+from collections import Counter
+
+import pytest
+
+from mod_reservoir_spark.pipeline.tokenizer import (
+    bpe_apply,
+    bpe_train,
+    bpe_train_from_counts,
+    bpe_word_counts,
+)
+
+
+def _naive_bpe(counts, n_merges):
+    """Recount-from-scratch reference (no incremental index)."""
+    words = {tuple(w): n for w, n in counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, n in words.items():
+            for p in zip(w, w[1:]):
+                pc[p] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 2:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_words = {}
+        for w, n in words.items():
+            out, j = [], 0
+            while j < len(w):
+                if j < len(w) - 1 and (w[j], w[j + 1]) == best:
+                    out.append(joined)
+                    j += 2
+                else:
+                    out.append(w[j])
+                    j += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
+        words = new_words
+    return merges
+
+
+def test_bpe_train_matches_naive_reference():
+    counts = sorted(
+        [
+            ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+            ("low!", 1), ("the", 50), ("then", 8), ("them", 7),
+        ]
+    )
+    assert bpe_train_from_counts(counts, 20) == _naive_bpe(counts, 20)
+
+
+def test_bpe_train_matches_naive_on_real_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = sorted(
+        (r.word, r.n) for r in bpe_word_counts(docs, min_count=2).collect()
+    )
+    got = bpe_train_from_counts(list(wc), 60)
+    assert got == _naive_bpe(list(wc), 60)
+    assert len(got) == 60
+
+
+def test_bpe_train_partitioning_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = bpe_train(docs, n_merges=30)
+    m2 = bpe_train(docs.repartition(13), n_merges=30)
+    assert m1 == m2
+    # maintained-counts form equals the from-docs form
+    m3 = bpe_train(
+        docs, n_merges=30, word_counts=bpe_word_counts(docs, min_count=2)
+    )
+    assert m1 == m3
+
+
+def test_bpe_apply_roundtrip_and_compression(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(100)
+    merges = bpe_train(docs, n_merges=80)
+    out0 = {r.doc_id: r for r in bpe_apply(docs, []).collect()}
+    out1 = {r.doc_id: r for r in bpe_apply(docs, merges).collect()}
+    import regex
+
+    from mod_reservoir_spark.pipeline.text import BPE_PRETOKEN_RE
+
+    rx = regex.compile(BPE_PRETOKEN_RE)
+    for r in docs.select("doc_id", "text").collect():
+        want = "".join(
+            p for p in rx.findall(r.text or "") if p.strip()
+        )
+        assert "".join(out1[r.doc_id].pieces) == want  # lossless
+        # merges only ever reduce the token count; with 0 merges the
+        # count is the character count of the pieces
+        assert out1[r.doc_id].n_tokens <= out0[r.doc_id].n_tokens
+        assert out0[r.doc_id].n_tokens == len(want)
+    assert sum(r.n_tokens for r in out1.values()) < sum(
+        r.n_tokens for r in out0.values()
+    )
+
+
+def test_bpe_train_vocab_cap():
+    import pyspark.sql  # noqa: F401
+
+    from mod_reservoir_spark.session import get_spark
+
+    spark = get_spark()
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} tok{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train(docs, n_merges=5, min_count=1, max_vocab_rows=10)
