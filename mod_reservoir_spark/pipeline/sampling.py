@@ -339,14 +339,37 @@ def dsir_weights(
     corpus is small by construction (it's the domain sample).
 
     Output: (id, n_feats, logw_e6); docs with no features score 0.
+
+    This convenience form estimates p_raw from ``raw`` itself; the
+    production lifecycle is :func:`dsir_model` once (λ persisted in
+    the warehouse) + :func:`dsir_score` per batch — scoring a daily
+    increment must not re-aggregate the 100 TB raw corpus.
     """
+    lam = dsir_model(raw, target, text_col, id_col, n_max, buckets)
+    return dsir_score(raw, lam, text_col, id_col, n_max, buckets)
+
+
+def dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 2,
+    buckets: int = 10_007,
+) -> DataFrame:
+    """The trained DSIR model: the per-bucket micro-nat log-ratio
+    table λ (≤ ``buckets`` rows). Train ONCE — on the full raw corpus
+    or a representative sample — persist it (it is kilobytes), and
+    score any number of batches with :func:`dsir_score`; the same
+    maintained-state pattern as ``signature_table`` for incremental
+    LSH. Output: (bucket, lam_e6)."""
     raw_feats = hashed_ngram_features(raw, text_col, id_col, n_max, buckets)
     tgt_feats = hashed_ngram_features(target, text_col, id_col, n_max, buckets)
     rc = _bucket_counts(raw_feats, "rc")
     tc = _bucket_counts(tgt_feats, "tc")
     r_total = raw_feats.select(F.sum("tf").cast("long").alias("_rt"))
     t_total = tgt_feats.select(F.sum("tf").cast("long").alias("_tt"))
-    lam = (
+    return (
         rc.join(tc, "bucket", "full_outer")
         .crossJoin(F.broadcast(r_total))
         .crossJoin(F.broadcast(t_total))
@@ -369,16 +392,37 @@ def dsir_weights(
             .alias("lam_e6"),
         )
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    lam: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 2,
+    buckets: int = 10_007,
+) -> DataFrame:
+    """Score documents against a trained λ table (:func:`dsir_model`):
+    one featurization pass over ``docs`` + a broadcast join — a batch
+    never touches the corpus the model was trained on. Buckets absent
+    from λ (possible when the model was trained on a sample) contribute
+    0 — the neutral no-evidence weight. Output: (id, n_feats,
+    logw_e6)."""
+    feats = hashed_ngram_features(docs, text_col, id_col, n_max, buckets)
     scored = (
-        raw_feats.join(F.broadcast(lam), "bucket")
+        feats.join(F.broadcast(lam), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_feats"),
-            F.sum(F.col("tf") * F.col("lam_e6")).cast("long").alias("logw_e6"),
+            F.sum(
+                F.col("tf") * F.coalesce("lam_e6", F.lit(0))
+            )
+            .cast("long")
+            .alias("logw_e6"),
         )
     )
     return (
-        raw.select(id_col)
+        docs.select(id_col)
         .join(scored, id_col, "left")
         .select(
             id_col,

@@ -1918,3 +1918,43 @@ def test_write_training_shards_layout(spark, tmp_path):
     }
     assert seen == want_rows
     assert returned.count() == len(want_rows)
+
+
+def test_dsir_model_score_split_equals_convenience(spark):
+    """dsir_model once + dsir_score per batch must equal dsir_weights,
+    and scoring a batch against a persisted λ must not depend on the
+    raw corpus being present (round-trip through parquet)."""
+    from mod_reservoir_spark.pipeline.sampling import (
+        dsir_model,
+        dsir_score,
+        dsir_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    target = docs.filter("doc_id < 50")
+    want = {
+        r.doc_id: (r.n_feats, r.logw_e6)
+        for r in dsir_weights(docs, target, buckets=1009).collect()
+    }
+    lam = dsir_model(docs, target, buckets=1009)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        lam.write.parquet(f"{d}/lam")
+        lam2 = spark.read.parquet(f"{d}/lam")
+        got = {
+            r.doc_id: (r.n_feats, r.logw_e6)
+            for r in dsir_score(docs, lam2, buckets=1009).collect()
+        }
+    assert got == want
+    # scoring a new batch with unseen-bucket text: neutral 0 weight,
+    # no crash
+    from pyspark.sql import functions as F
+
+    newb = spark.createDataFrame(
+        [(9999, "zzzqqq xxxyyy completely unseen vocabulary")],
+        "doc_id long, text string",
+    )
+    row = dsir_score(newb, lam, buckets=1009).collect()[0]
+    assert row.n_feats > 0
