@@ -198,3 +198,92 @@ def bpe_apply(
     return src.mapInPandas(
         run, "doc_id long, pieces array<string>, n_tokens long"
     )
+
+
+def chunk_sequences(
+    tokenized: DataFrame,
+    seq_len: int = 128,
+    strata: tuple[str, ...] = (),
+    eos: str = "<|eos|>",
+    shard_tokens: int = 1_000_000,
+    id_col: str = "doc_id",
+    drop_last: bool = True,
+) -> DataFrame:
+    """The last mile of pretraining data prep: lay the tokenized
+    corpus end-to-end (an ``eos`` piece after every document) and cut
+    it into FIXED-LENGTH training sequences that cross document
+    boundaries — the standard packed-sequence layout (GPT-style
+    concat-and-chunk).
+
+    Input is the output of :func:`bpe_apply` (``id, pieces``) plus any
+    stratum columns. Layout order is the deterministic md5 shuffle
+    within each stratum — the same engine-portable order the sampling
+    family uses, so reruns and engines agree byte-for-byte.
+
+    Scale shape: documents are first assigned to bounded SHARDS of
+    ~``shard_tokens`` tokens (one window-ranked pass — the
+    :func:`~mod_reservoir_spark.pipeline.sampling.pack_shards` shape,
+    computed here on the +1-per-doc eos-inclusive count); each shard
+    then chunks independently inside ``applyInPandas`` — per-task
+    memory is bounded by the shard size, sequences never cross shard
+    boundaries, and every task emits its chunk ids from the shard's
+    own token offsets with no coordination. A shard's trailing partial
+    sequence is dropped when ``drop_last`` (the usual training choice)
+    — at most seq_len-1 tokens per shard, never silently padded.
+
+    Output: (strata…, shard_id, seq_id, tokens array<string>) with
+    len(tokens) == seq_len exactly.
+    """
+    from pyspark.sql import Window
+
+    from mod_reservoir_spark.pipeline.sampling import _shuffle_key
+
+    strata = tuple(strata)
+    w = (
+        Window.partitionBy(*strata).orderBy(_shuffle_key(id_col))
+        if strata
+        else Window.orderBy(_shuffle_key(id_col))
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_tok = (F.size("pieces") + 1).cast("long")  # +1: the eos piece
+    with_shard = tokenized.select(
+        id_col,
+        *strata,
+        "pieces",
+        _shuffle_key(id_col).alias("_ord"),
+        (F.sum(n_tok).over(w) - n_tok).alias("_before"),
+    ).withColumn(
+        "shard_id",
+        F.expr(f"_before div {int(shard_tokens)}").cast("long"),
+    )
+
+    out_schema = ", ".join(
+        [*(f"{s} string" for s in strata),
+         "shard_id long", "seq_id long", "tokens array<string>"]
+    )
+
+    def chunk(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_ord")
+        stream: list[str] = []
+        for pieces in pdf["pieces"]:
+            stream.extend(pieces)
+            stream.append(eos)
+        rows = []
+        n_full = len(stream) // seq_len
+        for i in range(n_full):
+            rows.append(stream[i * seq_len : (i + 1) * seq_len])
+        if not drop_last and len(stream) % seq_len:
+            rows.append(stream[n_full * seq_len :])
+        return pd.DataFrame(
+            {
+                **{s: [key[j]] * len(rows) for j, s in enumerate(strata)},
+                "shard_id": [key[len(strata)]] * len(rows),
+                "seq_id": list(range(len(rows))),
+                "tokens": rows,
+            }
+        )
+
+    return with_shard.groupBy(*strata, "shard_id").applyInPandas(
+        chunk, out_schema
+    )

@@ -115,3 +115,52 @@ def test_bpe_train_vocab_cap():
     )
     with pytest.raises(ValueError, match="max_vocab_rows"):
         bpe_train(docs, n_merges=5, min_count=1, max_vocab_rows=10)
+
+
+def test_chunk_sequences_matches_reference(spark):
+    """Packed fixed-length sequences equal an independent Python
+    layout: md5 order within stratum, eos after every doc, seq_len
+    windows, trailing partial dropped."""
+    import hashlib
+
+    from mod_reservoir_spark.pipeline.tokenizer import (
+        bpe_apply,
+        chunk_sequences,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    tokenized = bpe_apply(docs, []).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    got = {}
+    out = chunk_sequences(
+        tokenized, seq_len=64, strata=("lang",), shard_tokens=3000
+    )
+    for r in out.collect():
+        got[(r.lang, r.shard_id, r.seq_id)] = list(r.tokens)
+        assert len(r.tokens) == 64
+
+    rows = [
+        (r.doc_id, r.lang, list(r.pieces))
+        for r in tokenized.select("doc_id", "lang", "pieces").collect()
+    ]
+    by_lang = {}
+    for did, lang, pieces in rows:
+        by_lang.setdefault(lang, []).append((did, pieces))
+    want = {}
+    for lang, items in by_lang.items():
+        items.sort(key=lambda t: hashlib.md5(str(t[0]).encode()).hexdigest())
+        # shard assignment by cumulative (len+1) BEFORE each doc
+        before = 0
+        shards = {}
+        for did, pieces in items:
+            sid = before // 3000
+            shards.setdefault(sid, []).extend(pieces + ["<|eos|>"])
+            before += len(pieces) + 1
+        for sid, stream in shards.items():
+            for i in range(len(stream) // 64):
+                want[(lang, sid, i)] = stream[i * 64 : (i + 1) * 64]
+    assert got == want
+    assert len(got) > 5
