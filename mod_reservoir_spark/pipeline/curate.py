@@ -65,7 +65,13 @@ def curate(
     is the keep threshold (0 = any benchmark 8-gram overlap drops).
     ``quality_kwargs`` / ``near_kwargs`` pass through to
     :func:`quality_filter` / :func:`near_dedup_keep`.
+
+    Rows with a NULL doc_id are DROPPED up front (the split family's
+    rule: an id-less document has no stable identity for dedup or
+    audit) — without this they would miss every stage join and leak
+    into the survivors unchecked.
     """
+    docs = docs.filter(F.col("doc_id").isNotNull())
     base = docs.select("doc_id", F.col(text_col).alias("_text"))
 
     q = quality_filter(docs, text_col, **(quality_kwargs or {})).select(
@@ -79,11 +85,9 @@ def curate(
     fp = exact_duplicates(q_surv, "_text").select(
         "fingerprint", "keeper_doc_id"
     )
-    from mod_reservoir_spark.pipeline.text import tokens
+    from mod_reservoir_spark.pipeline.text import fingerprint_expr
 
-    with_fp = q_surv.withColumn(
-        "_fp", F.md5(F.concat_ws(" ", tokens("_text")))
-    )
+    with_fp = q_surv.withColumn("_fp", fingerprint_expr("_text"))
     e = with_fp.join(
         fp, with_fp["_fp"] == fp["fingerprint"]
     ).select(

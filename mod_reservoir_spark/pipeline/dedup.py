@@ -65,9 +65,10 @@ def minhash_expr(i: int, h):
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup on the normalized-text fingerprint: one row per
     duplicate group with the keeper (min doc_id) and group size."""
-    normalized = F.concat_ws(" ", tokens(text_col))
+    from mod_reservoir_spark.pipeline.text import fingerprint_expr
+
     return (
-        docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+        docs.select("doc_id", fingerprint_expr(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.count("*").alias("group_size"),

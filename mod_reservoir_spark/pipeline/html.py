@@ -28,8 +28,13 @@ from io import StringIO
 
 from pyspark.sql import DataFrame, functions as F
 
-# elements whose subtree is never content
-_DROP = {"script", "style", "noscript", "template", "iframe", "svg", "head"}
+# elements whose subtree is never content ("title" explicitly: the
+# head wrapper is optional in HTML, so SEO titles would otherwise leak
+# into the extracted text on crawled pages that omit <head>)
+_DROP = {
+    "script", "style", "noscript", "template", "iframe", "svg", "head",
+    "title",
+}
 # elements that begin a new text block
 _BLOCK = {
     "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",
@@ -44,16 +49,21 @@ class _Extractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int]] = []  # (text, linked_chars)
         self._buf = StringIO()
-        self._linked = 0
+        self._linked_buf = StringIO()
         self._drop_depth = 0
         self._a_depth = 0
 
     def _flush(self) -> None:
         text = " ".join(self._buf.getvalue().split())
         if text:
-            self.blocks.append((text, self._linked))
+            # normalize the linked portion the same way as the block
+            # text — raw anchor data includes pretty-printing
+            # whitespace runs that would inflate the density and drop
+            # genuine content blocks
+            linked = len(" ".join(self._linked_buf.getvalue().split()))
+            self.blocks.append((text, linked))
         self._buf = StringIO()
-        self._linked = 0
+        self._linked_buf = StringIO()
         # browsers implicitly close inline elements at block
         # boundaries; without this an unclosed <a> in malformed markup
         # would count every later block as fully linked
@@ -80,7 +90,7 @@ class _Extractor(HTMLParser):
             return
         self._buf.write(data)
         if self._a_depth:
-            self._linked += len(data)
+            self._linked_buf.write(data)
 
 
 def extract_html(

@@ -316,11 +316,26 @@ def quality_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """The distinct benchmark n-gram set contamination checks against —
+    compute it ONCE and pass it as ``bench_ngrams`` when checking many
+    batches (a streaming funnel re-deriving it per micro-batch pays
+    the shingle+distinct build for the stream's whole life)."""
+    from mod_reservoir_spark.pipeline.dedup import shingle_array
+
+    return benchmark.select(
+        F.explode(shingle_array(text_col, n)).alias("ng")
+    ).distinct()
+
+
 def contamination(
     docs: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     text_col: str = "text",
     n: int = 8,
+    bench_ngrams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for each document, the fraction of
     its distinct word n-grams that also occur anywhere in the
@@ -334,15 +349,27 @@ def contamination(
     tokens have 0 n-grams and report 0.
 
     Output: (doc_id, n_ngrams, n_hits, contamination_ppm).
+
+    Pass either ``benchmark`` (raw docs — the n-gram set is built per
+    call) or ``bench_ngrams`` (a precomputed/persisted
+    :func:`benchmark_ngrams` table — the maintained form for repeated
+    checks).
     """
     from mod_reservoir_spark.pipeline.dedup import shingle_array
 
+    if (benchmark is None) == (bench_ngrams is None):
+        raise ValueError(
+            "pass exactly one of benchmark= (raw docs) or "
+            "bench_ngrams= (precomputed n-gram set)"
+        )
     doc_ng = docs.select(
         "doc_id", F.explode(shingle_array(text_col, n)).alias("ng")
     )
-    bench_ng = benchmark.select(
-        F.explode(shingle_array(text_col, n)).alias("ng")
-    ).distinct()
+    bench_ng = (
+        bench_ngrams
+        if bench_ngrams is not None
+        else benchmark_ngrams(benchmark, text_col, n)
+    )
     sizes = doc_ng.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_ngrams")
     )
@@ -746,6 +773,15 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def fingerprint_expr(text_col: Column | str) -> Column:
+    """THE canonical exact-dedup key: md5 of the whitespace-normalized
+    lowercased text. One shared definition — fingerprint(),
+    exact_duplicates(), curate() and streaming_curate all join on this
+    expression, so a normalization change in one place cannot silently
+    empty those joins."""
+    return F.md5(F.concat_ws(" ", tokens(text_col)))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the whitespace-normalized
     lowercased text — the cheap exact-dedup key. (The reference's
@@ -754,7 +790,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     normalized = F.concat_ws(" ", tokens(text_col))
     return docs.select(
         "doc_id",
-        F.md5(normalized).alias("fingerprint"),
+        fingerprint_expr(text_col).alias("fingerprint"),
         F.length(normalized).alias("n_chars_normalized"),
     )
 

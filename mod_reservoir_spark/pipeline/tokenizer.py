@@ -244,7 +244,10 @@ def chunk_sequences(
         if strata
         else Window.orderBy(_shuffle_key(id_col))
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    n_tok = (F.size("pieces") + 1).cast("long")  # +1: the eos piece
+    # +1: the eos piece; size(NULL) is NULL (not -1) under the default
+    # conf, so coalesce NULL-pieces rows to 0 tokens — otherwise they
+    # get a NULL shard_id and form their own group
+    n_tok = F.coalesce(F.size("pieces") + 1, F.lit(0)).cast("long")
     with_shard = tokenized.select(
         id_col,
         *strata,
@@ -256,8 +259,9 @@ def chunk_sequences(
         F.expr(f"_before div {int(shard_tokens)}").cast("long"),
     )
 
+    in_types = {f.name: f.dataType.simpleString() for f in tokenized.schema}
     out_schema = ", ".join(
-        [*(f"{s} string" for s in strata),
+        [*(f"{s} {in_types[s]}" for s in strata),
          "shard_id long", "seq_id long", "tokens array<string>"]
     )
 
@@ -267,6 +271,11 @@ def chunk_sequences(
         pdf = pdf.sort_values("_ord")
         stream: list[str] = []
         for pieces in pdf["pieces"]:
+            if pieces is None:
+                # NULL pieces (outer joins, parquet round-trips): the
+                # Spark-side count gave it 0 tokens, so contributing
+                # nothing — not even an eos — keeps the two in step
+                continue
             stream.extend(pieces)
             stream.append(eos)
         rows = []
@@ -280,7 +289,9 @@ def chunk_sequences(
                 **{s: [key[j]] * len(rows) for j, s in enumerate(strata)},
                 "shard_id": [key[len(strata)]] * len(rows),
                 "seq_id": list(range(len(rows))),
-                "tokens": rows,
+                # explicit object dtype: a zero-row group would infer
+                # float64, which Arrow cannot convert to list<string>
+                "tokens": pd.Series(rows, dtype=object),
             }
         )
 

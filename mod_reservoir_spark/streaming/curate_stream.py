@@ -49,9 +49,9 @@ from mod_reservoir_spark.pipeline.dedup import (
 )
 from mod_reservoir_spark.pipeline.text import (
     contamination,
+    fingerprint_expr,
     pii_scrub_expr,
     quality_filter,
-    tokens,
 )
 from mod_reservoir_spark.streaming.windowed import DOC_SCHEMA
 
@@ -107,8 +107,13 @@ def streaming_curate(
     ledger_root = os.path.join(state_dir, "ledger")
     bench_ng = None
     if benchmark is not None:
-        # static for the stream's lifetime; tiny by definition
-        bench_ng = benchmark.persist()
+        # the DISTINCT n-gram set is the expensive part — build it
+        # once for the stream's lifetime (per-batch cost is then just
+        # the broadcast join); tiny by definition. The cache lives
+        # until the session ends — acceptable for a table this size.
+        from mod_reservoir_spark.pipeline.text import benchmark_ngrams
+
+        bench_ng = benchmark_ngrams(benchmark).persist()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.filter(F.col("doc_id").isNotNull()).persist()
@@ -128,9 +133,7 @@ def streaming_curate(
         # exact dedup: batch-min keeper per fingerprint, then drop
         # fingerprints already owned by an earlier batch
         state_fps = _read_state(spark, fp_root, _FP_SCHEMA, batch_id)
-        with_fp = q_surv.withColumn(
-            "_fp", F.md5(F.concat_ws(" ", tokens("text")))
-        )
+        with_fp = q_surv.withColumn("_fp", fingerprint_expr("text"))
         batch_min = with_fp.groupBy("_fp").agg(
             F.min("doc_id").alias("_kid")
         )
@@ -229,7 +232,7 @@ def streaming_curate(
             ).select("doc_id", "text")
 
             if bench_ng is not None:
-                c = contamination(n_surv, bench_ng).select(
+                c = contamination(n_surv, bench_ngrams=bench_ng).select(
                     "doc_id",
                     (
                         F.col("contamination_ppm")

@@ -135,3 +135,18 @@ def test_curate_real_corpus(spark, bench_docs):
     want_drops, want_surv = _hand_chain(spark, docs, None, NEAR)
     assert got_drops == want_drops
     assert ledger.filter("drop_stage IS NULL").count() == len(want_surv)
+
+
+def test_curate_drops_null_doc_ids(spark):
+    """A NULL-id row must never leak into the survivors (it would miss
+    every stage join and come out unchecked); it is dropped up front,
+    matching the split family's id rule."""
+    docs = spark.createDataFrame(
+        [(None, "tiny"), (1, LONG_OK), (None, None)],
+        "doc_id long, text string",
+    )
+    rows = curate(docs, near_kwargs=NEAR).collect()
+    assert [r.doc_id for r in rows] == [1]
+
+
+LONG_OK = " ".join(f"ok{i} fine{i} word{i} text{i}" for i in range(10))

@@ -65,3 +65,29 @@ def test_extract_html_text_distributed(spark):
     # per-row results equal the core function (same params)
     for i, h in rows:
         assert got[i].text == extract_html(h)[0]
+
+
+def test_extract_html_title_dropped_without_head():
+    """Crawled pages often omit <head>; the SEO title must still not
+    leak into the content."""
+    t, _, _ = extract_html(
+        "<html><title>Acme Widgets | Best Widget Deals Online</title>"
+        "<body><p>the genuine article text long enough to keep here</p>"
+    )
+    assert "Acme Widgets" not in t
+    assert "genuine article text" in t
+
+
+def test_extract_html_pretty_printed_anchor_density():
+    """Whitespace runs inside a pretty-printed anchor must not inflate
+    link density and drop a real content paragraph."""
+    html = (
+        "<p>This sober paragraph carries plenty of ordinary prose and "
+        "just one link: click\n" + " " * 41 + "here, nothing more, so "
+        "it must comfortably clear the density threshold.</p>"
+    )
+    wrapped = html.replace("click\n", '<a href="x">click\n').replace(
+        "here,", "here</a>,"
+    )
+    t, _, kept = extract_html(wrapped)
+    assert kept == 1 and "sober paragraph" in t

@@ -164,3 +164,25 @@ def test_chunk_sequences_matches_reference(spark):
                 want[(lang, sid, i)] = stream[i * 64 : (i + 1) * 64]
     assert got == want
     assert len(got) > 5
+
+
+def test_chunk_sequences_null_pieces_and_typed_strata(spark):
+    """NULL pieces rows contribute nothing (matching the Spark-side
+    0-token count) instead of crashing, and non-string stratum columns
+    keep their type in the output schema."""
+    from mod_reservoir_spark.pipeline.tokenizer import chunk_sequences
+
+    tok = spark.createDataFrame(
+        [
+            (1, 7, ["a", "b", "c"]),
+            (2, 7, None),
+            (3, 7, ["d", "e", "f", "g"]),
+        ],
+        "doc_id long, src long, pieces array<string>",
+    )
+    out = chunk_sequences(tok, seq_len=3, strata=("src",), drop_last=False)
+    rows = out.collect()
+    assert dict(out.dtypes)["src"] == "bigint"
+    stream = [t for r in sorted(rows, key=lambda r: r.seq_id) for t in r.tokens]
+    assert stream.count("<|eos|>") == 2  # one per non-null doc
+    assert all(r.src == 7 for r in rows)
