@@ -133,3 +133,63 @@ def test_streaming_curate_replay_identical(spark, tmp_path):
         for r in read_curate_state(spark, state)[0].collect()
     }
     assert before == after
+
+
+def test_streaming_curate_random_corpus_equivalence(spark, tmp_path):
+    """Seeded-random corpus with forced collisions (small vocab, doc
+    templates reused across batches), split into 3 id-ordered batches:
+    streaming must equal batch curate() exactly."""
+    import random
+
+    from mod_reservoir_spark.pipeline.curate import curate
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"tok{i}" for i in range(60)]
+    templates = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(25, 40)))
+        for _ in range(12)
+    ]
+    rows = []
+    for i in range(42):
+        r = rng.random()
+        if r < 0.25:
+            rows.append((i, rng.choice(templates)))          # exact dups
+        elif r < 0.5:
+            base = rng.choice(templates).split()
+            j = rng.randrange(len(base))
+            base[j] = rng.choice(vocab)                       # near dups
+            rows.append((i, " ".join(base)))
+        elif r < 0.6:
+            rows.append((i, "short"))                         # quality
+        else:
+            rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(30)))
+            )
+    batches = [rows[:14], rows[14:28], rows[28:]]
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_curate(spark, str(indir), str(tmp_path / "ckpt"), state)
+    try:
+        for bi, b in enumerate(batches):
+            _write(str(indir), f"r{bi}.jsonl", b)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id: r.drop_stage
+        for r in read_curate_state(spark, state)[0].collect()
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r.doc_id: r.drop_stage for r in curate(docs).collect()}
+    assert got == want
+    # the random draw exercised at least quality + both dedup stages
+    assert {"quality", "exact_dup", "near_dup"} <= set(
+        v for v in got.values() if v
+    )
