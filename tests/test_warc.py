@@ -1,0 +1,83 @@
+"""WARC source: spec-shaped fixtures built in-test (plain and
+per-record-gzip), response header stripping, lenient truncation."""
+
+import gzip
+
+from mod_reservoir_spark.sources.warc import parse_warc, read_warc
+
+
+def _rec(wtype, uri, block, extra=()):
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + wtype.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + uri.encode() + b">",
+        b"WARC-Target-URI: http://example.com/" + uri.encode(),
+        b"WARC-Date: 2026-08-14T00:00:00Z",
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(block)).encode(),
+    ]
+    for e in extra:
+        head.append(e)
+    return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+HTML = b"<html><body><p>hello crawl world, long enough to keep</p></body></html>"
+HTTP = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + HTML
+
+
+def _warc_bytes():
+    return (
+        _rec("warcinfo", "info", b"software: test\r\n")
+        + _rec("request", "r1", b"GET / HTTP/1.1\r\n\r\n")
+        + _rec("response", "r1", HTTP)
+    )
+
+
+def test_parse_warc_plain_and_gzip():
+    for data in (
+        _warc_bytes(),
+        b"".join(  # per-record gzip members, the .warc.gz layout
+            gzip.compress(r)
+            for r in (
+                _rec("warcinfo", "info", b"software: test\r\n"),
+                _rec("request", "r1", b"GET / HTTP/1.1\r\n\r\n"),
+                _rec("response", "r1", HTTP),
+            )
+        ),
+    ):
+        recs = list(parse_warc(data))
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo", "request", "response",
+        ]
+        resp = recs[2]
+        assert resp["http_status"] == 200
+        assert resp["payload"] == HTML  # HTTP envelope stripped
+        assert resp["target_uri"] == "http://example.com/r1"
+
+
+def test_parse_warc_truncated_is_lenient():
+    data = _warc_bytes() + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Le"
+    assert len(list(parse_warc(data))) == 3
+    assert list(parse_warc(b"not a warc at all")) == []
+
+
+def test_read_warc_to_curation(spark, tmp_path):
+    """End-to-end: WARC file -> response rows -> extract_html_text."""
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.pipeline.html import extract_html_text
+
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(gzip.compress(_warc_bytes()))
+    df = read_warc(spark, str(p))
+    assert df.count() == 3
+    pages = (
+        df.filter("warc_type = 'response' and http_status = 200")
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+        )
+    )
+    out = extract_html_text(pages).collect()
+    assert len(out) == 1
+    assert "hello crawl world" in out[0].text
