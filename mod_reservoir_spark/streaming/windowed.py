@@ -572,3 +572,76 @@ def read_hll_state(spark: SparkSession, state_dir: str):
         return spark.createDataFrame([], "bucket long, r long")
     latest = max(parts, key=lambda s: int(s.split("-", 1)[1]))
     return spark.read.parquet(os.path.join(state_dir, latest))
+
+
+def streaming_cm(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    value_col: str = "text",
+    group_cols: tuple[str, ...] = (),
+    depth: int = 4,
+    width: int = 256,
+):
+    """Streaming frequency maintenance: the Count-Min sibling of
+    :func:`streaming_hll`. CM's merge is ADDITION, which is NOT
+    idempotent — so unlike the HLL rewrite, each batch appends its own
+    ``regs/batch=<id>/`` partition (the streaming_near_dedup state
+    contract: a replayed batch rewrites ITS OWN partition with the
+    identical rows, staged + renamed atomically) and the current sketch
+    is the SUM over partitions at read time. Per-batch write volume is
+    the bounded register table (groups × depth × width rows), and
+    :func:`read_cm_state` folds the partitions with one combinable
+    aggregation — compaction is a read + single-partition rewrite if
+    batch count ever matters.
+    """
+    import os
+    import shutil
+
+    from mod_reservoir_spark.pipeline.sketches import cm_registers
+
+    root = os.path.join(state_dir, "regs")
+
+    def process(batch_df, batch_id):
+        regs = cm_registers(batch_df, value_col, group_cols, depth, width)
+        staging = os.path.join(root, f".staging-{batch_id}")
+        final = os.path.join(root, f"batch={batch_id}")
+        regs.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_cm_state(
+    spark: SparkSession, state_dir: str, group_cols: tuple[str, ...] = ()
+):
+    """The accumulated Count-Min register table: per-batch partitions
+    summed (add-merge) into one — empty typed frame before the first
+    commit."""
+    import os
+
+    root = os.path.join(state_dir, "regs")
+    schema = ", ".join(
+        [*(f"{g} string" for g in group_cols), "d long, cell long, c long"]
+    )
+    if not os.path.isdir(root) or not any(
+        e.startswith("batch=") for e in os.listdir(root)
+    ):
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.parquet(root)
+        .groupBy(*group_cols, "d", "cell")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )

@@ -440,3 +440,68 @@ def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
         (r.bucket, r.r) for r in read_hll_state(spark, state).collect()
     }
     assert again == want
+
+
+def test_streaming_cm_equals_batch_sketch(spark, tmp_path):
+    """Summed per-batch CM partitions must exactly equal the batch
+    sketch over everything ingested, and a replayed batch (rewriting
+    its own partition) must not double-count."""
+    from mod_reservoir_spark.pipeline.sketches import (
+        cm_estimate,
+        cm_registers,
+    )
+    from mod_reservoir_spark.streaming.windowed import (
+        read_cm_state,
+        streaming_cm,
+    )
+
+    batches = [
+        [(i, f"w-{i % 7}") for i in range(0, 30)],
+        [(i, f"w-{i % 11}") for i in range(30, 80)],
+    ]
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "cm")
+    q = streaming_cm(
+        spark, str(indir), str(tmp_path / "ckpt"), state, width=64
+    )
+    try:
+        for bi, rows in enumerate(batches):
+            with open(indir / f"b{bi}.jsonl", "w") as f:
+                for i, t in rows:
+                    f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.d, r.cell): r.c
+        for r in read_cm_state(spark, state).collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {
+        (r.d, r.cell): r.c
+        for r in cm_registers(docs, "text", width=64).collect()
+    }
+    assert got == want
+    # CM point estimate upper-bounds the true count and is exact for
+    # the heavy hitter here
+    regs = sorted((d, cell, c) for (d, cell), c in got.items())
+    true_w0 = sum(1 for _, t in all_rows if t == "w-0")
+    est = cm_estimate(regs, "w-0", width=64)
+    assert est >= true_w0
+
+    # replay the last batch against the committed state: no double count
+    q2 = streaming_cm(
+        spark, str(indir), str(tmp_path / "ckpt2"), state, width=64
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = {
+        (r.d, r.cell): r.c
+        for r in read_cm_state(spark, state).collect()
+    }
+    assert again == want
