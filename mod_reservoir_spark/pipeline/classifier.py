@@ -39,14 +39,17 @@ def _feature_table(
             F.collect_list("bucket").alias("bks"),
             F.collect_list(F.col("tf").cast("double")).alias("tfs"),
         )
+        # total computed ONCE per row: a lambda referencing the
+        # aggregate re-evaluates it per element (no CSE inside
+        # higher-order functions — the shingle-ladder lesson), turning
+        # the normalization O(k²) per document
+        .withColumn(
+            "_tot", F.aggregate("tfs", F.lit(0.0), lambda a, x: a + x)
+        )
         .select(
             id_col,
             "bks",
-            F.transform(
-                "tfs",
-                lambda t: t
-                / F.aggregate("tfs", F.lit(0.0), lambda a, x: a + x),
-            ).alias("vals"),
+            F.transform("tfs", lambda t: t / F.col("_tot")).alias("vals"),
         )
     )
 
@@ -153,6 +156,7 @@ def logreg_score(
 
     wv = np.asarray(weights, dtype=np.float64)
     feats = _feature_table(docs, text_col, id_col, n_max, buckets)
+    id_type = dict(docs.dtypes)[id_col]  # ids are not always long
     bc = docs.sparkSession.sparkContext.broadcast(wv)
 
     def score(batches, bc=bc):
@@ -179,7 +183,7 @@ def logreg_score(
             )
 
     scored = feats.mapInPandas(
-        score, schema=f"{id_col} long, n_feats long, score_e6 long"
+        score, schema=f"{id_col} {id_type}, n_feats long, score_e6 long"
     )
     neutral = int(round(1e6 / (1.0 + math.exp(-float(wv[-1])))))
     return (

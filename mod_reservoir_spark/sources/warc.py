@@ -66,6 +66,11 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             length = int(fields.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            # a negative length would move pos BACKWARDS and loop the
+            # parser on the same malformed record forever — crawl data
+            # is exactly where corrupt bytes appear, so stop here
+            return
         block_start = head_end + 4
         block = buf[block_start : block_start + length]
         pos = block_start + length
@@ -102,23 +107,26 @@ def read_warc(spark, path: str):
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
+    cols = [
+        "file", "seq", "warc_type", "record_id", "target_uri",
+        "warc_date", "content_type", "http_status", "payload",
+    ]
+    chunk_rows = 2000
 
     def decode(batches):
+        # yield in bounded chunks (never the whole archive set at
+        # once): peak task memory is the one decompressed buffer the
+        # framing needs plus chunk_rows records — not 3-4x the archive
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 for i, rec in enumerate(parse_warc(bytes(row["content"]))):
-                    out.append(
-                        {"file": row["path"], "seq": i, **rec}
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "file", "seq", "warc_type", "record_id",
-                    "target_uri", "warc_date", "content_type",
-                    "http_status", "payload",
-                ],
-            )
+                    out.append({"file": row["path"], "seq": i, **rec})
+                    if len(out) >= chunk_rows:
+                        yield pd.DataFrame(out, columns=cols)
+                        out = []
+            if out:
+                yield pd.DataFrame(out, columns=cols)
 
     return files.select("path", "content").mapInPandas(
         decode,

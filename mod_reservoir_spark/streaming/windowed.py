@@ -487,6 +487,23 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> dict:
     return stats
 
 
+def _commit_sketch_partition(df, root: str, batch_id: int) -> None:
+    """Stage + atomically rename one per-batch register partition; a
+    replayed batch rewrites ITS OWN partition with identical rows (the
+    streaming_near_dedup state contract). Immutable committed
+    partitions mean no crash window can lose earlier batches and no
+    reader can race a deletion."""
+    import os
+    import shutil
+
+    staging = os.path.join(root, f".staging-{batch_id}")
+    final = os.path.join(root, f"batch={batch_id}")
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(staging, final)
+
+
 def streaming_hll(
     spark: SparkSession,
     input_dir: str,
@@ -495,59 +512,44 @@ def streaming_hll(
     value_col: str = "text",
     group_cols: tuple[str, ...] = (),
     m: int = 512,
+    schema=None,
 ):
-    """Streaming cardinality maintenance: a per-micro-batch HLL merge
-    into a persisted register table — the sketch lifecycle at ingest
-    time (how many distinct values has this stream EVER carried,
+    """Streaming cardinality maintenance — the sketch lifecycle at
+    ingest time (how many distinct values has this stream EVER carried,
     per group, answerable at any moment without rescanning history).
 
-    Why this is exact-by-construction: the engine's HLL registers are
-    md5-derived and deterministic, and max-merge is IDEMPOTENT, so the
-    accumulated state equals the batch `hll_registers` over everything
-    ingested (pinned by test) and an at-least-once replay of a batch
-    merges to the identical table. The register table is BOUNDED
-    (groups × m rows), so the per-batch read-merge-rewrite is O(state)
-    kilobytes, not O(history); the write staged + renamed atomically,
-    with the state readable between batches via
-    :func:`read_hll_state`.
+    Each micro-batch APPENDS its own bounded register partition
+    (``regs/batch=<id>/``, ≤ groups × m rows) and the current sketch is
+    the max-merge over partitions at read time: registers are
+    md5-deterministic and max-merge is idempotent and associative, so
+    the folded state EXACTLY equals the batch `hll_registers` over
+    everything ingested (pinned by test) and an at-least-once replay —
+    which rewrites its own partition with identical rows — changes
+    nothing. Committed partitions are immutable: no crash window can
+    drop earlier batches and no concurrent reader can race a deletion.
+    State grows one bounded partition per batch; fold occasionally by
+    reading the state and rewriting a single partition if partition
+    count ever matters.
+
+    ``schema``: the stream's JSONL schema (default DOC_SCHEMA —
+    doc_id/text); pass one containing your ``group_cols`` when
+    grouping, e.g. ``"doc_id long, lang string, text string"``.
     """
     import os
-    import shutil
 
-    from mod_reservoir_spark.pipeline.sketches import (
-        hll_merge,
-        hll_registers,
-    )
+    from mod_reservoir_spark.pipeline.sketches import hll_registers
 
-    os.makedirs(state_dir, exist_ok=True)
-
-    def latest_dir():
-        parts = [
-            e for e in os.listdir(state_dir) if e.startswith("regs-")
-        ]
-        if not parts:
-            return None
-        return max(parts, key=lambda s: int(s.split("-", 1)[1]))
+    root = os.path.join(state_dir, "regs")
 
     def process(batch_df, batch_id):
-        regs = hll_registers(batch_df, value_col, group_cols, m)
-        prev = latest_dir()
-        if prev is not None:
-            regs = hll_merge(
-                spark.read.parquet(os.path.join(state_dir, prev)), regs
-            )
-        staging = os.path.join(state_dir, f".staging-{batch_id}")
-        final = os.path.join(state_dir, f"regs-{batch_id}")
-        regs.write.mode("overwrite").parquet(staging)  # materializes
-        if os.path.isdir(final):  # replay rewrites its own state
-            shutil.rmtree(final)
-        os.rename(staging, final)
-        for e in os.listdir(state_dir):
-            if e.startswith("regs-") and e != f"regs-{batch_id}":
-                shutil.rmtree(os.path.join(state_dir, e))
+        _commit_sketch_partition(
+            hll_registers(batch_df, value_col, group_cols, m),
+            root,
+            batch_id,
+        )
 
     docs = (
-        spark.readStream.schema(DOC_SCHEMA)
+        spark.readStream.schema(schema or DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .json(input_dir)
     )
@@ -558,20 +560,26 @@ def streaming_hll(
     )
 
 
-def read_hll_state(spark: SparkSession, state_dir: str):
-    """The current accumulated register table (empty typed frame before
-    the first commit)."""
+def read_hll_state(
+    spark: SparkSession, state_dir: str, group_cols: tuple[str, ...] = ()
+):
+    """The accumulated register table: per-batch partitions max-merged
+    into one (pipeline.sketches.hll_merge). Empty typed frame before
+    the first commit — group columns typed string there (no data to
+    derive richer types from yet)."""
     import os
 
-    parts = (
-        [e for e in os.listdir(state_dir) if e.startswith("regs-")]
-        if os.path.isdir(state_dir)
-        else []
-    )
-    if not parts:
-        return spark.createDataFrame([], "bucket long, r long")
-    latest = max(parts, key=lambda s: int(s.split("-", 1)[1]))
-    return spark.read.parquet(os.path.join(state_dir, latest))
+    from mod_reservoir_spark.pipeline.sketches import hll_merge
+
+    root = os.path.join(state_dir, "regs")
+    if not os.path.isdir(root) or not any(
+        e.startswith("batch=") for e in os.listdir(root)
+    ):
+        schema = ", ".join(
+            [*(f"{g} string" for g in group_cols), "bucket long, r long"]
+        )
+        return spark.createDataFrame([], schema)
+    return hll_merge(spark.read.parquet(root).drop("batch"))
 
 
 def streaming_cm(
@@ -583,37 +591,33 @@ def streaming_cm(
     group_cols: tuple[str, ...] = (),
     depth: int = 4,
     width: int = 256,
+    schema=None,
 ):
     """Streaming frequency maintenance: the Count-Min sibling of
-    :func:`streaming_hll`. CM's merge is ADDITION, which is NOT
-    idempotent — so unlike the HLL rewrite, each batch appends its own
-    ``regs/batch=<id>/`` partition (the streaming_near_dedup state
-    contract: a replayed batch rewrites ITS OWN partition with the
-    identical rows, staged + renamed atomically) and the current sketch
-    is the SUM over partitions at read time. Per-batch write volume is
-    the bounded register table (groups × depth × width rows), and
-    :func:`read_cm_state` folds the partitions with one combinable
-    aggregation — compaction is a read + single-partition rewrite if
-    batch count ever matters.
+    :func:`streaming_hll`, same per-batch-partition state contract —
+    CM's add-merge is not idempotent across DIFFERENT batches, but a
+    replayed batch rewriting its own partition with identical rows is.
+    Per-batch write volume is the bounded register table
+    (groups × depth × width rows); :func:`read_cm_state` folds the
+    partitions with the engine's ``cm_merge``. ``schema``: see
+    :func:`streaming_hll`.
     """
     import os
-    import shutil
 
     from mod_reservoir_spark.pipeline.sketches import cm_registers
 
     root = os.path.join(state_dir, "regs")
 
     def process(batch_df, batch_id):
-        regs = cm_registers(batch_df, value_col, group_cols, depth, width)
-        staging = os.path.join(root, f".staging-{batch_id}")
-        final = os.path.join(root, f"batch={batch_id}")
-        regs.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(staging, final)
+        _commit_sketch_partition(
+            cm_registers(batch_df, value_col, group_cols, depth, width)
+            .withColumn("d", F.col("d").cast("long")),
+            root,
+            batch_id,
+        )
 
     docs = (
-        spark.readStream.schema(DOC_SCHEMA)
+        spark.readStream.schema(schema or DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .json(input_dir)
     )
@@ -628,20 +632,20 @@ def read_cm_state(
     spark: SparkSession, state_dir: str, group_cols: tuple[str, ...] = ()
 ):
     """The accumulated Count-Min register table: per-batch partitions
-    summed (add-merge) into one — empty typed frame before the first
-    commit."""
+    add-merged into one via ``pipeline.sketches.cm_merge`` — empty
+    typed frame before the first commit (group columns typed string
+    there, matching the written long-typed d/cell/c)."""
     import os
 
+    from mod_reservoir_spark.pipeline.sketches import cm_merge
+
     root = os.path.join(state_dir, "regs")
-    schema = ", ".join(
-        [*(f"{g} string" for g in group_cols), "d long, cell long, c long"]
-    )
     if not os.path.isdir(root) or not any(
         e.startswith("batch=") for e in os.listdir(root)
     ):
+        schema = ", ".join(
+            [*(f"{g} string" for g in group_cols),
+             "d long, cell long, c long"]
+        )
         return spark.createDataFrame([], schema)
-    return (
-        spark.read.parquet(root)
-        .groupBy(*group_cols, "d", "cell")
-        .agg(F.sum("c").cast("long").alias("c"))
-    )
+    return cm_merge(spark.read.parquet(root).drop("batch"))

@@ -80,3 +80,15 @@ def test_logreg_score_edge_rows(spark):
     # zero weights -> sigmoid(0) for everyone, featureless included
     assert all(r.score_e6 == 500000 for r in got.values())
     assert got[2].n_feats == 0 and got[3].n_feats == 0
+
+
+def test_logreg_score_string_ids(spark):
+    """id_col types other than long must survive the scoring schema."""
+    docs = spark.createDataFrame(
+        [("u1", "stellar spectra galaxy"), ("u2", "butter flour sugar")],
+        "url string, text string",
+    )
+    w = np.zeros(B + 1)
+    got = {r.url: r.score_e6 for r in
+           logreg_score(docs, w, id_col="url", buckets=B).collect()}
+    assert got == {"u1": 500000, "u2": 500000}

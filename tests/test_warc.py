@@ -81,3 +81,12 @@ def test_read_warc_to_curation(spark, tmp_path):
     out = extract_html_text(pages).collect()
     assert len(out) == 1
     assert "hello crawl world" in out[0].text
+
+
+def test_parse_warc_negative_length_terminates():
+    """A negative Content-Length must stop the parser, not loop it on
+    the same record forever."""
+    assert list(parse_warc(b"WARC/1.0\r\nContent-Length: -33\r\n\r\n")) == []
+    # valid records before the malformed one still come through
+    data = _warc_bytes() + b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"
+    assert len(list(parse_warc(data))) == 3

@@ -505,3 +505,50 @@ def test_streaming_cm_equals_batch_sketch(spark, tmp_path):
         for r in read_cm_state(spark, state).collect()
     }
     assert again == want
+
+
+def test_streaming_hll_grouped(spark, tmp_path):
+    """group_cols works when the stream schema carries the group
+    column; per-group registers equal the batch sketch."""
+    from mod_reservoir_spark.pipeline.sketches import hll_registers
+    from mod_reservoir_spark.streaming.windowed import (
+        read_hll_state,
+        streaming_hll,
+    )
+
+    rows = [(i, "en" if i % 3 else "de", f"v{i % 19}") for i in range(60)]
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "hll")
+    q = streaming_hll(
+        spark,
+        str(indir),
+        str(tmp_path / "ckpt"),
+        state,
+        group_cols=("lang",),
+        m=64,
+        schema="doc_id long, lang string, text string",
+    )
+    try:
+        with open(indir / "b.jsonl", "w") as f:
+            for i, lang, t in rows:
+                f.write(
+                    json.dumps({"doc_id": i, "lang": lang, "text": t})
+                    + "\n"
+                )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.lang, r.bucket, r.r)
+        for r in read_hll_state(spark, state, ("lang",)).collect()
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    want = {
+        (r.lang, r.bucket, r.r)
+        for r in hll_registers(docs, "text", ("lang",), m=64).collect()
+    }
+    assert got == want
+    # pre-commit reader has the group column in its empty frame
+    empty = read_hll_state(spark, str(tmp_path / "none"), ("lang",))
+    assert empty.columns == ["lang", "bucket", "r"] and empty.count() == 0
