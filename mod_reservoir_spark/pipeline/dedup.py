@@ -927,3 +927,141 @@ def near_dedup_keep(
             .alias("is_kept"),
         )
     )
+
+
+def near_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold_ppm: int = 500000,
+) -> DataFrame:
+    """NEAR-DUP decontamination: flag corpus documents that are
+    MinHash-near-duplicates of a benchmark document — the leak the
+    verbatim n-gram check (:func:`~mod_reservoir_spark.pipeline.text.
+    contamination`) misses when eval items are lightly paraphrased,
+    reordered or reformatted (the compounding-leakage concern behind
+    leakage_safe_split, pointed at external benchmarks).
+
+    Scale shape: the BENCHMARK side is small by definition, so ITS
+    band buckets drive the candidate join against the corpus bucket
+    table (O(benchmark × occupancy), never corpus × corpus — the
+    incremental-LSH shape with the benchmark as the new side), and
+    verification is one array_intersect per candidate. The two sides
+    keep distinct id namespaces throughout, so overlapping doc_id
+    ranges cannot cross-contaminate the pairing.
+
+    Output: one row per corpus document — (doc_id, n_bench_matches,
+    max_jaccard_ppm, worst_bench_id) with zeros/NULL for clean docs.
+    """
+    rows = num_hashes // bands
+    corpus = signature_table(docs, text_col, num_hashes, shingle_n).select(
+        F.col("doc_id").alias("cid"),
+        F.col("hsh").alias("chsh"),
+        F.col("sig").alias("csig"),
+    )
+    bench = signature_table(
+        benchmark, text_col, num_hashes, shingle_n
+    ).select(
+        F.col("doc_id").alias("bid"),
+        F.col("hsh").alias("bhsh"),
+        F.col("sig").alias("bsig"),
+    )
+
+    def buckets(sig_df, id_col, sig_col):
+        entries = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(sig_col).getItem(b * rows + r).cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        return sig_df.select(
+            id_col, F.explode(F.array(*entries)).alias("bb")
+        ).select(id_col, "bb.band", "bb.bucket")
+
+    cand = (
+        buckets(bench, "bid", "bsig")
+        .join(buckets(corpus, "cid", "csig"), ["band", "bucket"])
+        .select("cid", "bid")
+        .distinct()
+    )
+    n_common = F.size(F.array_intersect("chsh", "bhsh"))
+    verified = (
+        cand.join(corpus, "cid")
+        .join(F.broadcast(bench), "bid")
+        .withColumn(
+            "jaccard_ppm",
+            ppm(n_common, F.size("chsh") + F.size("bhsh") - n_common),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+    )
+    per_doc = verified.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_bench_matches"),
+        F.max(
+            F.struct(F.col("jaccard_ppm"), F.col("bid"))
+        ).alias("_m"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc.withColumnRenamed("cid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bench_matches", F.lit(0))
+            .cast("long")
+            .alias("n_bench_matches"),
+            F.coalesce(F.col("_m.jaccard_ppm"), F.lit(0))
+            .cast("long")
+            .alias("max_jaccard_ppm"),
+            F.col("_m.bid").alias("worst_bench_id"),
+        )
+    )
+
+
+def lsh_tune(
+    threshold_ppm: int,
+    num_hashes: int = 16,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Choose (bands, rows) for MinHash-LSH at a target Jaccard
+    threshold from the S-curve P(candidate | s) = 1 - (1 - s^r)^b
+    (Mining of Massive Datasets §3.4): among the divisor pairs
+    b·r = num_hashes, minimize the integrated error — weighted false-
+    negative mass above the threshold plus false-positive mass below
+    it. Deterministic pure-function; feed the result to
+    minhash_lsh_pairs(bands=). More bands → catches lower
+    similarities (recall ↑, candidates ↑); more rows per band → the
+    opposite. The known anchors hold: t≈0.5 with 16 hashes → (4, 4);
+    high thresholds push toward fewer, longer bands.
+    """
+    if not 0 < threshold_ppm < 1_000_000:
+        raise ValueError("threshold_ppm must be in (0, 1e6)")
+    t = threshold_ppm / 1e6
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        err = 0.0
+        steps = 200
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s >= t:
+                err += fn_weight * (1.0 - p) / steps
+            else:
+                err += fp_weight * p / steps
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]

@@ -969,3 +969,97 @@ def winnow_pairs(
         .select("doc_a", "doc_b", "n_shared", "overlap_ppm")
     )
     return out
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    casefold: bool = False,
+) -> DataFrame:
+    """Unicode normalization pre-pass for dedup robustness: the same
+    visible text in composed vs decomposed form (é vs e+◌́), or with
+    compatibility variants (ﬁ ligature, full-width digits under NFKC),
+    hashes to DIFFERENT fingerprints/shingles — so corpora mixing
+    sources that disagree on encoding normalization silently under-
+    dedup. Run this before the dedup family when sources are mixed.
+
+    Arrow-batched ``mapInPandas`` over ``unicodedata.normalize`` (the
+    JVM has no Unicode-normalize builtin); ``casefold=True`` adds
+    Python's full casefolding (ß→ss — strictly stronger than the
+    lower() the tokenizer applies). Output: (doc_id, text, changed) —
+    ``changed`` flags rows the normalization actually rewrote, so a
+    pipeline can measure how much of the corpus was affected. NULL
+    text passes through as NULL.
+    """
+
+    def run(iterator):
+        import unicodedata
+
+        import pandas as pd
+
+        def norm(t):
+            if t is None:
+                return None
+            out = unicodedata.normalize(form, t)
+            return out.casefold() if casefold else out
+
+        for pdf in iterator:
+            out = pdf[text_col].map(norm, na_action="ignore")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": out,
+                    "changed": (
+                        out.fillna("") != pdf[text_col].fillna("")
+                    ).astype("int64"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run, "doc_id long, text string, changed long"
+    )
+
+
+def domain_quality_report(
+    docs: DataFrame, text_col: str = "text", min_docs: int = 1
+) -> DataFrame:
+    """Per-domain curation dashboard: join URL extraction with the
+    quality signals and roll both up by registrable-ish domain — the
+    table an operator scans to decide which sources to block, cap or
+    keep (the curation-ops view the C4/RefinedWeb writeups describe).
+
+    One quality pass + one URL pass + one combinable domain rollup.
+    A document is attributed to ONE host — the lexicographic minimum
+    of the hosts it mentions (deterministic; most documents carry one)
+    — and documents with no URL aggregate under host ''. Output:
+    (host, n_docs, n_keep, keep_ppm, avg_tokens, sorted reject-reason
+    csv).
+    """
+    q = quality_filter(docs, text_col)
+    urls = (
+        extract_urls(docs, text_col)
+        .groupBy("doc_id")
+        .agg(F.min("host").alias("host"))
+    )
+    j = q.join(urls, "doc_id", "left").withColumn(
+        "host", F.coalesce("host", F.lit(""))
+    )
+    per = j.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        ppm(F.sum("keep"), F.count("*")).alias("keep_ppm"),
+        F.round(F.avg("n_tokens")).cast("long").alias("avg_tokens"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("reject_reasons") != "",
+                        F.col("reject_reasons"),
+                    )
+                )
+            ),
+            ";",
+        ).alias("reject_csv"),
+    )
+    return per.filter(F.col("n_docs") >= min_docs)

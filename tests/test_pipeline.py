@@ -1958,3 +1958,137 @@ def test_dsir_model_score_split_equals_convenience(spark):
     )
     row = dsir_score(newb, lam, buckets=1009).collect()[0]
     assert row.n_feats > 0
+
+
+def test_normalize_text_nfc_oracle(spark):
+    """NFC normalization hash-matches DuckDB's nfc_normalize on mixed
+    composed/decomposed text; changed-flags and NULL pass-through
+    pinned."""
+    from mod_reservoir_spark.pipeline.text import normalize_text
+
+    rows = [
+        (0, "café menu"),       # decomposed é -> composed
+        (1, "café menu"),        # already NFC
+        (2, "plain ascii text"),
+        (3, None),
+        (4, "Å ngström"),  # Å (angstrom sign) + diaeresis
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = normalize_text(docs)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = """
+        SELECT doc_id,
+               nfc_normalize(text) AS text,
+               CASE WHEN COALESCE(nfc_normalize(text), '')
+                         <> COALESCE(text, '')
+                    THEN 1 ELSE 0 END AS changed
+        FROM t
+    """
+    from tools.oracle_check import arrow_rows, table_hash
+
+    scols, srows, stags = arrow_rows(out.toArrow())
+    dcols, drows, dtags = arrow_rows(con.execute(sql).arrow())
+    assert sorted(scols) == sorted(dcols)
+    assert table_hash(srows, scols, stags) == table_hash(drows, dcols, dtags)
+    got = {r.doc_id: (r.text, r.changed) for r in out.collect()}
+    assert got[0] == ("café menu", 1)
+    assert got[1][1] == 0
+    assert got[3] == (None, 0)
+    # casefold form is strictly stronger than lower()
+    from mod_reservoir_spark.pipeline.text import normalize_text as nt
+
+    cf = {
+        r.doc_id: r.text
+        for r in nt(
+            spark.createDataFrame(
+                [(0, "STRAßE")], "doc_id long, text string"
+            ),
+            form="NFKC",
+            casefold=True,
+        ).collect()
+    }
+    assert cf[0] == "strasse"
+
+
+def test_domain_quality_report(spark):
+    """Per-host rollup: attribution to the min host, no-URL docs under
+    '', keep ratios and reject csv aggregated."""
+    from mod_reservoir_spark.pipeline.text import domain_quality_report
+
+    good = " ".join(f"tok{i} word{i} item{i} thing{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, good + " see https://a.example.com/x"),
+            (1, "tiny http://a.example.com/y"),
+            (2, good + " link http://b.example.net/z more"),
+            (3, good + " no urls in this one at all"),
+            (4, good + " two https://z.example.org/1 http://a.example.com/2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.host: r for r in domain_quality_report(docs).collect()}
+    assert set(got) == {"a.example.com", "b.example.net", ""}
+    a = got["a.example.com"]
+    assert a.n_docs == 3 and a.n_keep == 2  # doc 1 is too_short
+    assert a.keep_ppm == 666666
+    assert "too_short" in a.reject_csv
+    assert got[""].n_docs == 1 and got[""].n_keep == 1
+
+
+def test_near_contamination_catches_paraphrase(spark):
+    """A corpus doc that shares most of a benchmark item's SHINGLES
+    but few verbatim 8-grams (sentences reordered) is flagged by the
+    near-dup check while the verbatim contamination score stays low;
+    distinct id namespaces don't cross-contaminate."""
+    from mod_reservoir_spark.pipeline.dedup import near_contamination
+    from mod_reservoir_spark.pipeline.text import contamination
+
+    s = [f"sentence {w} alpha beta gamma delta epsilon {w} zeta" for w in
+         ("one", "two", "three", "four", "five", "six")]
+    bench_text = " ".join(s)
+    reordered = " ".join(s[::-1])
+    filler = " ".join(f"noise{i} filler{i} pad{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        # doc_id 0 COLLIDES with the benchmark id on purpose
+        [(0, filler), (1, reordered), (2, "totally different body here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, bench_text)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in near_contamination(docs, bench).collect()}
+    assert got[1].n_bench_matches == 1 and got[1].worst_bench_id == 0
+    assert got[1].max_jaccard_ppm > 700000
+    assert got[0].n_bench_matches == 0  # id collision is harmless
+    assert got[2].n_bench_matches == 0
+    # the verbatim 8-gram check scores the reordered doc much lower
+    # than its shingle jaccard — the gap this operator exists to close
+    verbatim = {
+        r.doc_id: r.contamination_ppm
+        for r in contamination(docs, bench).collect()
+    }
+    assert verbatim[1] < 700000
+
+
+def test_lsh_tune_anchors_and_monotonicity():
+    """Known S-curve anchors and the bands-vs-threshold direction."""
+    import pytest as _pytest
+
+    from mod_reservoir_spark.pipeline.dedup import lsh_tune
+
+    assert lsh_tune(500000, 16) == (4, 4)
+    b_low, r_low = lsh_tune(200000, 16)   # low threshold -> more bands
+    b_high, r_high = lsh_tune(900000, 16)  # high -> longer rows
+    assert b_low > b_high and r_low < r_high
+    assert b_low * r_low == 16 and b_high * r_high == 16
+    # recall-heavy weighting never lowers the band count
+    b_rec, _ = lsh_tune(500000, 16, fn_weight=10.0)
+    assert b_rec >= 4
+    with _pytest.raises(ValueError):
+        lsh_tune(0)
