@@ -136,3 +136,27 @@ def read_warc(spark, path: str):
             " http_status long, payload binary"
         ),
     )
+
+
+def read_wet(spark, path: str):
+    """Common Crawl WET convenience reader: WET files are WARC
+    archives whose ``conversion`` records carry ALREADY-EXTRACTED
+    plain text as the payload — the usual starting point when the
+    HTML-extraction stage is outsourced to the crawl provider. Returns
+    document-shaped rows (file, seq, target_uri, warc_date, text)
+    ready for the text/dedup/curation operators; pair with
+    ``extract_html_text`` over ``read_warc`` response records when you
+    want the extraction under your own control."""
+    from pyspark.sql import functions as F
+
+    return (
+        read_warc(spark, path)
+        .filter(F.col("warc_type") == "conversion")
+        .select(
+            "file",
+            "seq",
+            "target_uri",
+            "warc_date",
+            F.col("payload").cast("string").alias("text"),
+        )
+    )

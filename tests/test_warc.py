@@ -90,3 +90,20 @@ def test_parse_warc_negative_length_terminates():
     # valid records before the malformed one still come through
     data = _warc_bytes() + b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"
     assert len(list(parse_warc(data))) == 3
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    from mod_reservoir_spark.sources.warc import read_wet
+
+    text = "already extracted page text long enough to keep".encode()
+    data = (
+        _rec("warcinfo", "info", b"software: wet\r\n")
+        + _rec("conversion", "c1", text)
+        + _rec("conversion", "c2", b"second page body")
+    )
+    p = tmp_path / "crawl.wet.gz"
+    p.write_bytes(gzip.compress(data))
+    rows = {r.seq: r for r in read_wet(spark, str(p)).collect()}
+    assert len(rows) == 2
+    assert rows[1].text == text.decode()
+    assert rows[1].target_uri == "http://example.com/c1"
