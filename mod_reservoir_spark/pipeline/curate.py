@@ -35,7 +35,10 @@ from mod_reservoir_spark.pipeline.text import (
 
 # funnel order is the attribution order: a document dropped by several
 # rules reports the FIRST stage in this list that rejected it
-STAGES = ("quality", "exact_dup", "near_dup", "contaminated")
+STAGES = (
+    "quality", "exact_dup", "near_dup", "contaminated",
+    "near_contaminated",
+)
 
 
 def curate(
@@ -46,6 +49,7 @@ def curate(
     near_kwargs: dict | None = None,
     max_contamination_ppm: int = 0,
     scrub: bool = True,
+    benchmark_near_ppm: int | None = None,
 ) -> DataFrame:
     """Run the full curation funnel and return the per-document LEDGER:
     one row per input document with
@@ -65,6 +69,11 @@ def curate(
     is the keep threshold (0 = any benchmark 8-gram overlap drops).
     ``quality_kwargs`` / ``near_kwargs`` pass through to
     :func:`quality_filter` / :func:`near_dedup_keep`.
+    ``benchmark_near_ppm`` (with a benchmark) adds the PARAPHRASE-level
+    stage after verbatim decontamination: documents whose MinHash
+    Jaccard against any benchmark item reaches the given ppm drop as
+    ``near_contaminated`` — the reordered/reworded eval leak the
+    n-gram check misses.
 
     Rows with a NULL doc_id are DROPPED up front (the split family's
     rule: an id-less document has no stable identity for dedup or
@@ -124,17 +133,37 @@ def curate(
             F.lit(True).alias("_c_keep"),
         )
 
+    # paraphrase-level decontamination among the verbatim survivors
+    if benchmark is not None and benchmark_near_ppm is not None:
+        from mod_reservoir_spark.pipeline.dedup import near_contamination
+
+        c_surv = n_surv.join(c.filter("_c_keep"), "doc_id").select(
+            "doc_id", "_text"
+        )
+        nc = near_contamination(
+            c_surv.select("doc_id", F.col("_text").alias("text")),
+            benchmark,
+            threshold_ppm=benchmark_near_ppm,
+        ).select(
+            "doc_id",
+            (F.col("n_bench_matches") == 0).alias("_nc_keep"),
+        )
+    else:
+        nc = base.select("doc_id", F.lit(True).alias("_nc_keep"))
+
     ledger = (
         base.join(q, "doc_id", "left")
         .join(e.select("doc_id", "_e_keep"), "doc_id", "left")
         .join(n.select("doc_id", "keep_id", "_n_keep"), "doc_id", "left")
         .join(c, "doc_id", "left")
+        .join(nc, "doc_id", "left")
     )
     drop_stage = (
         F.when(F.col("_q_keep") == 0, F.lit("quality"))
         .when(~F.col("_e_keep"), F.lit("exact_dup"))
         .when(F.col("_n_keep") == 0, F.lit("near_dup"))
         .when(~F.col("_c_keep"), F.lit("contaminated"))
+        .when(~F.col("_nc_keep"), F.lit("near_contaminated"))
     )
     out_text = F.when(
         drop_stage.isNull(),

@@ -150,3 +150,49 @@ def test_curate_drops_null_doc_ids(spark):
 
 
 LONG_OK = " ".join(f"ok{i} fine{i} word{i} text{i}" for i in range(10))
+
+
+def test_curate_near_contaminated_stage(spark, bench_docs):
+    """benchmark_near_ppm adds the paraphrase-leak stage: a document
+    sharing the benchmark's shingles (sentences reordered, low 8-gram
+    overlap) drops as near_contaminated, verbatim overlap still drops
+    as contaminated first, everything else is unchanged."""
+    s = ["the quick brown fox", "jumps over the lazy", "dog today it did"]
+    bench = spark.createDataFrame(
+        [(100, " ".join(s))], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, _filler("a") + " totally unrelated body of text here"),
+            # reordered benchmark sentences (twice, mostly benchmark
+            # content) -> shingle-near but verbatim-8-gram-clean
+            (1, " ".join(s[::-1]) + " " + " ".join(s[::-1])),
+            (2, _filler("c") + " " + " ".join(s)),  # verbatim inclusion
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.drop_stage
+        for r in curate(
+            docs,
+            benchmark=bench,
+            near_kwargs=NEAR,
+            benchmark_near_ppm=250000,
+        ).collect()
+    }
+    assert got[0] is None
+    assert got[1] == "near_contaminated"
+    assert got[2] == "contaminated"
+    # without the flag the paraphrase survives (the gap the stage closes)
+    base = {
+        r.doc_id: r.drop_stage
+        for r in curate(docs, benchmark=bench, near_kwargs=NEAR).collect()
+    }
+    assert base[1] is None
+    # funnel places the new stage in order
+    f = curation_funnel(
+        curate(docs, benchmark=bench, near_kwargs=NEAR,
+               benchmark_near_ppm=250000)
+    ).collect()
+    stages = [r.stage for r in f]
+    assert "near_contaminated" in stages
