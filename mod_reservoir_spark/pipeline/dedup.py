@@ -931,12 +931,13 @@ def near_dedup_keep(
 
 def near_contamination(
     docs: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 2,
     threshold_ppm: int = 500000,
+    benchmark_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-DUP decontamination: flag corpus documents that are
     MinHash-near-duplicates of a benchmark document — the leak the
@@ -955,15 +956,28 @@ def near_contamination(
 
     Output: one row per corpus document — (doc_id, n_bench_matches,
     max_jaccard_ppm, worst_bench_id) with zeros/NULL for clean docs.
+
+    ``benchmark_sigs``: a precomputed :func:`signature_table` of the
+    benchmark (the ``corpus_sigs`` pattern) — callers checking many
+    batches against the same benchmark (the streaming funnel) compute
+    it once instead of re-shingling the benchmark per call. Exactly
+    one of ``benchmark`` / ``benchmark_sigs`` must be given.
     """
+    if (benchmark is None) == (benchmark_sigs is None):
+        raise ValueError(
+            "pass exactly one of benchmark= (raw docs) or "
+            "benchmark_sigs= (precomputed signature table)"
+        )
     rows = num_hashes // bands
     corpus = signature_table(docs, text_col, num_hashes, shingle_n).select(
         F.col("doc_id").alias("cid"),
         F.col("hsh").alias("chsh"),
         F.col("sig").alias("csig"),
     )
-    bench = signature_table(
-        benchmark, text_col, num_hashes, shingle_n
+    bench = (
+        benchmark_sigs
+        if benchmark_sigs is not None
+        else signature_table(benchmark, text_col, num_hashes, shingle_n)
     ).select(
         F.col("doc_id").alias("bid"),
         F.col("hsh").alias("bhsh"),

@@ -98,22 +98,34 @@ def streaming_curate(
     threshold_ppm: int = 500000,
     max_contamination_ppm: int = 0,
     scrub: bool = True,
+    benchmark_near_ppm: int | None = None,
 ):
     """Start the streaming funnel over JSONL documents in ``input_dir``
     (schema ``{doc_id, text}``). Returns the StreamingQuery; read the
-    accumulated results with :func:`read_curate_state`."""
+    accumulated results with :func:`read_curate_state`.
+    ``benchmark_near_ppm`` mirrors batch curate(): the paraphrase-level
+    decontamination stage, with the benchmark's SIGNATURE table built
+    once for the stream's lifetime."""
     fp_root = os.path.join(state_dir, "fingerprints")
     sig_root = os.path.join(state_dir, "signatures")
     ledger_root = os.path.join(state_dir, "ledger")
     bench_ng = None
+    bench_sigs = None
     if benchmark is not None:
-        # the DISTINCT n-gram set is the expensive part — build it
-        # once for the stream's lifetime (per-batch cost is then just
-        # the broadcast join); tiny by definition. The cache lives
-        # until the session ends — acceptable for a table this size.
+        # the DISTINCT n-gram set (and, if enabled, the benchmark
+        # signature table) is the expensive part — build once for the
+        # stream's lifetime (per-batch cost is then just the joins);
+        # tiny by definition. The caches live until the session ends —
+        # acceptable for tables this size.
         from mod_reservoir_spark.pipeline.text import benchmark_ngrams
 
         bench_ng = benchmark_ngrams(benchmark).persist()
+        if benchmark_near_ppm is not None:
+            from mod_reservoir_spark.pipeline.dedup import signature_table
+
+            bench_sigs = signature_table(
+                benchmark, num_hashes=num_hashes, shingle_n=shingle_n
+            ).persist()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.filter(F.col("doc_id").isNotNull()).persist()
@@ -244,6 +256,28 @@ def streaming_curate(
                     "doc_id", F.lit(True).alias("_c_keep")
                 )
 
+            if bench_sigs is not None:
+                from mod_reservoir_spark.pipeline.dedup import (
+                    near_contamination,
+                )
+
+                c_surv = n_surv.join(c.filter("_c_keep"), "doc_id")
+                nc = near_contamination(
+                    c_surv.select("doc_id", "text"),
+                    benchmark_sigs=bench_sigs,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    shingle_n=shingle_n,
+                    threshold_ppm=benchmark_near_ppm,
+                ).select(
+                    "doc_id",
+                    (F.col("n_bench_matches") == 0).alias("_nc_keep"),
+                )
+            else:
+                nc = batch.select(
+                    "doc_id", F.lit(True).alias("_nc_keep")
+                )
+
             ledger = (
                 batch.join(q, "doc_id", "left")
                 .join(
@@ -251,12 +285,14 @@ def streaming_curate(
                 )
                 .join(n_flag, "doc_id", "left")
                 .join(c, "doc_id", "left")
+                .join(nc, "doc_id", "left")
             )
             drop_stage = (
                 F.when(F.col("_q_keep") == 0, F.lit("quality"))
                 .when(~F.col("_e_keep"), F.lit("exact_dup"))
                 .when(~F.col("_n_keep"), F.lit("near_dup"))
                 .when(~F.col("_c_keep"), F.lit("contaminated"))
+                .when(~F.col("_nc_keep"), F.lit("near_contaminated"))
             )
             out_text = F.when(
                 drop_stage.isNull(),

@@ -193,3 +193,54 @@ def test_streaming_curate_random_corpus_equivalence(spark, tmp_path):
     assert {"quality", "exact_dup", "near_dup"} <= set(
         v for v in got.values() if v
     )
+
+
+def test_streaming_curate_near_benchmark_stage(spark, tmp_path):
+    """With benchmark_near_ppm, the streaming ledger still equals
+    batch curate() — including the near_contaminated attribution."""
+    from mod_reservoir_spark.pipeline.curate import curate
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    s = ["the quick brown fox", "jumps over the lazy", "dog today it did"]
+    bench = spark.createDataFrame(
+        [(100, " ".join(s))], "doc_id long, text string"
+    )
+    rows = [
+        (0, _filler("a") + " totally unrelated body of text here"),
+        (1, " ".join(s[::-1]) + " " + " ".join(s[::-1])),  # paraphrase
+        (2, _filler("c") + " " + " ".join(s)),             # verbatim
+        (3, _filler("d") + " a clean later arrival document body"),
+    ]
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_curate(
+        spark,
+        str(indir),
+        str(tmp_path / "ckpt"),
+        state,
+        benchmark=bench,
+        benchmark_near_ppm=250000,
+    )
+    try:
+        for bi, chunk in enumerate((rows[:2], rows[2:])):
+            _write(str(indir), f"b{bi}.jsonl", chunk)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: r.drop_stage
+        for r in read_curate_state(spark, state)[0].collect()
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r.doc_id: r.drop_stage
+        for r in curate(
+            docs, benchmark=bench, benchmark_near_ppm=250000
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == "near_contaminated" and got[2] == "contaminated"
