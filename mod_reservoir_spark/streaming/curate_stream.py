@@ -121,8 +121,9 @@ def streaming_curate(
 
         bench_ng = benchmark_ngrams(benchmark).persist()
         if benchmark_near_ppm is not None:
-            from mod_reservoir_spark.pipeline.dedup import signature_table
-
+            # NOTE: signature_table is the module-level import; a local
+            # import here would shadow it as an unassigned closure cell
+            # for the no-benchmark path
             bench_sigs = signature_table(
                 benchmark, num_hashes=num_hashes, shingle_n=shingle_n
             ).persist()
