@@ -788,3 +788,56 @@ def semantic_dedup(
     return kept.select(
         F.col("doc_id").alias("vec_id"), "keep_id", "is_kept"
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization — the storage form
+    100 TB of float32 vectors actually ships in (4× smaller at 8 bits;
+    the ANN family re-scores CANDIDATES, so full precision is only
+    ever needed on the tiny re-score set and recall loss is per-
+    candidate rounding noise, not index corruption).
+
+    q_i = round(x_i / scale) with scale = max|x| / (2^(bits-1) - 1),
+    stored as an int array plus one float scale per vector —
+    deterministic, dimension-independent, all-JVM (one transform per
+    row, no shuffle). The all-zero vector keeps scale 0 and an all-zero
+    code (dequantize restores it exactly). Exact integer codes make
+    the operator DuckDB-oracle-checkable despite the float input.
+
+    Output: (id, codes array<int>, scale double, dim).
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(float(qmax))).otherwise(
+        F.lit(0.0)
+    )
+    # scale is materialized as its own projection so the per-element
+    # lambda references a column, not the nested array_max expression
+    # (no CSE inside higher-order functions — the shingle-ladder rule)
+    return embeddings.withColumn("_scale", scale).select(
+        id_col,
+        F.transform(
+            v,
+            lambda x: F.when(
+                F.col("_scale") > 0, F.round(x / F.col("_scale"))
+            )
+            .otherwise(F.lit(0.0))
+            .cast("int"),
+        ).alias("codes"),
+        F.col("_scale").alias("scale"),
+        F.size(v).cast("long").alias("dim"),
+    )
+
+
+def dequantize_expr(codes_col: str = "codes", scale_col: str = "scale"):
+    """The reconstruction expression x̂_i = q_i · scale — compose into
+    any ANN re-score over quantized storage."""
+    return F.transform(
+        F.col(codes_col), lambda q: q.cast("double") * F.col(scale_col)
+    )

@@ -1063,3 +1063,53 @@ def domain_quality_report(
         ).alias("reject_csv"),
     )
     return per.filter(F.col("n_docs") >= min_docs)
+
+
+def chunk_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval-index prep
+    (RAG) sibling of the training-side
+    :func:`~mod_reservoir_spark.pipeline.tokenizer.chunk_sequences`:
+    each document becomes overlapping windows of ≤ ``max_tokens``
+    whitespace tokens, stepping by ``max_tokens - overlap`` so no
+    span longer than the overlap is ever split across two chunks
+    without appearing whole in one.
+
+    Pure JVM narrow plan: one tokenize, one ``sequence`` of window
+    starts, one explode, one slice+join per chunk — no shuffle, no
+    Python; exactly reproducible in SQL (oracle-checked in pytest).
+    Empty/NULL documents produce no chunks.
+
+    Output: (doc_id, chunk_id, n_tokens, text) — chunk_id 0-based in
+    order; the final window is the only one shorter than max_tokens.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    step = max_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    # a start inside the previous window's tail that reaches the end
+    # adds a pure-suffix duplicate; keep only starts that BEGIN new
+    # content (start == 0 or start + overlap < n)
+    starts = F.filter(
+        starts, lambda s: (s == 0) | (s + F.lit(overlap) < n)
+    )
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("text"),
+    )

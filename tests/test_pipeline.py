@@ -2092,3 +2092,64 @@ def test_lsh_tune_anchors_and_monotonicity():
     assert b_rec >= 4
     with _pytest.raises(ValueError):
         lsh_tune(0)
+
+
+def test_chunk_text_oracle(spark):
+    """Sliding-window chunking hash-matches a DuckDB oracle on the
+    real corpus (window 16, overlap 4)."""
+    from mod_reservoir_spark.pipeline.text import chunk_text
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = chunk_text(docs, max_tokens=16, overlap=4)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')"
+    )
+    sql = f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        st AS (
+          SELECT doc_id, toks,
+                 unnest(list_filter(
+                   range(0, greatest(len(toks), 1), 12),
+                   s -> s = 0 OR s + 4 < len(toks))) AS start
+          FROM t WHERE len(toks) > 0),
+        numbered AS (
+          SELECT doc_id, toks, start,
+                 CAST(row_number() OVER
+                      (PARTITION BY doc_id ORDER BY start) - 1
+                      AS BIGINT) AS chunk_id
+          FROM st)
+        SELECT doc_id, chunk_id,
+               CAST(len(toks[start + 1: start + 16]) AS BIGINT)
+                 AS n_tokens,
+               array_to_string(toks[start + 1: start + 16], ' ') AS text
+        FROM numbered
+    """
+    _hash_vs_oracle(out, _duck_documents(sf), sql)
+
+
+def test_chunk_text_semantics(spark):
+    """Overlap invariants: every chunk but the last is full size,
+    consecutive chunks share exactly `overlap` tokens, concatenating
+    de-overlapped chunks restores the token stream."""
+    from mod_reservoir_spark.pipeline.text import chunk_text
+
+    words = [f"w{i}" for i in range(53)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, "a b"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.text.split())
+        for r in chunk_text(docs, max_tokens=16, overlap=4).collect()
+    )
+    chunks0 = [t for d, _, t in rows if d == 0]
+    assert all(len(c) == 16 for c in chunks0[:-1])
+    rebuilt = chunks0[0][:]
+    for prev, cur in zip(chunks0, chunks0[1:]):
+        assert prev[-4:] == cur[:4]  # the shared overlap
+        rebuilt.extend(cur[4:])
+    assert rebuilt == words
+    assert [t for d, _, t in rows if d == 1] == [["a", "b"]]
+    assert not any(d in (2, 3) for d, _, _ in rows)
