@@ -949,6 +949,119 @@ def q_range_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# round-5 contract rotation: session-2 pipeline operators promoted to
+# hard driver rows (VERDICT r4 "Next round #1"); the relational rows
+# they displaced moved to retired_queries()/retired_oracle_sql() and
+# stay pinned by tests/test_retired.py.
+# --------------------------------------------------------------------
+
+def q_curate_funnel(spark, sf_dir):
+    """The composed curation funnel end-to-end — quality filter →
+    exact dedup → near dedup (MinHash LSH + CC keeper) → benchmark
+    decontamination — reported as the audit histogram (stage,
+    n, stage_order). One lazy DAG; every stage individually
+    driver-checked, this row pins their ORDER-DEPENDENT composition
+    (first-drop attribution) against a single recursive-CTE oracle.
+    Benchmark stand-in: the deterministic doc_id % 97 == 0 slice."""
+    from mod_reservoir_spark.pipeline import curate as cur
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = cur.curate(
+        docs,
+        benchmark=docs.filter(F.col("doc_id") % 97 == 0),
+        near_kwargs=dict(
+            num_hashes=16, bands=4, shingle_n=2, threshold_ppm=300000
+        ),
+        scrub=False,  # histogram never reads text; keep the plan narrow
+    )
+    return cur.curation_funnel(ledger)
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line dedup (first occurrence owns a line;
+    map-side-combinable min-struct ownership, never a Window) —
+    pipeline/dedup.py line_dedup, tokens-as-lines on the corpus."""
+    return dd.line_dedup(
+        _t(spark, sf_dir, "documents"), line_sep=" ", min_chars=1
+    )
+
+
+def q_span_stats(spark, sf_dir):
+    """ExactSubstr-style duplicated k-token-window fraction per doc —
+    pipeline/dedup.py duplicate_span_stats (two-level combinable agg
+    on window hashes)."""
+    return dd.duplicate_span_stats(_t(spark, sf_dir, "documents"), k=4)
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Corpus n-gram top-k (occurrence + doc frequency, deterministic
+    tie-break) — pipeline/text.py ngram_counts."""
+    return tx.ngram_counts(_t(spark, sf_dir, "documents"), n=3, k=50)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc TF-IDF top-k (smoothed sklearn idf, e6-quantized
+    scores) — pipeline/text.py tfidf_top_terms."""
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Self-perplexity quality scores under the corpus unigram model
+    (1e6-scaled mean NLL) — pipeline/text.py
+    unigram_logprob_scores."""
+    return tx.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_bloom_registers(spark, sf_dir):
+    """Bloom filter as a deterministic md5-derived set-bit register
+    table — pipeline/sketches.py bloom_registers."""
+    from mod_reservoir_spark.pipeline import sketches as sk
+
+    return sk.bloom_registers(
+        _t(spark, sf_dir, "documents"), "text", n_hashes=4, m_bits=4096
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Weighted training-mix draw with exact largest-remainder quotas
+    in the deterministic md5 shuffle order — pipeline/sampling.py
+    mixture_sample ('zz' exercises the absent-stratum rule)."""
+    return smp.mixture_sample(
+        _t(spark, sf_dir, "documents"), MIXTURE_WEIGHTS, MIXTURE_N
+    )
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic hash train/val/test splitting (28-bit md5 cut
+    points; assignment never changes as the corpus grows) —
+    pipeline/sampling.py split_assign."""
+    return smp.split_assign(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR log importance weights (hashed uni+bigram bucket models,
+    target = doc_id < 50 slice, exact long per-doc sums) —
+    pipeline/sampling.py dsir_weights."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.dsir_weights(docs, docs.filter("doc_id < 50"), buckets=1009)
+
+
+def q_chunk_text(spark, sf_dir):
+    """RAG-style sliding-window chunking (64-token windows, 16-token
+    overlap, tail-merge rule) — pipeline/text.py chunk_text."""
+    return tx.chunk_text(
+        _t(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+
+
+MIXTURE_WEIGHTS = {"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.15, "zz": 0.05}
+MIXTURE_N = 200
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 
@@ -967,20 +1080,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "cql_filter": q_cql_filter,
-        "paging_offset": q_paging_offset,
         "latest_version": q_latest_version,
-        "distinct_on": q_distinct_on,
         "keyset_page": q_keyset_page,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
         "three_table_join": q_three_table_join,
         "cluster_histogram": q_cluster_histogram,
-        "facets": q_facets,
-        "collect_set": q_collect_set,
         "cluster_cc": q_cluster_cc,
         "cluster_members": q_cluster_members,
-        "json_props": q_json_props,
-        "running_total": q_running_total,
         "sessionize": q_sessionize,
         "hourly_rollup": q_hourly_rollup,
         "topk_per_type": q_topk_per_type,
@@ -998,14 +1103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
-        "winnow": q_winnow,
         "winnow_pairs": q_winnow_pairs,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dedup_keep": q_near_dedup_keep,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1015,6 +1117,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": q_kmeans_train,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "curate_funnel": q_curate_funnel,
+        "line_dedup": q_line_dedup,
+        "span_stats": q_span_stats,
+        "ngram_counts": q_ngram_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "unigram_logprob": q_unigram_logprob,
+        "bloom_registers": q_bloom_registers,
+        "mixture_sample": q_mixture_sample,
+        "split_assign": q_split_assign,
+        "dsir_weights": q_dsir_weights,
+        "chunk_text": q_chunk_text,
     }
 
 
@@ -1429,6 +1542,185 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     """)
 
 
+def _mixture_oracle() -> str:
+    """DuckDB replica of mixture_sample: the exact largest-remainder
+    quota table is computed by the SAME library call and inlined, the
+    draw order is the shared md5(doc_id) shuffle."""
+    quotas = smp.mixture_quotas(MIXTURE_WEIGHTS, MIXTURE_N)
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(quotas.items()))
+    return f"""
+    WITH q(lang, quota) AS (VALUES {vals}),
+    ranked AS (
+      SELECT d.doc_id, d.lang, q.quota,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR))
+             ) AS sample_rank
+      FROM documents d JOIN q USING (lang))
+    SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank,
+           CAST(quota AS BIGINT) AS quota
+    FROM ranked WHERE sample_rank <= quota
+    """
+
+
+def _curate_funnel_oracle(num_hashes: int = 16, bands: int = 4,
+                          threshold_ppm: int = 300000) -> str:
+    """One recursive-CTE replica of the whole curation funnel:
+    quality (pipeline/text.py quality_filter defaults) → exact dedup
+    (shared fingerprint_expr) → near dedup (MinHash LSH + reachability
+    CC, min-id keeper) → verbatim 8-gram decontamination vs the
+    doc_id % 97 == 0 benchmark slice — aggregated to the funnel
+    histogram with first-drop attribution."""
+    rows = num_hashes // bands
+    sig_terms = ",\n        ".join(
+        f"min((h * {dd._A[i]} + {dd._B[i]}) % 2147483647) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = ",\n      ".join(
+        "({b}, md5({concat}))".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE
+    d0 AS (
+      SELECT doc_id, coalesce(text, '') AS text
+      FROM documents WHERE doc_id IS NOT NULL),
+    t AS (SELECT doc_id, text, {_TOKS} AS toks FROM d0),
+    q AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+          * 1000000) // greatest(length(text), 1) AS punct_ppm,
+        (len(list_distinct(toks)) * 1000000)
+          // greatest(len(toks), 1) AS distinct_ppm,
+        CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+        CAST(len(list_distinct(str_split(text, chr(10))))
+             AS BIGINT) AS n_dlines
+      FROM t),
+    bgr AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM t WHERE len(toks) >= 2),
+    bcnt AS (SELECT doc_id, bg, count(*) AS cnt FROM bgr GROUP BY 1, 2),
+    btop AS (
+      SELECT doc_id, max(cnt) AS mx, CAST(sum(cnt) AS BIGINT) AS total
+      FROM bcnt GROUP BY 1),
+    qflag AS (
+      SELECT q.doc_id,
+        CASE WHEN q.n_tokens < 20
+              OR (CASE WHEN q.n_lines > 0
+                       THEN (q.n_lines - q.n_dlines) * 1000000 // q.n_lines
+                       ELSE 0 END) > 300000
+              OR COALESCE(btop.mx * 1000000 // btop.total, 0) > 180000
+              OR q.distinct_ppm < 200000
+              OR q.punct_ppm > 250000
+             THEN 0 ELSE 1 END AS q_keep
+      FROM q LEFT JOIN btop USING (doc_id)),
+    q_surv AS (
+      SELECT d0.doc_id, d0.text
+      FROM d0 JOIN qflag USING (doc_id) WHERE q_keep = 1),
+    fp AS (
+      SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+      FROM q_surv),
+    keeper AS (SELECT fp, min(doc_id) AS kid FROM fp GROUP BY 1),
+    eflag AS (
+      SELECT f.doc_id, (f.doc_id = k.kid) AS e_keep
+      FROM fp f JOIN keeper k USING (fp)),
+    e_surv AS (
+      SELECT s.doc_id, s.text
+      FROM q_surv s JOIN eflag USING (doc_id) WHERE e_keep),
+    nt AS (SELECT doc_id, {_TOKS} AS toks FROM e_surv),
+    hs AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          list_distinct(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])),
+          s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hsh
+      FROM nt WHERE len(toks) >= 2),
+    hashed AS (SELECT doc_id, unnest(hsh) AS h FROM hs),
+    sig AS (
+      SELECT doc_id,
+        {sig_terms}
+      FROM hashed GROUP BY doc_id),
+    buckets AS (
+      SELECT doc_id, band, bucket
+      FROM sig, (VALUES {band_rows}) AS bb(band, bucket_expr),
+      LATERAL (SELECT bb.bucket_expr AS bucket) x),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN hs a ON a.doc_id = c.doc_a
+      JOIN hs b ON b.doc_id = c.doc_b
+      WHERE (len(list_intersect(a.hsh, b.hsh)) * 1000000)
+            // (len(a.hsh) + len(b.hsh)
+                - len(list_intersect(a.hsh, b.hsh))) >= {threshold_ppm}),
+    e2 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION SELECT doc_b, doc_a FROM verified),
+    reach AS (
+      SELECT src AS id, dst AS r FROM e2
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN e2 e ON reach.r = e.src),
+    comp AS (SELECT id, least(min(r), id) AS keep_id FROM reach GROUP BY id),
+    nflag AS (
+      SELECT s.doc_id,
+             CASE WHEN COALESCE(c.keep_id, s.doc_id) = s.doc_id
+                  THEN 1 ELSE 0 END AS n_keep
+      FROM e_surv s LEFT JOIN comp c ON c.id = s.doc_id),
+    n_surv AS (
+      SELECT s.doc_id, s.text
+      FROM e_surv s JOIN nflag USING (doc_id) WHERE n_keep = 1),
+    ct AS (SELECT doc_id, {_TOKS} AS toks FROM n_surv),
+    csh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 6),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS ng
+      FROM ct WHERE len(toks) >= 8),
+    bng AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(toks) - 6),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS ng
+      FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 8),
+    chit AS (
+      SELECT s.doc_id, count(*) AS n_hits
+      FROM csh s JOIN bng USING (ng) GROUP BY 1),
+    cflag AS (
+      SELECT s.doc_id,
+             CASE WHEN COALESCE(ch.n_hits, 0) > 0 THEN 0 ELSE 1 END AS c_keep
+      FROM n_surv s LEFT JOIN chit ch USING (doc_id)),
+    ledger AS (
+      SELECT d0.doc_id,
+        CASE WHEN qflag.q_keep = 0 THEN 'quality'
+             WHEN NOT eflag.e_keep THEN 'exact_dup'
+             WHEN nflag.n_keep = 0 THEN 'near_dup'
+             WHEN cflag.c_keep = 0 THEN 'contaminated'
+             ELSE 'kept' END AS stage
+      FROM d0
+      JOIN qflag USING (doc_id)
+      LEFT JOIN eflag USING (doc_id)
+      LEFT JOIN nflag USING (doc_id)
+      LEFT JOIN cflag USING (doc_id))
+    SELECT stage, CAST(count(*) AS BIGINT) AS n,
+           CAST(CASE stage WHEN 'quality' THEN 0 WHEN 'exact_dup' THEN 1
+                WHEN 'near_dup' THEN 2 WHEN 'contaminated' THEN 3
+                WHEN 'near_contaminated' THEN 4 ELSE 5 END
+                AS INT) AS stage_order
+    FROM ledger GROUP BY stage
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cql_q = parse_cql(ORDERS_CQL)
     cql_where = cql_q.to_sql(ORDER_CQL_FIELDS)
@@ -1453,10 +1745,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY {cql_order}, o_orderkey
             LIMIT 100
         """,
-        "paging_offset": """
-            SELECT c_custkey, c_name, c_mktsegment FROM customer
-            ORDER BY c_custkey LIMIT 50 OFFSET 100
-        """,
         "latest_version": f"""
             SELECT o_custkey, o_orderkey AS latest_orderkey,
                    strftime(o_orderdate, '{TS_FMT_DUCK}') AS latest_date
@@ -1465,15 +1753,6 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY o_custkey
                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
               FROM orders) WHERE rn = 1
-        """,
-        "distinct_on": """
-            SELECT l_orderkey, l_linenumber, l_partkey,
-                   CAST(round(l_extendedprice*100, 0) AS BIGINT) AS price_cents
-            FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY l_orderkey
-                ORDER BY l_linenumber, l_partkey, l_extendedprice) AS rn
-              FROM lineitem) WHERE rn = 1
         """,
         "keyset_page": f"""
             SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
@@ -1484,17 +1763,6 @@ def oracle_sql() -> dict[str, str]:
               AND ts <= TIMESTAMP '{KEYSET_UNTIL}'
             ORDER BY ts, event_id
             LIMIT 2000
-        """,
-        "anti_join": """
-            SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (
-              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        """,
-        "semi_join": """
-            SELECT c_custkey, c_name FROM customer c
-            WHERE EXISTS (
-              SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         """,
         "three_table_join": """
             SELECT n_name, count(*) AS n_orders,
@@ -1513,21 +1781,6 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(list_sort(list(o_custkey)), 1, 3), ','
                    ) AS sample_custkeys
             FROM per GROUP BY n_orders
-        """,
-        "facets": """
-            SELECT 'o_orderstatus' AS facet_type, o_orderstatus AS facet_value,
-                   count(*) AS n
-            FROM orders GROUP BY o_orderstatus
-            UNION ALL
-            SELECT 'o_orderpriority', o_orderpriority, count(*)
-            FROM orders GROUP BY o_orderpriority
-        """,
-        "collect_set": """
-            SELECT o_custkey,
-                   array_to_string(
-                     list_sort(list(DISTINCT o_orderpriority)), ','
-                   ) AS priorities
-            FROM orders GROUP BY o_custkey
         """,
         "cluster_cc": """
             WITH RECURSIVE vals AS (
@@ -1569,21 +1822,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, count(*) AS n_members,
                    string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_csv
             FROM comp GROUP BY cluster_id
-        """,
-        "json_props": """
-            SELECT event_type,
-                   CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-                   count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-                              THEN 1 END) AS n_with_k
-            FROM events GROUP BY event_type
-        """,
-        "running_total": f"""
-            SELECT user_id, event_id,
-                   count(*) OVER w AS cum_events,
-                   CAST(sum(CAST(round(value*100, 0) AS BIGINT)) OVER w AS BIGINT) AS cum_cents
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING)
         """,
         "range_join": """
             WITH e AS (
@@ -1901,33 +2139,6 @@ def oracle_sql() -> dict[str, str]:
                    length(array_to_string(toks, ' ')) AS n_chars_normalized
             FROM t
         """,
-        "winnow": """
-            WITH t AS (
-              SELECT doc_id,
-                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
-              FROM documents),
-            g AS (
-              SELECT doc_id,
-                     CAST(greatest(length(norm) - 4, 0) AS INTEGER) AS n_grams,
-                     CASE WHEN length(norm) >= 5 THEN
-                       list_transform(range(1, length(norm) - 3),
-                         i -> ('0x' || substr(md5(substr(norm, i, 5)), 1, 7))::BIGINT)
-                     ELSE [] END AS hashes
-              FROM t),
-            wn AS (
-              SELECT doc_id, n_grams,
-                     CASE WHEN n_grams = 0 THEN []
-                          WHEN n_grams < 4 THEN [list_min(hashes)]
-                          ELSE list_transform(range(1, n_grams - 2),
-                                 i -> list_min(hashes[i:i+3]))
-                     END AS wins
-              FROM g)
-            SELECT doc_id, n_grams,
-                   CAST(len(list_distinct(wins)) AS INTEGER) AS n_fingerprints,
-                   md5(array_to_string(list_sort(list_distinct(wins)), ','))
-                     AS fp_md5
-            FROM wn
-        """,
         "winnow_pairs": """
             WITH t AS (
               SELECT doc_id,
@@ -2012,7 +2223,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE (co.n_common * 1000000)
                     // (sa.n_sh + sb.n_sh - co.n_common) >= 400000
         """,
-        "minhash_signatures": _minhash_oracle(),
         "minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 300000),
         "near_dedup_keep": _near_dedup_keep_oracle(16, 4, 300000),
         "simhash_pairs": _simhash_pairs_oracle(24, 2, 3),
@@ -2021,7 +2231,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle(0.3, 10, 4, 64),
         "embedding_ivf_topk": _embedding_ivf_oracle(5, 16, 4),
         "kmeans_train": _kmeans_oracle(),
-        "simhash": _simhash_oracle(24),
         "embedding_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -2125,4 +2334,309 @@ def oracle_sql() -> dict[str, str]:
               FROM totals)
             WHERE rn <= 3
         """,
+        "curate_funnel": _curate_funnel_oracle(16, 4, 300000),
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS line,
+                     unnest(generate_series(
+                       0, len(string_split(coalesce(text, ''), ' ')) - 1))
+                       AS pos
+              FROM documents
+            ), owners AS (
+              SELECT md5(line) AS lkey,
+                     min(doc_id * 1000000 + pos) AS own
+              FROM lines WHERE length(line) >= 1 GROUP BY 1
+            ), flagged AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     (length(l.line) < 1)
+                     OR (l.doc_id * 1000000 + l.pos = o.own) AS keep
+              FROM lines l LEFT JOIN owners o ON md5(l.line) = o.lkey
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       ' ' ORDER BY pos), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept
+            FROM flagged GROUP BY doc_id
+        """,
+        "span_stats": f"""
+            WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+            wins AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(toks) - 2),
+                       i -> md5(array_to_string(toks[i:i+3], ' ')))) AS wh
+              FROM t WHERE len(toks) >= 4),
+            freq AS (
+              SELECT wh, count(DISTINCT doc_id) AS n_docs_with
+              FROM wins GROUP BY 1),
+            per_doc AS (
+              SELECT w.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_windows,
+                     CAST(sum(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup
+              FROM wins w JOIN freq f USING (wh) GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(p.n_windows, 0) AS n_windows,
+                   COALESCE(p.n_dup, 0) AS n_dup,
+                   CASE WHEN COALESCE(p.n_windows, 0) > 0
+                        THEN COALESCE(p.n_dup, 0) * 1000000 // p.n_windows
+                        ELSE 0 END AS dup_ppm
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "ngram_counts": f"""
+            WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS ngram
+              FROM t WHERE len(toks) >= 3),
+            per_doc AS (
+              SELECT ngram, doc_id, count(*) AS c
+              FROM grams GROUP BY 1, 2)
+            SELECT ngram,
+                   CAST(sum(c) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM per_doc GROUP BY ngram
+            ORDER BY n_total DESC, ngram ASC LIMIT 50
+        """,
+        "tfidf_top_terms": f"""
+            WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+            term_doc AS (
+              SELECT doc_id, unnest(toks) AS term FROM t),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM term_doc GROUP BY 1, 2),
+            df AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     CAST(round(tf.tf * (ln((n.n + 1) / (df.df + 1.0)) + 1.0)
+                                * 1000000) AS BIGINT) AS score_e6
+              FROM tf JOIN df USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC
+              ) AS rnk FROM scored)
+            SELECT doc_id, term, tf, df, score_e6, CAST(rnk AS INT) AS rnk
+            FROM ranked WHERE rnk <= 3
+        """,
+        "unigram_logprob": f"""
+            WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+            term_doc AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+              GROUP BY 1, 2),
+            vocab AS (
+              SELECT term, CAST(sum(tf) AS BIGINT) AS ctf
+              FROM term_doc GROUP BY 1),
+            tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM vocab),
+            scored AS (
+              SELECT td.doc_id,
+                     CAST(sum(td.tf) AS BIGINT) AS n_tokens,
+                     CAST(round(
+                       sum(td.tf * -ln(v.ctf / CAST(tot.total AS DOUBLE)))
+                         / sum(td.tf) * 1000000) AS BIGINT) AS mean_nll_e6
+              FROM term_doc td JOIN vocab v USING (term) CROSS JOIN tot
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.mean_nll_e6, 0) AS mean_nll_e6
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "bloom_registers": """
+            SELECT DISTINCT bit FROM (
+              SELECT unnest([
+                ('0x' || substr(md5(d || ':' || text), 1, 4))::BIGINT % 4096
+                FOR d IN range(4)
+              ]) AS bit
+              FROM documents WHERE text IS NOT NULL
+            )
+        """,
+        "mixture_sample": _mixture_oracle(),
+        "split_assign": f"""
+            SELECT doc_id,
+                   CASE WHEN u < {int(0.8 * (1 << 28))} THEN 'train'
+                        WHEN u < {int(0.9 * (1 << 28))} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                     1, 7))::BIGINT AS u
+              FROM documents)
+        """,
+        "dsir_weights": """
+            WITH rt AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(toks) AS g FROM rt
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM rt),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 7))::BIGINT % 1009 AS bucket,
+                     CAST(count(*) AS BIGINT) AS tf
+              FROM grams GROUP BY 1, 2),
+            tfeats AS (SELECT * FROM feats WHERE doc_id < 50),
+            rc AS (SELECT bucket, sum(tf) AS rc FROM feats GROUP BY 1),
+            tc AS (SELECT bucket, sum(tf) AS tc FROM tfeats GROUP BY 1),
+            tot AS (SELECT (SELECT sum(tf) FROM feats) AS rt,
+                           (SELECT sum(tf) FROM tfeats) AS tt),
+            lam AS (
+              SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+                     CAST(round((ln((COALESCE(tc, 0) + 1) / (tt + 1009.0))
+                               - ln((COALESCE(rc, 0) + 1) / (rt + 1009.0)))
+                              * 1000000) AS BIGINT) AS lam_e6
+              FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+              CROSS JOIN tot),
+            scored AS (
+              SELECT f.doc_id,
+                     CAST(sum(f.tf) AS BIGINT) AS n_feats,
+                     CAST(sum(f.tf * l.lam_e6) AS BIGINT) AS logw_e6
+              FROM feats f JOIN lam l USING (bucket) GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(s.n_feats, 0) AS n_feats,
+                   COALESCE(s.logw_e6, 0) AS logw_e6
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "chunk_text": f"""
+            WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+            st AS (
+              SELECT doc_id, toks,
+                     unnest(list_filter(
+                       range(0, greatest(len(toks), 1), 48),
+                       s -> s = 0 OR s + 16 < len(toks))) AS start
+              FROM t WHERE len(toks) > 0),
+            numbered AS (
+              SELECT doc_id, toks, start,
+                     CAST(row_number() OVER
+                          (PARTITION BY doc_id ORDER BY start) - 1
+                          AS BIGINT) AS chunk_id
+              FROM st)
+            SELECT doc_id, chunk_id,
+                   CAST(len(toks[start + 1: start + 64]) AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(toks[start + 1: start + 64], ' ') AS text
+            FROM numbered
+        """,
+    }
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Rows rotated OUT of the 50-row driver contract in round 5 to
+    make room for the session-2 pipeline operators (VERDICT r4 "Next
+    round #1"). Still first-class operators: tests/test_retired.py
+    runs every (query, oracle) pair below against DuckDB at sf0.001
+    with the driver's own comparator."""
+    return {
+        "paging_offset": q_paging_offset,
+        "distinct_on": q_distinct_on,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "facets": q_facets,
+        "collect_set": q_collect_set,
+        "json_props": q_json_props,
+        "running_total": q_running_total,
+        "winnow": q_winnow,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {
+        "paging_offset": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            ORDER BY c_custkey LIMIT 50 OFFSET 100
+        """,
+        "distinct_on": """
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   CAST(round(l_extendedprice*100, 0) AS BIGINT) AS price_cents
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_partkey, l_extendedprice) AS rn
+              FROM lineitem) WHERE rn = 1
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """,
+        "facets": """
+            SELECT 'o_orderstatus' AS facet_type, o_orderstatus AS facet_value,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'o_orderpriority', o_orderpriority, count(*)
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "collect_set": """
+            SELECT o_custkey,
+                   array_to_string(
+                     list_sort(list(DISTINCT o_orderpriority)), ','
+                   ) AS priorities
+            FROM orders GROUP BY o_custkey
+        """,
+        "json_props": """
+            SELECT event_type,
+                   CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+                   count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                              THEN 1 END) AS n_with_k
+            FROM events GROUP BY event_type
+        """,
+        "running_total": f"""
+            SELECT user_id, event_id,
+                   count(*) OVER w AS cum_events,
+                   CAST(sum(CAST(round(value*100, 0) AS BIGINT)) OVER w AS BIGINT) AS cum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "winnow": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CAST(greatest(length(norm) - 4, 0) AS INTEGER) AS n_grams,
+                     CASE WHEN length(norm) >= 5 THEN
+                       list_transform(range(1, length(norm) - 3),
+                         i -> ('0x' || substr(md5(substr(norm, i, 5)), 1, 7))::BIGINT)
+                     ELSE [] END AS hashes
+              FROM t),
+            wn AS (
+              SELECT doc_id, n_grams,
+                     CASE WHEN n_grams = 0 THEN []
+                          WHEN n_grams < 4 THEN [list_min(hashes)]
+                          ELSE list_transform(range(1, n_grams - 2),
+                                 i -> list_min(hashes[i:i+3]))
+                     END AS wins
+              FROM g)
+            SELECT doc_id, n_grams,
+                   CAST(len(list_distinct(wins)) AS INTEGER) AS n_fingerprints,
+                   md5(array_to_string(list_sort(list_distinct(wins)), ','))
+                     AS fp_md5
+            FROM wn
+        """,
+        "minhash_signatures": _minhash_oracle(),
+        "simhash": _simhash_oracle(24),
     }

@@ -78,9 +78,16 @@ def curate(
     Rows with a NULL doc_id are DROPPED up front (the split family's
     rule: an id-less document has no stable identity for dedup or
     audit) — without this they would miss every stage join and leak
-    into the survivors unchecked.
+    into the survivors unchecked. NULL text is coalesced to '' at
+    entry: without the coalesce, quality_filter's NULL n_tokens makes
+    every reject condition NULL (keep=1) and a NULL-text doc sails
+    through dedup's empty shingle sets into the survivors, breaking
+    the ledger invariant "text IS NULL ⇔ dropped"; as '' it is
+    dropped by the same too_short rule that drops empty documents.
     """
-    docs = docs.filter(F.col("doc_id").isNotNull())
+    docs = docs.filter(F.col("doc_id").isNotNull()).withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
     base = docs.select("doc_id", F.col(text_col).alias("_text"))
 
     q = quality_filter(docs, text_col, **(quality_kwargs or {})).select(

@@ -129,7 +129,15 @@ def streaming_curate(
             ).persist()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.filter(F.col("doc_id").isNotNull()).persist()
+        # mirror curate(): NULL text → '' so it is dropped as too_short
+        # instead of leaking through NULL-propagating stage predicates
+        # (and so its fingerprint md5('') matches the empty-doc one
+        # only AFTER quality already rejected both).
+        batch = (
+            batch_df.filter(F.col("doc_id").isNotNull())
+            .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+            .persist()
+        )
         try:
             _process_batch(batch, batch_id)
         finally:

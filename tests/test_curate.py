@@ -152,6 +152,25 @@ def test_curate_drops_null_doc_ids(spark):
 LONG_OK = " ".join(f"ok{i} fine{i} word{i} text{i}" for i in range(10))
 
 
+def test_curate_null_text_is_dropped_not_leaked(spark):
+    """The ledger invariant "text IS NULL ⇔ dropped" must hold for
+    NULL-text inputs too: without the entry coalesce, quality_filter's
+    NULL n_tokens makes every reject predicate NULL (keep=1) and the
+    doc sails through dedup's empty shingle sets into the survivor set
+    with drop_stage NULL and text NULL."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, LONG_OK), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in curate(docs, near_kwargs=NEAR).collect()}
+    assert set(got) == {0, 1, 2}          # ledger still covers every id
+    assert got[0].drop_stage == "quality"  # NULL text == empty text
+    assert got[2].drop_stage == "quality"
+    assert got[1].drop_stage is None
+    for r in got.values():
+        assert (r.text is None) == (r.drop_stage is not None)
+
+
 def test_curate_near_contaminated_stage(spark, bench_docs):
     """benchmark_near_ppm adds the paraphrase-leak stage: a document
     sharing the benchmark's shingles (sentences reordered, low 8-gram
