@@ -299,6 +299,19 @@ def _maybe_load_env_tables() -> None:
             load_codetables(path)
             _CODETABLES_SOURCE = path
             return
+    # vendored tables: tools/gen_marc8_builtins.py converts the public
+    # LoC codetables.xml into functions/marc8_tables_gen.py once, so a
+    # deployment needs neither the XML on disk nor an env var
+    try:
+        from mod_reservoir_spark.functions import marc8_tables_gen
+    except ImportError:
+        return
+    for (final, width), entries in marc8_tables_gen.TABLES.items():
+        builtin = _SETS.get(final)
+        table = dict(builtin[0]) if builtin and builtin[0] else {}
+        table.update(entries)
+        _SETS[final] = (table, width)
+    _CODETABLES_SOURCE = marc8_tables_gen.__file__
 
 
 def _warn_unmapped_set(final: int) -> None:

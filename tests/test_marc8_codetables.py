@@ -201,3 +201,56 @@ def test_packaged_codetables_auto_discovered(monkeypatch, tmp_path):
                 marc8._SETS.pop(k, None)
             else:
                 marc8._SETS[k] = v
+
+
+def test_vendored_tables_module_auto_imported(monkeypatch, tmp_path):
+    """tools/gen_marc8_builtins.py converts the public codetables.xml
+    into functions/marc8_tables_gen.py; marc8 auto-imports it when no
+    XML is discovered, so a deployment can vendor the real tables with
+    one command. Driven end-to-end on the format-true fixture."""
+    import importlib
+    import subprocess
+    import sys
+
+    import mod_reservoir_spark.functions as fpkg
+
+    gen_path = os.path.join(
+        os.path.dirname(fpkg.__file__), "marc8_tables_gen.py"
+    )
+    assert not os.path.exists(gen_path), "generated module leaked into repo"
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(fpkg.__file__)),
+        os.pardir,
+        "tools",
+        "gen_marc8_builtins.py",
+    )
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(tool), FIXTURE],
+        capture_output=True,
+        text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    saved = {k: marc8._SETS.get(k) for k in (0x31, 0x34, 0x53)}
+    try:
+        monkeypatch.setattr(marc8, "_ENV_TABLES_LOADED", False)
+        monkeypatch.setattr(marc8, "_CODETABLES_SOURCE", None)
+        monkeypatch.delenv("MARC8_CODETABLES", raising=False)
+        monkeypatch.setattr(
+            marc8, "_PACKAGE_CODETABLES", str(tmp_path / "absent.xml")
+        )
+        marc8._maybe_load_env_tables()
+        assert marc8._CODETABLES_SOURCE and marc8._CODETABLES_SOURCE.endswith(
+            "marc8_tables_gen.py"
+        )
+        # EACC triple + basic Greek letter decode through the vendored path
+        assert marc8.marc8_to_unicode(b"\x1b$1\x21\x23\x20\x1b(BX") == "一X"
+        assert marc8.marc8_to_unicode(b"\x1b(Sab\x1b(B") == "αβ"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                marc8._SETS.pop(k, None)
+            else:
+                marc8._SETS[k] = v
+        os.remove(gen_path)
+        sys.modules.pop("mod_reservoir_spark.functions.marc8_tables_gen", None)
+        importlib.invalidate_caches()
