@@ -820,6 +820,10 @@ def quantize_embeddings(
     # scale is materialized as its own projection so the per-element
     # lambda references a column, not the nested array_max expression
     # (no CSE inside higher-order functions — the shingle-ladder rule)
+    # codes fit in [-qmax, qmax] ⊆ [-127, 127] at bits<=8, so store
+    # them as TINYINT — the materialized table is genuinely 1 byte per
+    # element (the advertised 4× over float32), not int32-wide
+    code_type = "tinyint" if bits <= 8 else "int"
     return embeddings.withColumn("_scale", scale).select(
         id_col,
         F.transform(
@@ -828,11 +832,87 @@ def quantize_embeddings(
                 F.col("_scale") > 0, F.round(x / F.col("_scale"))
             )
             .otherwise(F.lit(0.0))
-            .cast("int"),
+            .cast(code_type),
         ).alias("codes"),
         F.col("_scale").alias("scale"),
         F.size(v).cast("long").alias("dim"),
     )
+
+
+def lsh_topk_quantized(
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int | str = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k served entirely FROM the int8 storage form of
+    :func:`quantize_embeddings` — the 100 TB shape where vectors ship
+    quantized and float32 exists only for the (tiny) query set.
+
+    Works because cosine is invariant to a positive per-vector scale:
+    sign(plane·(scale·codes)) = sign(plane·codes) and
+    cos(q, scale·codes) = cos(q, codes), so BOTH the LSH bucket build
+    and the candidate re-score read only the codes column (4× smaller
+    scan; the scale/dim columns aren't even touched). The all-zero
+    vector (scale 0) has an all-zero code and NaN cosine in every
+    path, float or quantized — identical behavior.
+
+    ``queries`` is an (id, float vec) subset of the corpus (the
+    :func:`lsh_topk` contract shape); its ids select bucket rows from
+    the codes-derived signature table, its float vectors drive the
+    exact re-score. Output shape = lsh_topk; scores differ from the
+    float pipeline only by per-element quantization noise (recall
+    pinned in tests/test_quantize.py).
+    """
+    n_planes = _resolve_planes(n_planes, codes)
+    # lsh_signatures casts vec_col to double internally — hand it the
+    # raw integer codes, no dequantize column is ever materialized
+    proxy = codes.select(F.col(id_col), F.col(codes_col).alias(vec_col))
+    cand = _lsh_candidates(
+        proxy, queries, n_planes, n_tables, id_col, vec_col, dim
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qidx = {r[0]: i for i, r in enumerate(q_rows)}
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qm * qm).sum(axis=1))
+    bq = codes.sparkSession.sparkContext.broadcast((qidx, qm, qnorm))
+
+    def score(batches):
+        bqidx, bqm, bqnorm = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            qi = np.array(
+                [bqidx[q] for q in pdf["query_id"]], dtype=np.int64
+            )
+            s = np.einsum("ij,ij->i", bqm[qi], cm) / (
+                bqnorm[qi] * np.sqrt((cm * cm).sum(axis=1))
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": np.round(s, 6),
+                }
+            )
+
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("cv")
+    )
+    scored = cand.join(c, "neighbor_id").mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double"
+    )
+    return _topk(scored, k)
 
 
 def dequantize_expr(codes_col: str = "codes", scale_col: str = "scale"):

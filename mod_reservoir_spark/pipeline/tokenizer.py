@@ -239,22 +239,72 @@ def chunk_sequences(
     from mod_reservoir_spark.pipeline.sampling import _shuffle_key
 
     strata = tuple(strata)
-    w = (
-        Window.partitionBy(*strata).orderBy(_shuffle_key(id_col))
-        if strata
-        else Window.orderBy(_shuffle_key(id_col))
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # +1: the eos piece; size(NULL) is NULL (not -1) under the default
     # conf, so coalesce NULL-pieces rows to 0 tokens — otherwise they
     # get a NULL shard_id and form their own group
     n_tok = F.coalesce(F.size("pieces") + 1, F.lit(0)).cast("long")
-    with_shard = tokenized.select(
-        id_col,
-        *strata,
-        "pieces",
-        _shuffle_key(id_col).alias("_ord"),
-        (F.sum(n_tok).over(w) - n_tok).alias("_before"),
-    ).withColumn(
+    if strata:
+        w = (
+            Window.partitionBy(*strata)
+            .orderBy(_shuffle_key(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        with_shard = tokenized.select(
+            id_col,
+            *strata,
+            "pieces",
+            _shuffle_key(id_col).alias("_ord"),
+            (F.sum(n_tok).over(w) - n_tok).alias("_before"),
+        )
+    else:
+        # unstratified: a bare Window.orderBy would shuffle the WHOLE
+        # corpus — pieces arrays included — into one partition (the
+        # ADVICE r4 finding). Two-level prefix sum instead: range-
+        # partition a NARROW (id, ord, count) projection, local cumsum
+        # per partition, broadcast the per-partition prefix (one tiny
+        # driver collect bounded by the partition count), then join
+        # the offsets back. Same total order (md5 shuffle key), so the
+        # output is byte-identical to the windowed formulation.
+        narrow = tokenized.select(
+            id_col,
+            _shuffle_key(id_col).alias("_ord"),
+            n_tok.alias("_n"),
+        )
+        part = (
+            narrow.repartitionByRange(F.col("_ord"))
+            .withColumn("_pid", F.spark_partition_id())
+            # persist: _pid must be identical in the totals action and
+            # the cumsum plan (repartitionByRange re-SAMPLES
+            # boundaries per job without it)
+            .persist()
+        )
+        totals = part.groupBy("_pid").agg(F.sum("_n").alias("_tot")).collect()
+        acc = 0
+        prefix: dict[int, int] = {}
+        for r in sorted(totals, key=lambda r: r._pid):
+            prefix[r._pid] = acc
+            acc += r._tot
+        pmap = F.create_map(
+            *[F.lit(x) for kv in prefix.items() for x in kv]
+        ) if prefix else F.create_map()
+        lw = (
+            Window.partitionBy("_pid")
+            .orderBy("_ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        offsets = part.select(
+            id_col,
+            "_ord",
+            (
+                F.sum("_n").over(lw)
+                - F.col("_n")
+                + F.coalesce(pmap[F.col("_pid")], F.lit(0))
+            ).alias("_before"),
+        )
+        with_shard = tokenized.select(id_col, "pieces").join(
+            offsets, id_col
+        )
+    with_shard = with_shard.withColumn(
         "shard_id",
         F.expr(f"_before div {int(shard_tokens)}").cast("long"),
     )

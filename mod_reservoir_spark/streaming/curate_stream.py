@@ -28,6 +28,22 @@ existing corpus through ANY pair is dropped whole (its keeper already
 lives in the corpus); an untouched component keeps its min id. That is
 the incremental image of connected-components keeper selection.
 
+ARRIVAL-ORDER CONTRACT (real streams are not id-ordered): which
+member of a duplicate group survives depends on arrival order —
+first-seen wins is the only keeper policy an append-only stream can
+honor without rewriting history. What does NOT depend on arrival
+order, pinned by the shuffled-replay test in
+tests/test_curate_stream.py:
+
+- the per-stage drop COUNTS (the funnel histogram);
+- the quality-drop set (per-document, order-free);
+- one survivor per duplicate component, and the survivor is always a
+  MEMBER of that component (never an unrelated document);
+- the set of components that survive at all.
+
+Only the keeper's identity within its component varies with order —
+exactly the freedom the batch funnel resolves by min-id instead.
+
 Replay safety: state reads filter out the replaying batch's own
 partition (``batch != batch_id`` on the hive partition column), so a
 crash between state commit and stream checkpoint replays against the
@@ -336,6 +352,80 @@ def streaming_curate(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def compact_curate_state(spark: SparkSession, state_dir: str) -> dict:
+    """Consolidate the per-batch partitions of the streaming-curate
+    state into one ``batch=-1`` partition — the curate sibling of
+    windowed.compact_near_dedup_state, with the OPPOSITE conflict
+    rule: curate state is FIRST-SEEN-WINS (the arrival-order
+    contract), so a key appearing in several batches keeps its
+    EARLIEST row (min batch), where near-dedup keeps the latest.
+    Keys: fingerprints by fingerprint, signatures and ledger by
+    doc_id.
+
+    Run while the stream is STOPPED **after a clean stop**
+    (processAllAvailable → stop): replay protection relies on a
+    replaying batch being able to EXCLUDE its own partition from the
+    corpus it reads, and folding that partition into ``batch=-1``
+    removes the exclusion handle — compacting with a replay pending
+    would make the replay see its own fingerprints and drop every
+    document as a duplicate of itself. Same staged-rename commit
+    order as the near-dedup compactor: never an empty or shrunken
+    state, duplicate rows on mid-clear crash are converged by
+    rerunning. Returns per-table row counts.
+    """
+    from mod_reservoir_spark.streaming.windowed import COMPACTED_BATCH
+
+    stats = {}
+    for table, key_cols, schema in (
+        ("fingerprints", ["fingerprint"], _FP_SCHEMA),
+        ("signatures", ["doc_id"], _SIG_SCHEMA),
+        ("ledger", ["doc_id"], _LEDGER_SCHEMA),
+    ):
+        root = os.path.join(state_dir, table)
+        if not os.path.isdir(root):
+            stats[table] = 0
+            continue
+        staging = os.path.join(root, ".staging-compact")
+        old_compact = os.path.join(root, ".old-compact")
+        final = os.path.join(root, f"batch={COMPACTED_BATCH}")
+        if os.path.isdir(old_compact) and not os.path.isdir(final):
+            os.rename(old_compact, final)
+        for leftover in (staging, old_compact):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+        parts = sorted(
+            e for e in os.listdir(root) if e.startswith("batch=")
+        )
+        if not parts:
+            stats[table] = 0
+            continue
+        df = spark.read.parquet(root)
+        cols = [f.split(" ")[0] for f in schema.split(", ")]
+        val_cols = [c for c in cols if c not in key_cols]
+        # first-seen wins: min(struct(batch, vals)) per key; the
+        # compacted batch=-1 sorts BELOW real batches, so an already-
+        # compacted row keeps winning over any later re-appearance
+        agg = (
+            df.groupBy(*key_cols)
+            .agg(
+                F.min(F.struct("batch", *val_cols)).alias("_first")
+            )
+            .select(*key_cols, *[F.col(f"_first.{c}").alias(c) for c in val_cols])
+            .select(*cols)
+        )
+        agg.write.mode("overwrite").parquet(staging)
+        stats[table] = spark.read.parquet(staging).count()
+        if os.path.isdir(final):
+            os.rename(final, old_compact)
+        os.rename(staging, final)
+        for p in parts:
+            if p != f"batch={COMPACTED_BATCH}":
+                shutil.rmtree(os.path.join(root, p))
+        if os.path.isdir(old_compact):
+            shutil.rmtree(old_compact)
+    return stats
 
 
 def read_curate_state(spark: SparkSession, state_dir: str):

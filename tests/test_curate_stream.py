@@ -244,3 +244,124 @@ def test_streaming_curate_near_benchmark_stage(spark, tmp_path):
     }
     assert got == want
     assert got[1] == "near_contaminated" and got[2] == "contaminated"
+
+
+# the near-dup component of the scenario corpus: 0,1,5 share identical
+# text, 4 near-dups 0, 8 near-dups 4 (and all share the "a" filler) —
+# one connected component; every other doc is a singleton
+COMPONENT = {0, 1, 4, 5, 8}
+
+
+def test_streaming_curate_out_of_order_invariants(spark, tmp_path):
+    """The ARRIVAL-ORDER CONTRACT (module docstring): with batches
+    shuffled so smaller doc_ids arrive later, the keeper identity may
+    differ from batch curate(), but the order-independent invariants
+    hold — same per-stage counts, same quality/contaminated sets,
+    exactly one survivor per duplicate component and it is a member of
+    the component."""
+    from mod_reservoir_spark.pipeline.curate import curate
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    all_rows = B1 + B2 + B3
+    by_id = dict(all_rows)
+    shuffled = [
+        [(i, by_id[i]) for i in (8, 9, 2, 5)],   # late ids first
+        [(i, by_id[i]) for i in (0, 6, 4)],
+        [(i, by_id[i]) for i in (1, 3, 7)],
+    ]
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_curate(
+        spark, str(indir), str(tmp_path / "ckpt"), state,
+        benchmark=bench, threshold_ppm=500000,
+    )
+    try:
+        for n, rows in enumerate(shuffled):
+            _write(str(indir), f"s{n}.jsonl", rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ledger, _, _ = read_curate_state(spark, state)
+    got = {r.doc_id: r.drop_stage for r in ledger.collect()}
+    assert set(got) == set(by_id)
+
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {
+        r.doc_id: r.drop_stage
+        for r in curate(docs, benchmark=bench).collect()
+    }
+    # invariant 1: per-stage counts (funnel histogram) are order-free
+    from collections import Counter
+
+    assert Counter(got.values()) == Counter(want.values())
+    # invariant 2: per-document stages are order-free OUTSIDE the
+    # duplicate component (quality, contamination, kept singletons)
+    for d in set(by_id) - COMPONENT:
+        assert got[d] == want[d], d
+    # invariant 3: exactly one survivor in the component, a member,
+    # and the rest drop as duplicates of one kind or the other
+    survivors = [d for d in COMPONENT if got[d] is None]
+    assert len(survivors) == 1 and survivors[0] in COMPONENT
+    assert survivors[0] == 5  # first-seen wins: 5 arrived in batch 0
+    for d in COMPONENT - {5}:
+        assert got[d] in ("exact_dup", "near_dup"), (d, got[d])
+
+
+def test_compact_curate_state_continues_identically(spark, tmp_path):
+    """compact_curate_state folds per-batch partitions into batch=-1
+    with FIRST-SEEN-WINS, after which continuing the stream yields the
+    same accumulated state as a never-compacted run."""
+    from mod_reservoir_spark.streaming.curate_stream import (
+        compact_curate_state,
+        read_curate_state,
+        streaming_curate,
+    )
+
+    def run_all(tag, compact_after=None):
+        indir = tmp_path / f"docs-{tag}"
+        indir.mkdir()
+        state = str(tmp_path / f"state-{tag}")
+        ckpt = str(tmp_path / f"ckpt-{tag}")
+        for n, (name, rows) in enumerate(
+            (("b1.jsonl", B1), ("b2.jsonl", B2), ("b3.jsonl", B3))
+        ):
+            q = streaming_curate(spark, str(indir), ckpt, state)
+            try:
+                _write(str(indir), name, rows)
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            if compact_after is not None and n == compact_after:
+                stats = compact_curate_state(spark, state)
+                assert stats["ledger"] > 0
+        return state
+
+    s_plain = run_all("plain")
+    s_comp = run_all("comp", compact_after=1)
+
+    def norm(r):
+        return tuple(
+            tuple(v) if isinstance(v, list) else v for v in r
+        )
+
+    for i in (0, 1, 2):
+        a = {norm(r) for r in read_curate_state(spark, s_plain)[i].collect()}
+        b = {norm(r) for r in read_curate_state(spark, s_comp)[i].collect()}
+        assert a == b, i
+    # the compacted run really did fold: only batch=-1 plus batches
+    # after the compaction point remain
+    import os
+
+    parts = sorted(
+        os.listdir(os.path.join(s_comp, "ledger"))
+    )
+    assert "batch=-1" in parts and "batch=0" not in parts

@@ -290,3 +290,41 @@ def test_dsir_sample_is_takeordered(docs):
         "simple",
     )
     assert "TakeOrderedAndProject" in p
+
+
+def test_chunk_sequences_unstratified_no_single_partition(spark, docs):
+    """The unstratified packing path must never funnel the corpus
+    through one partition (ADVICE r4): shard offsets come from the
+    two-level prefix-sum — a _pid-partitioned Window over a narrow
+    projection — never a bare Window.orderBy."""
+    import pyspark.sql.functions as F
+
+    from mod_reservoir_spark.pipeline.tokenizer import chunk_sequences
+
+    tok = docs.select("doc_id", F.split("text", " ").alias("pieces"))
+    p = plan(chunk_sequences(tok, seq_len=64, shard_tokens=1000))
+    assert "SinglePartition" not in p
+    assert "Window" in p  # the per-_pid local cumsum survives
+
+
+def test_lsh_topk_quantized_reads_only_codes(spark, tmp_path):
+    """Serving from the MATERIALIZED int8 table, the quantized ANN
+    path's parquet scan must prune to (vec_id, codes) — reading scale
+    or dim would void the 4x-smaller-scan claim."""
+    from mod_reservoir_spark.pipeline.similarity import (
+        lsh_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "codes")
+    quantize_embeddings(emb).write.parquet(path)
+    out = lsh_topk_quantized(
+        spark.read.parquet(path), emb.filter("vec_id % 100 = 0"),
+        k=5, n_planes=10,
+    )
+    p = plan(out)
+    # every parquet scan of the codes table prunes scale/dim away
+    for line in p.splitlines():
+        if "ReadSchema" in line and "codes" in line:
+            assert "scale" not in line and "dim" not in line, line

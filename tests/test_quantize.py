@@ -102,3 +102,153 @@ def test_quantize_zero_vector(spark):
     }
     assert deq[1] == [0.0, 0.0, 0.0]
     assert abs(deq[2][1] - (-2.0)) < 1e-9  # max-abs element exact
+
+
+def test_lsh_topk_quantized_oracle(spark):
+    """The quantized-storage ANN path (buckets AND re-score from int8
+    codes, float only on the query side) hash-matches a DuckDB oracle
+    that rebuilds the identical chain: quantize -> plane signs on
+    codes -> bucket join -> cosine(query_float, codes) re-score."""
+    import duckdb
+
+    from mod_reservoir_spark.pipeline.similarity import (
+        _plane_component,
+        lsh_topk_quantized,
+        quantize_embeddings,
+    )
+    from tools.oracle_check import arrow_rows, table_hash
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    codes = quantize_embeddings(emb)
+    queries = emb.filter("vec_id % 50 = 0")
+    out = lsh_topk_quantized(
+        codes, queries, k=5, n_planes=10, n_tables=4
+    )
+
+    dim, n_planes, n_tables = 64, 10, 4
+
+    def plane_lit(t, p):
+        vals = ", ".join(
+            repr(_plane_component(t, p, d)) for d in range(dim)
+        )
+        return f"[{vals}]"
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(c, {plane_lit(t, p)}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        bucket_exprs.append(
+            f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM q8"
+        )
+    buckets_sql = "\n      UNION ALL ".join(bucket_exprs)
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                  ELSE 0.0 END AS scale
+      FROM e),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CASE WHEN scale > 0
+                  THEN round(x / scale) ELSE 0.0 END) AS c
+      FROM s),
+    buckets AS (
+      {buckets_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(q.v, n.c) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(n.c, n.c))), 6) AS score
+      FROM cand c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN q8 n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, score, rn AS "rank"
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    scols, srows, stags = arrow_rows(out.toArrow())
+    dcols, drows, dtags = arrow_rows(con.execute(sql).arrow())
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert table_hash(srows, scols, stags) == table_hash(drows, dcols, dtags)
+
+
+def test_lsh_topk_quantized_recall_vs_float(spark):
+    """End-to-end from int8 storage: >= 8/10 of the float LSH
+    pipeline's neighbors per query, on the real embeddings."""
+    from mod_reservoir_spark.pipeline.similarity import (
+        lsh_topk,
+        lsh_topk_quantized,
+        quantize_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    full = lsh_topk(emb, queries, k=10, n_planes=10, n_tables=4)
+    quant = lsh_topk_quantized(
+        quantize_embeddings(emb), queries, k=10, n_planes=10, n_tables=4
+    )
+    f, a = {}, {}
+    for r in full.collect():
+        f.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in quant.collect():
+        a.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(f) == set(a)
+    for q in f:
+        assert len(f[q] & a[q]) >= 8, (q, f[q], a[q])
+
+
+def test_quantized_storage_is_smaller_and_servable(spark, tmp_path):
+    """The materialized codes table (tinyint elements since the ADVICE
+    r4 fix) is genuinely smaller on disk than the float table, and the
+    ANN path serves straight from that parquet scan."""
+    from mod_reservoir_spark.pipeline.similarity import (
+        lsh_topk_quantized,
+        quantize_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    fdir, qdir = str(tmp_path / "float"), str(tmp_path / "codes")
+    emb.write.parquet(fdir)
+    codes = quantize_embeddings(emb)
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+    codes.write.parquet(qdir)
+
+    def nbytes(d):
+        import os
+
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert nbytes(qdir) < 0.45 * nbytes(fdir), (nbytes(qdir), nbytes(fdir))
+
+    stored = spark.read.parquet(qdir)
+    queries = emb.filter("vec_id % 100 = 0")
+    out = lsh_topk_quantized(stored, queries, k=5, n_planes=10, n_tables=4)
+    assert out.count() > 0

@@ -107,3 +107,71 @@ def test_read_wet_conversion_records(spark, tmp_path):
     assert len(rows) == 2
     assert rows[1].text == text.decode()
     assert rows[1].target_uri == "http://example.com/c1"
+
+
+def test_parse_warc_truncated_block_is_lenient():
+    """A record whose BLOCK is cut short (the classic truncated-tail
+    archive) yields the prior records and stops — plain and gzip."""
+    full = _warc_bytes()
+    cut = _rec("response", "r9", HTTP)[:-40]  # lose part of the block
+    assert len(list(parse_warc(full + cut))) == 3
+    # gzip: final MEMBER truncated mid-stream
+    members = [
+        gzip.compress(_rec("response", "a", HTTP)),
+        gzip.compress(_rec("response", "b", HTTP)),
+    ]
+    data = members[0] + members[1][: len(members[1]) // 2]
+    recs = list(parse_warc(data))
+    assert [r["record_id"] for r in recs] == ["<urn:uuid:a>"]
+
+
+def test_parse_warc_non_http_records():
+    """resource / metadata / conversion records carry their payload
+    byte-exact — no HTTP stripping outside response records."""
+    blob = bytes(range(256))
+    data = (
+        _rec("resource", "img", blob)
+        + _rec("metadata", "meta", b"fetchTimeMs: 671\r\n")
+        + _rec("conversion", "conv", b"extracted text here")
+    )
+    recs = list(parse_warc(data))
+    assert [r["warc_type"] for r in recs] == [
+        "resource", "metadata", "conversion",
+    ]
+    assert recs[0]["payload"] == blob
+    assert recs[0]["http_status"] is None
+    assert recs[2]["payload"] == b"extracted text here"
+
+
+def test_warc_index_and_selective_read(spark, tmp_path):
+    """The cc-index pattern: one indexing scan, then range reads that
+    fetch ONLY the wanted records — per-record gzip members decompress
+    independently from their (offset, length) slice."""
+    from mod_reservoir_spark.sources.warc import read_warc_slices, warc_index
+
+    recs = [
+        _rec("warcinfo", "info", b"software: test\r\n"),
+        _rec("response", "r1", HTTP),
+        _rec("request", "r2", b"GET / HTTP/1.1\r\n\r\n"),
+        _rec("response", "r3", HTTP),
+    ]
+    gz = tmp_path / "a.warc.gz"
+    gz.write_bytes(b"".join(gzip.compress(r) for r in recs))
+    plain = tmp_path / "b.warc"
+    plain.write_bytes(b"".join(recs))
+
+    for f in (gz, plain):
+        idx = warc_index(spark, str(f))
+        rows = idx.collect()
+        assert [r.warc_type for r in rows] == [
+            "warcinfo", "response", "request", "response",
+        ]
+        wanted = idx.filter("warc_type = 'response'")
+        got = read_warc_slices(spark, wanted).collect()
+        assert len(got) == 2
+        assert {r.record_id for r in got} == {
+            "<urn:uuid:r1>", "<urn:uuid:r3>",
+        }
+        for r in got:
+            assert r.http_status == 200
+            assert bytes(r.payload) == HTML
