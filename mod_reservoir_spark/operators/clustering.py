@@ -34,6 +34,8 @@ UUID lineage — a batch engine must be deterministic under re-execution.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from mod_reservoir_spark.core.model import MATCHVALUE_MAX_LENGTH
@@ -58,6 +60,7 @@ def connected_components(
     value_col: str = "match_value",
     component_col: str = "cluster_id",
     max_iterations: int = 50,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Components of the bipartite node↔value graph.
 
@@ -67,9 +70,20 @@ def connected_components(
 
     Scale notes: both per-iteration aggregations partial-aggregate
     map-side; AQE coalesces the small tail as the frontier shrinks.
-    For graphs with long chains (rare for match keys) the iteration
-    count grows with diameter — max_iterations guards runaway.
+    CONVERGENCE BOUND: min-label propagation moves a label two hops
+    (node→value→node) per iteration, so iterations ≈ half the graph
+    diameter. Match-key graphs are star-shaped (records sharing
+    values) and converge in 2-3; a pathological CHAIN — records
+    linked pairwise through distinct values, the testClustersMove
+    topology at scale — needs diameter/2 iterations. Hitting
+    ``max_iterations`` without convergence therefore RAISES by
+    default (``on_nonconverged="raise"``): a truncated run has
+    SPLIT components — silently wrong clusters downstream;
+    ``on_nonconverged="warn"`` opts into the partial labels. Each run
+    logs nodes/edges/iterations so drift toward the bound is visible
+    in executor-driver logs before it becomes a failure.
     """
+    log = logging.getLogger(__name__)
     e = (
         edges.select(
             F.col(node_col).alias("_n"), F.col(value_col).alias("_v")
@@ -77,6 +91,7 @@ def connected_components(
         .dropDuplicates(["_n", "_v"])
         .persist()
     )
+    n_edges = e.count()  # also materializes the cache before the loop
     # Seed with the first hop unrolled: comp(n) = min over n's values of
     # the value's min node (with identity labels the first loop pass
     # computes exactly this, so seeding saves one full iteration —
@@ -90,7 +105,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iterations):
+    converged = False
+    iterations = 0
+    for iterations in range(1, max_iterations + 1):
         # value label = min component among incident records
         vmin = (
             e.join(comp, "_n")
@@ -113,8 +130,30 @@ def connected_components(
         changed = new_comp.filter(F.col("_chg")).limit(1).count()
         comp = new_comp.select("_n", "_c")
         if changed == 0:
+            converged = True
             break
     e.unpersist()
+    log.info(
+        "connected_components: %d edges, converged=%s in %d iteration(s)"
+        " (max %d)",
+        n_edges,
+        converged,
+        iterations,
+        max_iterations,
+    )
+    if not converged:
+        msg = (
+            f"connected_components did not converge after "
+            f"{max_iterations} iterations over {n_edges} edges — the "
+            f"graph has chains longer than ~{2 * max_iterations} hops "
+            f"and the returned labels would SPLIT components. Raise "
+            f"max_iterations (iterations ≈ diameter/2), or pass "
+            f"on_nonconverged='warn' to accept partial labels."
+        )
+        if on_nonconverged == "warn":
+            log.warning(msg)
+        else:
+            raise RuntimeError(msg)
     return comp.select(
         F.col("_n").alias(node_col), F.col("_c").alias(component_col)
     )

@@ -268,3 +268,105 @@ def identify(base_url: str = "http://localhost", name: str = "mod_reservoir_spar
         "  </Identify>\n"
         "</OAI-PMH>\n"
     )
+
+
+def dump_records(
+    meta: DataFrame,
+    assignments: DataFrame,
+    records: DataFrame,
+    match_values: DataFrame,
+    set_id: str,
+    path: str,
+    transformer=None,
+) -> None:
+    """Full-corpus MARCXML dump — the ``initialize``-scale export.
+
+    The paged OAI renderer (:func:`list_records`) collects ≤ limit
+    rows per page on the driver, which is the REFERENCE's serving
+    shape (OaiService pages) and fine for harvest protocols — but a
+    one-shot dump of the whole pool through pages would pull every
+    cluster through the driver. This operator renders each cluster's
+    ``<record>`` element (identical bytes to the paged renderer's
+    per-record block) INSIDE executors via mapInPandas and writes
+    sharded text files under ``path`` — no driver collect at any
+    size; output shards concatenate into the record stream.
+
+    ``transformer``: optional per-cluster callable (same contract as
+    list_records' non-batch form), applied executor-side.
+    """
+    import pandas as pd
+
+    from mod_reservoir_spark.functions.xmlutil import json_to_marcxml
+
+    pool_assign = assignments.filter(
+        F.col("match_key_config_id") == set_id
+    )
+    pool_meta = meta.filter(
+        F.col("match_key_config_id") == set_id
+    ).select("cluster_id", "datestamp")
+    built = build_clusters(pool_assign, records, match_values).join(
+        pool_meta, "cluster_id"
+    )
+
+    def render(batches):
+        for pdf in batches:
+            frags = []
+            for _, row in pdf.iterrows():
+                cluster = {
+                    "clusterId": row["cluster_id"],
+                    "matchValues": list(row["matchValues"] or []),
+                    "records": [
+                        {
+                            "globalId": m["globalId"],
+                            "localId": m["localId"],
+                            "sourceId": m["sourceId"],
+                            "sourceVersion": m["sourceVersion"],
+                            "payload": json.loads(m["payload"])
+                            if m["payload"]
+                            else {},
+                        }
+                        for m in (row["records"] or [])
+                    ],
+                }
+                if transformer is None:
+                    metadata = cluster_to_marcxml(cluster)
+                else:
+                    transformed = transformer(cluster)
+                    metadata = (
+                        json_to_marcxml(transformed)
+                        if transformed is not None
+                        else None
+                    )
+                rec = {
+                    "identifier": f"oai:{row['cluster_id']}",
+                    "datestamp": oai_datestamp(row["datestamp"]),
+                    "deleted": metadata is None,
+                    "metadata": metadata,
+                }
+                s = ["    <record>\n"]
+                status = ' status="deleted"' if rec["deleted"] else ""
+                s.append(f"      <header{status}>\n")
+                s.append(
+                    "        <identifier>"
+                    f"{encode_xml_text(rec['identifier'])}</identifier>\n"
+                )
+                s.append(
+                    "        <datestamp>"
+                    f"{encode_xml_text(rec['datestamp'])}</datestamp>\n"
+                )
+                s.append("      </header>\n")
+                if rec["metadata"]:
+                    s.append("      <metadata>\n")
+                    s.append(rec["metadata"])
+                    s.append("\n      </metadata>\n")
+                s.append("    </record>")
+                frags.append(
+                    {"cluster_id": row["cluster_id"], "xml": "".join(s)}
+                )
+            yield pd.DataFrame(
+                frags, columns=["cluster_id", "xml"]
+            )
+
+    built.mapInPandas(
+        render, schema="cluster_id string, xml string"
+    ).select("xml").write.mode("overwrite").text(path)

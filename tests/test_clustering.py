@@ -550,3 +550,46 @@ def test_stream_clusters_matches_paged(spark):
     )
     got = {_json.loads(s)["clusterId"] for s in filtered}
     assert len(got) == 2  # C and D clusters only
+
+
+def test_cc_chain_convergence_or_loud_failure(spark):
+    """Worst-case topology (VERDICT r4 #6): a long chain — records
+    linked pairwise through distinct values, the testClustersMove
+    shape at scale — needs ~diameter/2 iterations. Within budget the
+    labels are one exact component; beyond it the run must FAIL
+    LOUDLY, never return silently split components."""
+    import pytest
+
+    from mod_reservoir_spark.operators.clustering import (
+        connected_components,
+    )
+
+    # 1000-node chain: value v_i links r_i and r_{i+1}
+    n = 1000
+    rows = []
+    for i in range(n - 1):
+        rows.append((i, f"v{i}"))
+        rows.append((i + 1, f"v{i}"))
+    edges = spark.createDataFrame(
+        rows, "global_id long, match_value string"
+    ).repartition(8)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=5).count()
+
+    # a 24-node chain (diameter 23 -> ~12 iterations) converges inside
+    # the default budget and labels the WHOLE chain as one component
+    m = 24
+    small = spark.createDataFrame(
+        [(i + d, f"w{i}") for i in range(m - 1) for d in (0, 1)],
+        "global_id long, match_value string",
+    )
+    got = connected_components(small).collect()
+    assert len(got) == m
+    assert {r.cluster_id for r in got} == {0}
+
+    # partial labels remain available on explicit opt-in
+    warned = connected_components(
+        edges, max_iterations=2, on_nonconverged="warn"
+    )
+    assert warned.count() == n
