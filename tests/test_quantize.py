@@ -217,7 +217,10 @@ def test_lsh_topk_quantized_recall_vs_float(spark):
         a.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert set(f) == set(a)
     for q in f:
-        assert len(f[q] & a[q]) >= 8, (q, f[q], a[q])
+        # a sparse bucket can yield fewer than k candidates (for both
+        # paths alike); the floor is 8/10 of what the float path found
+        floor = min(8, len(f[q]))
+        assert len(f[q] & a[q]) >= floor, (q, f[q], a[q])
 
 
 def test_quantized_storage_is_smaller_and_servable(spark, tmp_path):
