@@ -958,10 +958,11 @@ def q_range_join(spark, sf_dir):
 def q_curate_funnel(spark, sf_dir):
     """The composed curation funnel end-to-end — quality filter →
     exact dedup → near dedup (MinHash LSH + CC keeper) → benchmark
-    decontamination — reported as the audit histogram (stage,
-    n, stage_order). One lazy DAG; every stage individually
-    driver-checked, this row pins their ORDER-DEPENDENT composition
-    (first-drop attribution) against a single recursive-CTE oracle.
+    decontamination — reported as the PER-DOCUMENT first-drop
+    attribution (doc_id, stage): every stage is individually
+    driver-checked elsewhere; this row pins their ORDER-DEPENDENT
+    composition document-by-document against a single recursive-CTE
+    oracle (strictly stronger than the histogram, same plan).
     Benchmark stand-in: the deterministic doc_id % 97 == 0 slice."""
     from mod_reservoir_spark.pipeline import curate as cur
 
@@ -972,9 +973,12 @@ def q_curate_funnel(spark, sf_dir):
         near_kwargs=dict(
             num_hashes=16, bands=4, shingle_n=2, threshold_ppm=300000
         ),
-        scrub=False,  # histogram never reads text; keep the plan narrow
+        scrub=False,  # attribution never reads text; keep the plan narrow
     )
-    return cur.curation_funnel(ledger)
+    return ledger.select(
+        "doc_id",
+        F.coalesce("drop_stage", F.lit("kept")).alias("stage"),
+    )
 
 
 def q_line_dedup(spark, sf_dir):
@@ -1569,8 +1573,8 @@ def _curate_funnel_oracle(num_hashes: int = 16, bands: int = 4,
     quality (pipeline/text.py quality_filter defaults) → exact dedup
     (shared fingerprint_expr) → near dedup (MinHash LSH + reachability
     CC, min-id keeper) → verbatim 8-gram decontamination vs the
-    doc_id % 97 == 0 benchmark slice — aggregated to the funnel
-    histogram with first-drop attribution."""
+    doc_id % 97 == 0 benchmark slice — emitted as the per-document
+    first-drop attribution (doc_id, stage)."""
     rows = num_hashes // bands
     sig_terms = ",\n        ".join(
         f"min((h * {dd._A[i]} + {dd._B[i]}) % 2147483647) AS h{i}"
@@ -1712,12 +1716,7 @@ def _curate_funnel_oracle(num_hashes: int = 16, bands: int = 4,
       LEFT JOIN eflag USING (doc_id)
       LEFT JOIN nflag USING (doc_id)
       LEFT JOIN cflag USING (doc_id))
-    SELECT stage, CAST(count(*) AS BIGINT) AS n,
-           CAST(CASE stage WHEN 'quality' THEN 0 WHEN 'exact_dup' THEN 1
-                WHEN 'near_dup' THEN 2 WHEN 'contaminated' THEN 3
-                WHEN 'near_contaminated' THEN 4 ELSE 5 END
-                AS INT) AS stage_order
-    FROM ledger GROUP BY stage
+    SELECT doc_id, stage FROM ledger
     """
 
 
