@@ -1061,6 +1061,29 @@ def q_chunk_text(spark, sf_dir):
     )
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail perplexity banding
+    (unigram self-perplexity rank positions, exact integer cuts) —
+    pipeline/text.py perplexity_buckets."""
+    return tx.perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_near_contamination(spark, sf_dir):
+    """Paraphrase-level benchmark decontamination: MinHash-LSH
+    near-dup flags of every corpus doc against the benchmark
+    (doc_id % 97 == 0 slice), benchmark-side-driven candidate join —
+    pipeline/dedup.py near_contamination."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.near_contamination(
+        docs,
+        benchmark=docs.filter(F.col("doc_id") % 97 == 0),
+        num_hashes=16,
+        bands=4,
+        shingle_n=2,
+        threshold_ppm=300000,
+    )
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.15, "zz": 0.05}
 MIXTURE_N = 200
 
@@ -1105,8 +1128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "minhash_incremental": q_minhash_incremental,
         "contamination": q_contamination,
-        "stratified_sample": q_stratified_sample,
-        "token_budget": q_token_budget,
         "winnow_pairs": q_winnow_pairs,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1132,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "dsir_weights": q_dsir_weights,
         "chunk_text": q_chunk_text,
+        "perplexity_buckets": q_perplexity_buckets,
+        "near_contamination": q_near_contamination,
     }
 
 
@@ -1544,6 +1567,80 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     UNION ALL
 {inert}
     """)
+
+
+def _near_contamination_oracle(num_hashes: int = 16, bands: int = 4,
+                               threshold_ppm: int = 300000) -> str:
+    """DuckDB replica of near_contamination vs the doc_id % 97 == 0
+    benchmark slice: shared signature CTE (the benchmark rows ARE
+    corpus rows, so its signature table is the filtered corpus one),
+    band-bucket candidate join, verified jaccard, per-doc aggregation
+    with the (jaccard, bench_id) max-struct tie-break."""
+    rows = num_hashes // bands
+    sig_terms = ",\n        ".join(
+        f"min((h * {dd._A[i]} + {dd._B[i]}) % 2147483647) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = ",\n      ".join(
+        "({b}, md5({concat}))".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hs AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          list_distinct(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])),
+          s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hsh
+      FROM t WHERE len(toks) >= 2),
+    hashed AS (SELECT doc_id, unnest(hsh) AS h FROM hs),
+    sig AS (
+      SELECT doc_id,
+        {sig_terms}
+      FROM hashed GROUP BY doc_id),
+    buckets AS (
+      SELECT doc_id, band, bucket
+      FROM sig, (VALUES {band_rows}) AS bb(band, bucket_expr),
+      LATERAL (SELECT bb.bucket_expr AS bucket) x),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+      FROM buckets b JOIN buckets c
+        ON b.band = c.band AND b.bucket = c.bucket
+      WHERE b.doc_id % 97 = 0),
+    verified AS (
+      SELECT cand.cid, cand.bid,
+             (len(list_intersect(ch.hsh, bh.hsh)) * 1000000)
+             // (len(ch.hsh) + len(bh.hsh)
+                 - len(list_intersect(ch.hsh, bh.hsh))) AS jaccard_ppm
+      FROM cand
+      JOIN hs ch ON ch.doc_id = cand.cid
+      JOIN hs bh ON bh.doc_id = cand.bid),
+    hits AS (SELECT * FROM verified WHERE jaccard_ppm >= {threshold_ppm}),
+    per_doc AS (
+      SELECT cid, n_bench_matches, max_jaccard_ppm, worst_bench_id
+      FROM (
+        SELECT cid,
+               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT)
+                 AS n_bench_matches,
+               max(jaccard_ppm) OVER (PARTITION BY cid)
+                 AS max_jaccard_ppm,
+               bid AS worst_bench_id,
+               row_number() OVER (
+                 PARTITION BY cid ORDER BY jaccard_ppm DESC, bid DESC
+               ) AS rn
+        FROM hits) WHERE rn = 1)
+    SELECT d.doc_id,
+           COALESCE(p.n_bench_matches, 0) AS n_bench_matches,
+           COALESCE(p.max_jaccard_ppm, 0) AS max_jaccard_ppm,
+           p.worst_bench_id
+    FROM documents d LEFT JOIN per_doc p ON p.cid = d.doc_id
+    """
 
 
 def _mixture_oracle() -> str:
@@ -2065,32 +2162,6 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sizes USING (doc_id)
             LEFT JOIN hits USING (doc_id)
         """,
-        "stratified_sample": """
-            WITH r AS (
-              SELECT doc_id, lang,
-                     CAST(row_number() OVER (
-                       PARTITION BY lang
-                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT)
-                       AS sample_rank
-              FROM documents)
-            SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 40
-        """,
-        "token_budget": f"""
-            WITH t AS (
-              SELECT doc_id, lang,
-                     CAST(len({_TOKS}) AS BIGINT) AS n_tokens
-              FROM documents),
-            c AS (
-              SELECT doc_id, lang, n_tokens,
-                     CAST(sum(n_tokens) OVER (
-                       PARTITION BY lang
-                       ORDER BY md5(CAST(doc_id AS VARCHAR))
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS cum_tokens
-              FROM t)
-            SELECT doc_id, lang, n_tokens, cum_tokens
-            FROM c WHERE cum_tokens <= 2000
-        """,
         "bpe_tokens": f"""
             WITH m AS (
               SELECT doc_id, text,
@@ -2529,6 +2600,45 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1: start + 64], ' ') AS text
             FROM numbered
         """,
+        "perplexity_buckets": f"""
+            WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+            term_doc AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+              GROUP BY 1, 2),
+            vocab AS (
+              SELECT term, CAST(sum(tf) AS BIGINT) AS ctf
+              FROM term_doc GROUP BY 1),
+            tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM vocab),
+            scored AS (
+              SELECT td.doc_id,
+                     CAST(round(
+                       sum(td.tf * -ln(v.ctf / CAST(tot.total AS DOUBLE)))
+                         / sum(td.tf) * 1000000) AS BIGINT) AS mean_nll_e6
+              FROM term_doc td JOIN vocab v USING (term) CROSS JOIN tot
+              GROUP BY 1),
+            allscored AS (
+              SELECT d.doc_id, d.lang,
+                     COALESCE(s.mean_nll_e6, 0) AS mean_nll_e6
+              FROM documents d LEFT JOIN scored s USING (doc_id)),
+            ranked AS (
+              SELECT doc_id, lang, mean_nll_e6,
+                     CAST(row_number() OVER
+                          (PARTITION BY lang ORDER BY mean_nll_e6, doc_id) - 1
+                          AS BIGINT) AS pos,
+                     CAST(count(*) OVER (PARTITION BY lang) - 1
+                          AS BIGINT) AS den
+              FROM allscored)
+            SELECT doc_id, lang, mean_nll_e6,
+                   pos * 1000000 // greatest(den, 1) AS pos_ppm,
+                   CASE WHEN pos * 1000000 // greatest(den, 1) < 333334
+                        THEN 'head'
+                        WHEN pos * 1000000 // greatest(den, 1) < 666667
+                        THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ranked
+        """,
+        "near_contamination": _near_contamination_oracle(16, 4, 300000),
     }
 
 
@@ -2550,6 +2660,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
+        "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
     }
 
 
@@ -2638,4 +2750,30 @@ def retired_oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_oracle(),
         "simhash": _simhash_oracle(24),
+        "stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT)
+                       AS sample_rank
+              FROM documents)
+            SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 40
+        """,
+        "token_budget": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+              FROM t)
+            SELECT doc_id, lang, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 2000
+        """,
     }

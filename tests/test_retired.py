@@ -24,6 +24,7 @@ def test_retired_surface_is_disjoint_and_complete():
         "curate_funnel", "line_dedup", "span_stats", "ngram_counts",
         "tfidf_top_terms", "unigram_logprob", "bloom_registers",
         "mixture_sample", "split_assign", "dsir_weights", "chunk_text",
+        "perplexity_buckets", "near_contamination",
     }
     assert promoted <= live
 
