@@ -95,6 +95,11 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if os.environ.get("ORACLE_CHECK_RETIRED") == "1":
+        # include the rotated-out contract rows (retired_queries) so
+        # one sweep covers the whole historical surface
+        qs = {**qs, **entry_mod.retired_queries()}
+        oracles = {**oracles, **entry_mod.retired_oracle_sql()}
     if only:
         unknown = only - set(qs)
         if unknown:
