@@ -18,10 +18,10 @@ aggregations until fixpoint. Per iteration:
 
 Both aggregations have map-side partial aggregation (HashAggregate),
 so hot match values (the skew case — e.g. a blank-ish key shared by
-millions of records) reduce locally before the shuffle. Convergence is
-O(half the bipartite diameter) iterations; metadata match graphs are
-shallow (records sharing identifier-like keys), typically 2-4
-iterations. Each iteration ends in localCheckpoint() to truncate
+millions of records) reduce locally before the shuffle. A pointer-
+jumping step (comp∘comp, label-path halving) makes convergence
+O(log diameter) rounds; metadata match graphs are shallow (records
+sharing identifier-like keys), typically 2-4 iterations. Each iteration ends in localCheckpoint() to truncate
 lineage — without it the plan doubles per iteration and the DAG
 scheduler dominates at scale.
 
@@ -70,15 +70,16 @@ def connected_components(
 
     Scale notes: both per-iteration aggregations partial-aggregate
     map-side; AQE coalesces the small tail as the frontier shrinks.
-    CONVERGENCE BOUND: min-label propagation moves a label two hops
-    (node→value→node) per iteration, so iterations ≈ half the graph
-    diameter. Match-key graphs are star-shaped (records sharing
-    values) and converge in 2-3; a pathological CHAIN — records
-    linked pairwise through distinct values, the testClustersMove
-    topology at scale — needs diameter/2 iterations. Hitting
-    ``max_iterations`` without convergence therefore RAISES by
-    default (``on_nonconverged="raise"``): a truncated run has
-    SPLIT components — silently wrong clusters downstream;
+    CONVERGENCE BOUND: each iteration moves labels two hops
+    (node→value→node) AND composes comp(comp(n)) (pointer jumping —
+    label paths halve), so convergence is O(log diameter) rounds.
+    Match-key graphs are star-shaped (records sharing values) and
+    converge in 2-3; a pathological CHAIN — records linked pairwise
+    through distinct values, the testClustersMove topology at scale —
+    needs ~log2(diameter) rounds (a 1000-node chain converges in ~10,
+    pinned by test). Hitting ``max_iterations`` without convergence
+    RAISES by default (``on_nonconverged="raise"``): a truncated run
+    has SPLIT components — silently wrong clusters downstream;
     ``on_nonconverged="warn"`` opts into the partial labels. Each run
     logs nodes/edges/iterations so drift toward the bound is visible
     in executor-driver logs before it becomes a failure.
@@ -115,15 +116,40 @@ def connected_components(
             .agg(F.min("_c").alias("_vc"))
         )
         # record label = min(own, min incident value label)
-        new_comp = (
+        stepped = (
             e.join(vmin, "_v")
             .groupBy("_n")
             .agg(F.min("_vc").alias("_nc"))
             .join(comp, "_n")
+            .select("_n", F.least("_nc", "_c").alias("_c"))
+        )
+        # pointer jumping (label-path halving): a label IS a node id
+        # in the same component, so comp(comp(n)) is a valid label
+        # and ≤ the current one — composing it each round makes
+        # convergence O(log diameter) on chains instead of
+        # O(diameter/2) from min-label alone (the testClustersMove
+        # chain topology at scale). One extra self-join on the NARROW
+        # (node, label) table; star graphs — the match-key common
+        # case — still converge in 1-2 rounds and pay only this
+        # small constant.
+        jumped = stepped.join(
+            stepped.select(
+                F.col("_n").alias("_jn"), F.col("_c").alias("_jc")
+            ),
+            F.col("_c") == F.col("_jn"),
+            "left",
+        ).select(
+            "_n",
+            F.least("_c", "_jc").alias("_c"),
+        )
+        new_comp = (
+            jumped.join(
+                comp.select("_n", F.col("_c").alias("_prev")), "_n"
+            )
             .select(
                 "_n",
-                F.least("_nc", "_c").alias("_c"),
-                (F.col("_nc") < F.col("_c")).alias("_chg"),
+                "_c",
+                (F.col("_c") < F.col("_prev")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
@@ -145,9 +171,9 @@ def connected_components(
         msg = (
             f"connected_components did not converge after "
             f"{max_iterations} iterations over {n_edges} edges — the "
-            f"graph has chains longer than ~{2 * max_iterations} hops "
+            f"graph has chains longer than ~2^{max_iterations} hops "
             f"and the returned labels would SPLIT components. Raise "
-            f"max_iterations (iterations ≈ diameter/2), or pass "
+            f"max_iterations (iterations ≈ log2(diameter)), or pass "
             f"on_nonconverged='warn' to accept partial labels."
         )
         if on_nonconverged == "warn":

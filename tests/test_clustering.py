@@ -577,15 +577,10 @@ def test_cc_chain_convergence_or_loud_failure(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=5).count()
 
-    # a 24-node chain (diameter 23 -> ~12 iterations) converges inside
-    # the default budget and labels the WHOLE chain as one component
-    m = 24
-    small = spark.createDataFrame(
-        [(i + d, f"w{i}") for i in range(m - 1) for d in (0, 1)],
-        "global_id long, match_value string",
-    )
-    got = connected_components(small).collect()
-    assert len(got) == m
+    # with pointer jumping the SAME 1000-chain converges inside the
+    # default budget (~log2(1000) ≈ 10 rounds) to one exact component
+    got = connected_components(edges).collect()
+    assert len(got) == n
     assert {r.cluster_id for r in got} == {0}
 
     # partial labels remain available on explicit opt-in
