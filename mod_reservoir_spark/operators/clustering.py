@@ -71,8 +71,10 @@ def connected_components(
     Scale notes: both per-iteration aggregations partial-aggregate
     map-side; AQE coalesces the small tail as the frontier shrinks.
     CONVERGENCE BOUND: each iteration moves labels two hops
-    (node→value→node) AND composes comp(comp(n)) (pointer jumping —
-    label paths halve), so convergence is O(log diameter) rounds.
+    (node→value→node); from round 4 it ALSO composes comp(comp(n))
+    (adaptive pointer jumping — label paths halve), so convergence
+    is O(log diameter) rounds while shallow star graphs never pay
+    the extra self-join.
     Match-key graphs are star-shaped (records sharing values) and
     converge in 2-3; a pathological CHAIN — records linked pairwise
     through distinct values, the testClustersMove topology at scale —
@@ -125,23 +127,28 @@ def connected_components(
         )
         # pointer jumping (label-path halving): a label IS a node id
         # in the same component, so comp(comp(n)) is a valid label
-        # and ≤ the current one — composing it each round makes
-        # convergence O(log diameter) on chains instead of
-        # O(diameter/2) from min-label alone (the testClustersMove
-        # chain topology at scale). One extra self-join on the NARROW
-        # (node, label) table; star graphs — the match-key common
-        # case — still converge in 1-2 rounds and pay only this
-        # small constant.
-        jumped = stepped.join(
-            stepped.select(
-                F.col("_n").alias("_jn"), F.col("_c").alias("_jc")
-            ),
-            F.col("_c") == F.col("_jn"),
-            "left",
-        ).select(
-            "_n",
-            F.least("_c", "_jc").alias("_c"),
-        )
+        # and ≤ the current one — composing it makes convergence
+        # O(log diameter) on chains instead of O(diameter/2) from
+        # min-label alone (the testClustersMove chain topology at
+        # scale). ADAPTIVE: engaged only after round 3 — star graphs,
+        # the match-key common case, converge in 1-2 rounds and must
+        # not pay the extra self-join (bench-measured: unconditional
+        # jumping cost cluster_cc +0.9 s and the curate funnel +4 s
+        # at sf0.1 for zero saved rounds); still in time for a long
+        # chain, which reaches fixpoint ~3 rounds after engaging.
+        if iterations > 3:
+            jumped = stepped.join(
+                stepped.select(
+                    F.col("_n").alias("_jn"), F.col("_c").alias("_jc")
+                ),
+                F.col("_c") == F.col("_jn"),
+                "left",
+            ).select(
+                "_n",
+                F.least("_c", "_jc").alias("_c"),
+            )
+        else:
+            jumped = stepped
         new_comp = (
             jumped.join(
                 comp.select("_n", F.col("_c").alias("_prev")), "_n"
