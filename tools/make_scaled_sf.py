@@ -109,12 +109,25 @@ def scale(spark, src: str, dest: str, mult: int) -> None:
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if t == "embeddings" and r > 0:
                 n = F.size("embedding")
+                # rotate by r mod dim; multipliers beyond the vector
+                # dimension wrap, which would REPEAT a transform and
+                # plant exact-duplicate vectors across replicas (an
+                # ANN artifact) — so odd wraps also negate (norm-
+                # preserving, cosine(v,-v) = -1): dim rotations x 2
+                # signs = 2*dim distinct transforms
+                k = F.lit(r) % n
+                rot = F.when(k == 0, F.col("embedding")).otherwise(
+                    F.concat(
+                        F.slice(F.col("embedding"), k + 1, n - k),
+                        F.slice(F.col("embedding"), 1, k),
+                    )
+                )
                 rep = rep.withColumn(
                     "embedding",
-                    F.concat(
-                        F.slice(F.col("embedding"), r + 1, n - r),
-                        F.slice(F.col("embedding"), 1, r),
-                    ),
+                    F.when(
+                        (F.lit(r) / n).cast("int") % 2 == 1,
+                        F.transform(rot, lambda x: -x),
+                    ).otherwise(rot),
                 )
             parts.append(rep)
         out = parts[0]
