@@ -1009,6 +1009,15 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-k corpus search (Lucene idf form, e6-quantized
+    scores, query-term-filtered postings before explode) —
+    pipeline/text.py bm25_search."""
+    return tx.bm25_search(
+        _t(spark, sf_dir, "documents"), "spark window merge", k=25
+    )
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Self-perplexity quality scores under the corpus unigram model
     (1e6-scaled mean NLL) — pipeline/text.py
@@ -1107,7 +1116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "cql_filter": q_cql_filter,
-        "latest_version": q_latest_version,
         "keyset_page": q_keyset_page,
         "three_table_join": q_three_table_join,
         "cluster_histogram": q_cluster_histogram,
@@ -1155,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "perplexity_buckets": q_perplexity_buckets,
         "near_contamination": q_near_contamination,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1840,15 +1849,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE {cql_where}
             ORDER BY {cql_order}, o_orderkey
             LIMIT 100
-        """,
-        "latest_version": f"""
-            SELECT o_custkey, o_orderkey AS latest_orderkey,
-                   strftime(o_orderdate, '{TS_FMT_DUCK}') AS latest_date
-            FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY o_custkey
-                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-              FROM orders) WHERE rn = 1
         """,
         "keyset_page": f"""
             SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
@@ -2639,6 +2639,38 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
         """,
         "near_contamination": _near_contamination_oracle(16, 4, 300000),
+        "bm25_search": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(coalesce(len(toks), 0)) AS DOUBLE)
+                       / count(*) AS avgdl
+              FROM t),
+            posting AS (
+              SELECT doc_id,
+                     CAST(coalesce(len(toks), 0) AS BIGINT) AS dl,
+                     unnest(list_filter(
+                       toks, x -> x IN ('merge', 'spark', 'window')))
+                       AS term
+              FROM t),
+            tf AS (
+              SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+              FROM posting GROUP BY 1, 2, 3),
+            df AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1)
+            SELECT tf.doc_id, tf.dl,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(round(sum(
+                     ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+                   ) * 1000000) AS BIGINT) AS score_e6
+            FROM tf JOIN df USING (term) CROSS JOIN stats s
+            GROUP BY 1, 2
+            ORDER BY score_e6 DESC, doc_id ASC LIMIT 25
+        """,
     }
 
 
@@ -2657,6 +2689,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_set": q_collect_set,
         "json_props": q_json_props,
         "running_total": q_running_total,
+        "latest_version": q_latest_version,
         "winnow": q_winnow,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -2667,6 +2700,15 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def retired_oracle_sql() -> dict[str, str]:
     return {
+        "latest_version": f"""
+            SELECT o_custkey, o_orderkey AS latest_orderkey,
+                   strftime(o_orderdate, '{TS_FMT_DUCK}') AS latest_date
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+        """,
         "paging_offset": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer
             ORDER BY c_custkey LIMIT 50 OFFSET 100

@@ -614,6 +614,90 @@ def tfidf_top_terms(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 full-corpus search: top-k documents for a literal
+    query string — the standard inspection/retrieval primitive over a
+    pretraining corpus (find the documents about X; spot-check what a
+    filter kept), and the lexical half of hybrid (BM25 + embedding)
+    retrieval next to :func:`~mod_reservoir_spark.pipeline.similarity.
+    lsh_topk`.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Lucene non-negative
+    form); per-term contribution idf · tf·(k1+1)/(tf + k1·(1 − b +
+    b·dl/avgdl)); score = sum over distinct query terms, ×1e6 rounded
+    to a long so a SQL oracle compares exactly. Only documents matching
+    ≥1 query term are candidates; ties break on doc_id.
+
+    Scale shape: the query tokens are a handful of literals, so the
+    token array is filtered JVM-side BEFORE explode — the posting
+    table holds only query-term occurrences, not the corpus vocabulary.
+    df and the (N, avgdl) corpus stats are ≤|query|-row and 1-row
+    broadcasts; the per-doc reduce is one combinable groupBy bounded by
+    candidate count; the final top-k is a TakeOrdered (heap per
+    partition + driver merge), never a global sort. Two narrow scans of
+    the text column (corpus stats + postings), both parquet-pruned.
+
+    Output: (doc_id, dl, n_terms, score_e6) — k rows, score
+    descending.
+    """
+    qterms = sorted({t for t in query.lower().split() if t})
+    if not qterms:
+        raise ValueError("bm25_search: query has no tokens")
+    qarr = F.array(*[F.lit(t) for t in qterms])
+
+    toks = tokens(text_col)
+    t = docs.select("doc_id", toks.alias("_toks"))
+    stats = t.agg(
+        F.count("*").cast("long").alias("_n"),
+        (
+            F.sum(F.coalesce(F.size("_toks"), F.lit(0)))
+            / F.count("*")
+        ).alias("_avgdl"),
+    )
+    posting = (
+        t.select(
+            "doc_id",
+            F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("dl"),
+            F.explode(
+                F.filter("_toks", lambda x: F.array_contains(qarr, x))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tbl = posting.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    idf = F.log(
+        (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        1.0 - b + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        posting.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum(contrib) * 1000000).cast("long").alias(
+                "score_e6"
+            ),
+        )
+        .orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "dl", "n_terms", "score_e6")
+    )
+
+
 # URL grammar for the curation ops: scheme + host[:port] + rest.
 # Kept simple on purpose (no userinfo/IPv6) — the contract is
 # deterministic host extraction both engines replicate, not RFC 3986.

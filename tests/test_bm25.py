@@ -1,0 +1,93 @@
+"""BM25 full-corpus search (pipeline/text.py bm25_search) vs a DuckDB
+oracle on the real documents table, plus behavioral pins a hash can't
+express (candidate set, monotonicity, determinism)."""
+
+import pytest
+
+from mod_reservoir_spark.pipeline import text as tx
+from tests.test_pipeline import _duck_documents, _hash_vs_oracle
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_sql(query: str, k: int, k1: float = 1.2, b: float = 0.75):
+    qterms = sorted({t for t in query.lower().split() if t})
+    qlist = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(coalesce(len(toks), 0)) AS DOUBLE) / count(*)
+                   AS avgdl
+          FROM t),
+        posting AS (
+          SELECT doc_id,
+                 CAST(coalesce(len(toks), 0) AS BIGINT) AS dl,
+                 unnest(list_filter(toks, x -> x IN ({qlist}))) AS term
+          FROM t),
+        tf AS (
+          SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+          FROM posting GROUP BY 1, 2, 3),
+        df AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        SELECT tf.doc_id, tf.dl,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(round(sum(
+                 ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl))
+               ) * 1000000) AS BIGINT) AS score_e6
+        FROM tf JOIN df USING (term) CROSS JOIN stats s
+        GROUP BY 1, 2
+        ORDER BY score_e6 DESC, doc_id ASC LIMIT {k}
+    """
+
+
+def test_bm25_oracle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = tx.bm25_search(docs, "spark window merge", k=25)
+    _hash_vs_oracle(out, _duck_documents(SF), _oracle_sql("spark window merge", 25))
+
+
+def test_bm25_single_term_and_params(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = tx.bm25_search(docs, "Vector", k=10, k1=1.5, b=0.4)
+    _hash_vs_oracle(
+        out, _duck_documents(SF), _oracle_sql("vector", 10, k1=1.5, b=0.4)
+    )
+
+
+def test_bm25_behavior(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple"),
+            (3, "banana banana banana banana banana banana"),
+            (4, "cherry cherry"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tx.bm25_search(docs, "apple banana", k=10).collect()
+    # only docs containing >=1 query term are candidates
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3]
+    by_id = {r.doc_id: r for r in rows}
+    # doc 1 matches both terms, others one
+    assert by_id[1].n_terms == 2
+    assert by_id[2].n_terms == 1
+    # the two-term doc outranks the single-term ones
+    assert rows[0].doc_id == 1
+    # dl is the full token count, not just matched terms
+    assert by_id[3].dl == 6
+    # scores positive (Lucene idf form is non-negative)
+    assert all(r.score_e6 > 0 for r in rows)
+
+
+def test_bm25_empty_query(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tx.bm25_search(docs, "   ")
