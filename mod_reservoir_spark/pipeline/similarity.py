@@ -921,3 +921,80 @@ def dequantize_expr(codes_col: str = "codes", scale_col: str = "scale"):
     return F.transform(
         F.col(codes_col), lambda q: q.cast("double") * F.col(scale_col)
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+    query_id: int = -1,
+) -> DataFrame:
+    """Hybrid (lexical + semantic) retrieval by reciprocal-rank fusion:
+    BM25 top-k_each on the documents table and cosine top-k_each on the
+    embeddings table, fused with RRF (Cormack et al. 2009) — the
+    standard fusion in production search, robust because it only reads
+    RANKS, never mixes incomparable score scales.
+
+    Contract: ``embeddings.vec_id`` identifies the same document as
+    ``docs.doc_id``. A document's fused score is
+    sum over the lists it appears in of 1e9 // (rrf_k + rank) —
+    INTEGER division on longs, so a SQL oracle reproduces the fusion
+    bit-for-bit (no floating-point rank blending). Ties break on
+    doc_id. If ``query_id`` matches a corpus vec_id, that vector is
+    excluded from the semantic list (self-match), mirroring
+    :func:`cosine_topk`.
+
+    Scale shape: both arms are the already-scale-shaped operators
+    (:func:`~mod_reservoir_spark.pipeline.text.bm25_search`: postings
+    filtered before explode, TakeOrdered;  :func:`cosine_topk`: one
+    broadcast query row, corpus matmul per Arrow batch). The fusion
+    itself joins two ≤k_each-row frames — a broadcast join of two
+    bounded lists, then a k-row TakeOrdered. Nothing in the fusion
+    touches corpus-sized data.
+
+    Output: (doc_id, lex_rank, sem_rank, rrf_e9) — k rows, fused score
+    descending; NULL rank means the document appeared in only the
+    other list.
+    """
+    from mod_reservoir_spark.pipeline.text import bm25_search
+
+    lex = bm25_search(docs, query_text, k=k_each).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_e6").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(query_id, [float(x) for x in query_vec])],
+        "vec_id long, embedding array<double>",
+    )
+    sem = cosine_topk(embeddings, qdf, k=k_each).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("sem_rank"),
+    )
+
+    def contrib(rank_col):
+        d = F.lit(rrf_k).cast("long") + rank_col
+        n = F.lit(1000000000).cast("long")
+        return F.coalesce(
+            ((n - (n % d)) / d).cast("long"), F.lit(0).cast("long")
+        )
+
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (contrib(F.col("lex_rank")) + contrib(F.col("sem_rank"))).alias(
+                "rrf_e9"
+            ),
+        )
+        .orderBy(F.col("rrf_e9").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
