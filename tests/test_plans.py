@@ -328,3 +328,33 @@ def test_lsh_topk_quantized_reads_only_codes(spark, tmp_path):
     for line in p.splitlines():
         if "ReadSchema" in line and "codes" in line:
             assert "scale" not in line and "dim" not in line, line
+
+
+def test_bm25_plan(spark, docs):
+    """BM25: top-k is a TakeOrdered heap (not a global Sort+Exchange),
+    df and corpus stats join as broadcasts, and no plan node falls back
+    to a cartesian/nested-loop join."""
+    from mod_reservoir_spark.pipeline.text import bm25_search
+
+    p = plan(bm25_search(docs, "spark window merge", k=25))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # the df table joins as a broadcast hash join; the 1-row (N, avgdl)
+    # stats frame arrives as a broadcast cross join (the broadcast
+    # nested-loop form is CORRECT for a single-row build side)
+    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_hybrid_search_plan(spark, docs):
+    """RRF fusion: the final cut is a TakeOrdered over the two bounded
+    arms; the corpus-sized side never cartesian-joins."""
+    from mod_reservoir_spark.pipeline.similarity import hybrid_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    p = plan(
+        hybrid_search(docs, emb, "spark window", qvec, k=10, query_id=0)
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
