@@ -1197,3 +1197,91 @@ def chunk_text(
         F.size(piece).cast("long").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("text"),
     )
+
+
+def build_text_index(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the BM25 inverted index: ONE tokenize pass over the
+    corpus, amortized across every later query — at 100 TB you index
+    once and serve :func:`bm25_search_indexed` from the postings
+    parquet, never re-reading (or re-tokenizing) the raw text.
+
+    Returns ``(postings, stats)``:
+
+    - postings (term, doc_id, tf, dl) — one combinable groupBy
+      shuffle; write it partitioned/sorted by term so a query's
+      ``term IN (...)`` filter prunes row groups.
+    - stats (n_docs, avgdl) — the 1-row corpus aggregate every
+      query broadcasts.
+
+    dl is the FULL document token count (denormalized onto each
+    posting so queries never join back to the corpus).
+    """
+    t = docs.select("doc_id", tokens(text_col).alias("_toks"))
+    postings = (
+        t.select(
+            "doc_id",
+            F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    stats = t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.sum(F.coalesce(F.size("_toks"), F.lit(0))) / F.count("*")
+        ).alias("avgdl"),
+    )
+    return postings, stats
+
+
+def bm25_search_indexed(
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served from the materialized index of
+    :func:`build_text_index` — result-identical to
+    :func:`bm25_search` (equivalence-pinned in tests) without touching
+    the raw corpus.
+
+    The query's ``term IN (...)`` literal filter reaches the postings
+    parquet scan as a pushed filter (plan-guarded), so a term-sorted
+    index prunes all row groups without a query term — the scan cost
+    is the matching postings, not the corpus. df comes from the
+    filtered postings themselves (per-term posting count == corpus
+    df); stats broadcast as one row; top-k is a TakeOrdered.
+
+    Output: (doc_id, dl, n_terms, score_e6) — the bm25_search schema.
+    """
+    qterms = sorted({t for t in query.lower().split() if t})
+    if not qterms:
+        raise ValueError("bm25_search_indexed: query has no tokens")
+    p = postings.filter(F.col("term").isin(qterms))
+    df_tbl = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        p.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats.select(F.col("n_docs"), F.col("avgdl"))))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum(contrib) * 1000000).cast("long").alias(
+                "score_e6"
+            ),
+        )
+        .orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "dl", "n_terms", "score_e6")
+    )

@@ -91,3 +91,30 @@ def test_bm25_empty_query(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         tx.bm25_search(docs, "   ")
+
+
+def test_bm25_indexed_equivalence(spark, tmp_path):
+    """bm25_search_indexed over a materialized (written + re-read)
+    index returns EXACTLY the direct bm25_search result, and the
+    query's term filter reaches the postings parquet scan."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    postings, stats = tx.build_text_index(docs)
+    postings.write.parquet(str(tmp_path / "postings"))
+    stats.write.parquet(str(tmp_path / "stats"))
+    p = spark.read.parquet(str(tmp_path / "postings"))
+    s = spark.read.parquet(str(tmp_path / "stats"))
+
+    for q, k1, b in [("spark window merge", 1.2, 0.75), ("vector", 1.5, 0.4)]:
+        direct = tx.bm25_search(docs, q, k=25, k1=k1, b=b).collect()
+        indexed = tx.bm25_search_indexed(p, s, q, k=25, k1=k1, b=b).collect()
+        assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+
+    # pushdown: the literal term filter reaches the parquet scan
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tx.bm25_search_indexed(p, s, "spark window", k=5).explain(True)
+    plan_txt = buf.getvalue()
+    assert "PushedFilters" in plan_txt
+    assert "In(term" in plan_txt
