@@ -1212,8 +1212,10 @@ def build_text_index(
     - postings (term, doc_id, tf, dl) — one combinable groupBy
       shuffle; write it partitioned/sorted by term so a query's
       ``term IN (...)`` filter prunes row groups.
-    - stats (n_docs, avgdl) — the 1-row corpus aggregate every
-      query broadcasts.
+    - stats (n_docs, sum_dl, avgdl) — the 1-row corpus aggregate
+      every query broadcasts; carries the ADDITIVE (n_docs, sum_dl)
+      pair so :func:`merge_text_index` can fold new batches in
+      exactly (avgdl alone is not mergeable).
 
     dl is the FULL document token count (denormalized onto each
     posting so queries never join back to the corpus).
@@ -1230,11 +1232,54 @@ def build_text_index(
     )
     stats = t.agg(
         F.count("*").cast("long").alias("n_docs"),
-        (
-            F.sum(F.coalesce(F.size("_toks"), F.lit(0))) / F.count("*")
-        ).alias("avgdl"),
+        F.sum(F.coalesce(F.size("_toks"), F.lit(0)))
+        .cast("long")
+        .alias("sum_dl"),
+    ).select(
+        "n_docs",
+        "sum_dl",
+        (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
     )
     return postings, stats
+
+
+def merge_text_index(
+    new_docs: DataFrame, old_stats: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental index maintenance, the
+    :func:`~mod_reservoir_spark.pipeline.dedup.minhash_incremental`
+    shape for retrieval: index ONLY the new batch and fold its stats
+    into the maintained ones — the existing corpus is never
+    re-tokenized (nor even re-read).
+
+    New documents' postings are disjoint from existing ones (postings
+    are keyed by doc_id), so the postings delta is a pure APPEND — at
+    parquet level, one new partition next to the old index, the same
+    bounded-append contract the streaming sketches use. The stats
+    merge is exact because (n_docs, sum_dl) are additive; avgdl is
+    re-derived. df needs no maintenance at all — it is computed at
+    query time from the (appended) postings, so the merged index is
+    EXACTLY the full-rebuild index (equivalence-pinned in tests), not
+    an approximation.
+
+    Returns ``(postings_delta, merged_stats)``; append the delta to
+    the postings table and overwrite the 1-row stats.
+    """
+    new_postings, new_stats = build_text_index(new_docs, text_col)
+    merged = (
+        old_stats.select("n_docs", "sum_dl")
+        .unionByName(new_stats.select("n_docs", "sum_dl"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .select(
+            "n_docs",
+            "sum_dl",
+            (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    return new_postings, merged
 
 
 def bm25_search_indexed(

@@ -118,3 +118,32 @@ def test_bm25_indexed_equivalence(spark, tmp_path):
     plan_txt = buf.getvalue()
     assert "PushedFilters" in plan_txt
     assert "In(term" in plan_txt
+
+
+def test_bm25_incremental_index_equivalence(spark, tmp_path):
+    """Index 70% of the corpus, merge_text_index the other 30% in as a
+    pure parquet append + stats fold — searches over the merged index
+    are EXACTLY the full-rebuild searches (and the full direct path)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.filter("doc_id % 10 < 7")
+    new = docs.filter("doc_id % 10 >= 7")
+
+    p0, s0 = tx.build_text_index(old)
+    p0.write.parquet(str(tmp_path / "postings"))
+    delta, merged = tx.merge_text_index(
+        new, spark.createDataFrame(s0.collect(), s0.schema)
+    )
+    delta.write.mode("append").parquet(str(tmp_path / "postings"))
+    merged.write.parquet(str(tmp_path / "stats"))
+
+    p = spark.read.parquet(str(tmp_path / "postings"))
+    s = spark.read.parquet(str(tmp_path / "stats"))
+
+    # merged stats == full-rebuild stats, exactly
+    _, s_full = tx.build_text_index(docs)
+    assert s.collect() == s_full.collect()
+
+    for q in ("spark window merge", "vector"):
+        direct = tx.bm25_search(docs, q, k=25).collect()
+        incr = tx.bm25_search_indexed(p, s, q, k=25).collect()
+        assert [tuple(r) for r in direct] == [tuple(r) for r in incr]
