@@ -927,11 +927,14 @@ def hybrid_search(
     docs: DataFrame,
     embeddings: DataFrame,
     query_text: str,
-    query_vec: list[float],
+    query_vec: list[float] | None,
     k: int = 10,
     k_each: int = 50,
     rrf_k: int = 60,
     query_id: int = -1,
+    ann: str = "brute",
+    n_planes: int | str = 12,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Hybrid (lexical + semantic) retrieval by reciprocal-rank fusion:
     BM25 top-k_each on the documents table and cosine top-k_each on the
@@ -956,6 +959,14 @@ def hybrid_search(
     bounded lists, then a k-row TakeOrdered. Nothing in the fusion
     touches corpus-sized data.
 
+    ``ann="brute"`` (default) scans the corpus once per query with the
+    external ``query_vec``. ``ann="lsh"`` is the 100 TB serving form
+    for more-like-this-document retrieval: ``query_id`` must be a
+    corpus vec_id (``query_vec`` is ignored — the corpus vector IS the
+    query), candidates come from the LSH bucket equi-join of
+    :func:`lsh_topk` and only they are re-scored, so the semantic arm
+    reads buckets, not the corpus.
+
     Output: (doc_id, lex_rank, sem_rank, rrf_e9) — k rows, fused score
     descending; NULL rank means the document appeared in only the
     other list.
@@ -969,11 +980,22 @@ def hybrid_search(
         .cast("long")
         .alias("lex_rank"),
     )
-    qdf = embeddings.sparkSession.createDataFrame(
-        [(query_id, [float(x) for x in query_vec])],
-        "vec_id long, embedding array<double>",
-    )
-    sem = cosine_topk(embeddings, qdf, k=k_each).select(
+    if ann == "lsh":
+        qdf = embeddings.filter(F.col("vec_id") == query_id)
+        sem_raw = lsh_topk(
+            embeddings, qdf, k=k_each, n_planes=n_planes, n_tables=n_tables
+        )
+    elif ann == "brute":
+        if query_vec is None:
+            raise ValueError("hybrid_search: ann='brute' needs query_vec")
+        qdf = embeddings.sparkSession.createDataFrame(
+            [(query_id, [float(x) for x in query_vec])],
+            "vec_id long, embedding array<double>",
+        )
+        sem_raw = cosine_topk(embeddings, qdf, k=k_each)
+    else:
+        raise ValueError(f"hybrid_search: unknown ann mode {ann!r}")
+    sem = sem_raw.select(
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("long").alias("sem_rank"),
     )

@@ -129,3 +129,60 @@ def test_hybrid_behavior(spark):
     assert 0 not in sem_docs or all(
         r.sem_rank is None for r in rows if r.doc_id == 0
     )
+
+
+def test_hybrid_lsh_arm(spark):
+    """ann='lsh' (more-like-this-document serving form): the semantic
+    arm's ranks equal a direct lsh_topk call, the lexical arm is
+    unchanged from the brute run, and the fusion arithmetic holds."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    rows = sim.hybrid_search(
+        docs, emb, "spark window merge", None, k=30, k_each=20,
+        query_id=0, ann="lsh", n_planes=8, n_tables=4,
+    ).collect()
+    assert rows
+
+    direct = {
+        r.neighbor_id: r.rank
+        for r in sim.lsh_topk(
+            emb, emb.filter("vec_id = 0"), k=20, n_planes=8, n_tables=4
+        ).collect()
+    }
+    brute_lex = {
+        r.doc_id: r.lex_rank
+        for r in sim.hybrid_search(
+            docs, emb, "spark window merge",
+            emb.filter("vec_id = 0").select("embedding").first()[0],
+            k=30, k_each=20, query_id=0,
+        ).collect()
+        if r.lex_rank is not None
+    }
+    for r in rows:
+        if r.sem_rank is not None:
+            assert direct[r.doc_id] == r.sem_rank
+        if r.lex_rank is not None:
+            assert brute_lex.get(r.doc_id, r.lex_rank) == r.lex_rank
+        expected = 0
+        if r.lex_rank is not None:
+            expected += 1000000000 // (60 + r.lex_rank)
+        if r.sem_rank is not None:
+            expected += 1000000000 // (60 + r.sem_rank)
+        assert r.rrf_e9 == expected
+    # every direct-lsh neighbor appears in a big-enough fused cut
+    fused_sem = {r.doc_id for r in rows if r.sem_rank is not None}
+    assert set(direct) <= fused_sem | {
+        r.doc_id for r in rows
+    } or len(rows) == 30
+
+
+def test_hybrid_brute_requires_vec(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sim.hybrid_search(docs, emb, "x", None, ann="brute")
+    with _pt.raises(ValueError):
+        sim.hybrid_search(docs, emb, "x", [0.0], ann="nope")
