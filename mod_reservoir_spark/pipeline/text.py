@@ -1330,3 +1330,69 @@ def bm25_search_indexed(
         .limit(k)
         .select("doc_id", "dl", "n_terms", "score_e6")
     )
+
+
+def bm25_search_batch(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Many queries against the materialized index in ONE plan — the
+    retrieval-by-the-thousands shape (benchmark prompts for
+    retrieval-based decontamination audits, more-like-these batch
+    expansion, relevance sweeps). Per-query semantics are EXACTLY
+    :func:`bm25_search_indexed` (equivalence-pinned).
+
+    queries is a DataFrame (query_id, query). The distinct
+    (query_id, term) table is small (queries × terms) and joins the
+    postings as a BROADCAST — that join IS the postings filter, so the
+    corpus-sized side is touched once for the whole batch, not once
+    per query. df stays per-term global (posting count), computed once
+    for the union of query terms. The per-query top-k windows by
+    query_id — bounded by each query's candidate count, never the
+    corpus.
+
+    Output: (query_id, doc_id, dl, n_terms, score_e6, rnk).
+    """
+    from pyspark.sql import Window
+
+    qterm = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(query_col)).alias("term"),
+    ).distinct()
+    p = postings.join(F.broadcast(qterm.select("term").distinct()), "term")
+    df_tbl = p.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        p.join(F.broadcast(qterm), "term")
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(
+            F.broadcast(stats.select(F.col("n_docs"), F.col("avgdl")))
+        )
+        .groupBy("query_id", "doc_id", "dl")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum(contrib) * 1000000).cast("long").alias(
+                "score_e6"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "dl", "n_terms", "score_e6", "rnk")
+    )

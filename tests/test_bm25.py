@@ -147,3 +147,33 @@ def test_bm25_incremental_index_equivalence(spark, tmp_path):
         direct = tx.bm25_search(docs, q, k=25).collect()
         incr = tx.bm25_search_indexed(p, s, q, k=25).collect()
         assert [tuple(r) for r in direct] == [tuple(r) for r in incr]
+
+
+def test_bm25_batch_equivalence(spark, tmp_path):
+    """bm25_search_batch over N queries returns, per query, EXACTLY the
+    bm25_search_indexed (and hence bm25_search) top-k."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    postings, stats = tx.build_text_index(docs)
+    postings.write.parquet(str(tmp_path / "p"))
+    stats.write.parquet(str(tmp_path / "s"))
+    p = spark.read.parquet(str(tmp_path / "p"))
+    s = spark.read.parquet(str(tmp_path / "s"))
+
+    qs = [(1, "spark window merge"), (2, "vector"), (3, "slow join agg")]
+    batch = tx.bm25_search_batch(
+        p, s, spark.createDataFrame(qs, "query_id long, query string"),
+        k=15,
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, qtext in qs:
+        got = [
+            (r.doc_id, r.dl, r.n_terms, r.score_e6)
+            for r in sorted(by_q[qid], key=lambda r: r.rnk)
+        ]
+        want = [
+            tuple(r)
+            for r in tx.bm25_search_indexed(p, s, qtext, k=15).collect()
+        ]
+        assert got == want, qtext
