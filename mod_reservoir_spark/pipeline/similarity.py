@@ -809,7 +809,12 @@ def quantize_embeddings(
     code (dequantize restores it exactly). Exact integer codes make
     the operator DuckDB-oracle-checkable despite the float input.
 
-    Output: (id, codes array<int>, scale double, dim).
+    Output: (id, codes, scale double, dim) where codes is
+    ``array<tinyint>`` at bits<=8 (the default) and ``array<int>``
+    above — the element type IS the storage win, so it is conditional
+    on bits. NOTE: quantized tables persisted before the tinyint
+    change carry an int32 parquet schema; unioning/appending old and
+    new tables needs a cast on read, or a rebuild.
     """
     qmax = (1 << (bits - 1)) - 1
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -849,6 +854,7 @@ def lsh_topk_quantized(
     codes_col: str = "codes",
     vec_col: str = "embedding",
     dim: int = 64,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """ANN top-k served entirely FROM the int8 storage form of
     :func:`quantize_embeddings` — the 100 TB shape where vectors ship
@@ -873,6 +879,19 @@ def lsh_topk_quantized(
     # lsh_signatures casts vec_col to double internally — hand it the
     # raw integer codes, no dequantize column is ever materialized
     proxy = codes.select(F.col(id_col), F.col(codes_col).alias(vec_col))
+    # same driver-collect guard as lsh_topk: a query set past the
+    # broadcast cutover routes through the fully-distributed re-score.
+    # Cosine scale-invariance means the codes-proxy frame IS a valid
+    # corpus for lsh_topk_distributed (its einsum casts the candidate
+    # codes to float64 per Arrow batch — no dequantize materialized).
+    over = (
+        queries.select(id_col).limit(max_broadcast_queries + 1).count()
+        > max_broadcast_queries
+    )
+    if over:
+        return lsh_topk_distributed(
+            proxy, queries, k, n_planes, n_tables, id_col, vec_col, dim
+        )
     cand = _lsh_candidates(
         proxy, queries, n_planes, n_tables, id_col, vec_col, dim
     )

@@ -301,6 +301,13 @@ def chunk_sequences(
                 + F.coalesce(pmap[F.col("_pid")], F.lit(0))
             ).alias("_before"),
         )
+        # materialize the NARROW offsets (id, ord, before — no text)
+        # eagerly, then release the cached projection: without this a
+        # long-lived session leaks one cached frame per call (ADVICE
+        # r5). _pid stability is preserved because offsets no longer
+        # recomputes through the repartition after the checkpoint.
+        offsets = offsets.localCheckpoint(eager=True)
+        part.unpersist()
         with_shard = tokenized.select(id_col, "pieces").join(
             offsets, id_col
         )

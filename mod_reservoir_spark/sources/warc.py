@@ -184,7 +184,8 @@ def read_warc_slices(spark, slices):
     ``slices`` is a DataFrame (path string, offset long, length long)
     — e.g. the relevant columns of a cc-index query result joined to
     local mirror paths. Output schema matches :func:`read_warc` with
-    ``seq`` = the record's offset (its unique position in the file).
+    ``seq`` = slice byte offset + record ordinal within the slice
+    (unique per file even when one slice spans multiple records).
 
     Scale shape: the slice table is the thing that shuffles (tiny —
     index rows, not archives); each task opens its files, seeks, and
@@ -215,9 +216,14 @@ def read_warc_slices(spark, slices):
                         raw = f.read(int(row["length"]))
                 except OSError:
                     continue
-                for rec in parse_warc(raw):
+                # seq = slice offset + record ordinal within the
+                # slice: every record is >1 byte, so offset+i is
+                # strictly below the NEXT record's own byte offset —
+                # unique per file even when a cc-index slice spans
+                # several records.
+                for i, rec in enumerate(parse_warc(raw)):
                     out.append(
-                        {"file": row["path"], "seq": int(row["offset"]), **rec}
+                        {"file": row["path"], "seq": int(row["offset"]) + i, **rec}
                     )
             yield pd.DataFrame(out, columns=cols)
 
@@ -276,33 +282,55 @@ def warc_index(spark, path):
     )
 
 
+_FEED_CHUNK = 1 << 20  # compressed bytes per decompressor feed
+
+
 def _member_offsets(data: bytes):
     """(offset, length, header_fields) per record. For gzip input the
     offsets delimit gzip MEMBERS in the compressed stream (requires
     the spec's record-per-member layout); uncompressed input yields
-    record boundaries."""
+    record boundaries.
+
+    O(archive) total, NOT O(records^2): the compressed bytes are
+    wrapped in a memoryview and each member's decompressor is fed
+    bounded slices of it until ``eof`` — never ``data[start:]`` (which
+    copies the whole remainder per member) and never one big feed
+    (whose ``unused_data`` would be the same copy on the way out). A
+    record-per-member archive with 100k members advances a cursor
+    instead of moving O(R^2) bytes."""
     if data[:2] == b"\x1f\x8b":
         import zlib
 
+        view = memoryview(data)
+        n = len(data)
         start = 0
         while True:
             try:
-                chunk = data[start:]
-                if len(chunk) < 2 or chunk[:2] != b"\x1f\x8b":
+                if n - start < 2 or bytes(view[start : start + 2]) != b"\x1f\x8b":
                     return
-                # one fresh decompressor per member: unused_data marks
-                # the exact compressed member boundary
+                # one fresh decompressor per member: eof + unused_data
+                # mark the exact compressed member boundary. Feed in
+                # _FEED_CHUNK slices so unused_data is at most one
+                # chunk, not the rest of the archive.
                 d = zlib.decompressobj(wbits=31)
-                body = d.decompress(chunk)
+                head = b""  # only the header matters for the index;
+                # retain at most 64 KiB of decompressed bytes/member
+                pos = start
+                while not d.eof and pos < n:
+                    upto = min(pos + _FEED_CHUNK, n)
+                    part = d.decompress(view[pos:upto])
+                    if len(head) < 65536:
+                        head += part
+                    pos = upto
                 if not d.eof:
                     return  # truncated final member
-                consumed = len(chunk) - len(d.unused_data)
-                fields = _head_fields(body)
+                consumed = (pos - start) - len(d.unused_data)
+                fields = _head_fields(head)
                 if fields is None:
                     return
                 yield start, consumed, fields
                 start += consumed
-                if start >= len(data):
+                if start >= n:
                     return
             except (EOFError, OSError, zlib.error):
                 return
@@ -324,17 +352,21 @@ def _head_fields(buf: bytes) -> dict | None:
 
 
 def _plain_offsets(data: bytes):
+    # cursor + bounded header slices only — no data[pos:] remainder
+    # copies (the same O(R^2) hazard as the gzip path)
     pos = 0
     n = len(data)
     while pos < n:
         while data[pos : pos + 2] == CRLF:
             pos += 2
-        if pos >= n or not data[pos:].startswith(b"WARC/"):
-            return
-        fields = _head_fields(data[pos:])
-        if fields is None:
+        if pos >= n or data[pos : pos + 5] != b"WARC/":
             return
         head_end = data.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            return
+        fields = _head_fields(data[pos : head_end + 4])
+        if fields is None:
+            return
         try:
             length = int(fields.get("content-length", ""))
         except ValueError:

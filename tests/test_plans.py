@@ -304,7 +304,12 @@ def test_chunk_sequences_unstratified_no_single_partition(spark, docs):
     tok = docs.select("doc_id", F.split("text", " ").alias("pieces"))
     p = plan(chunk_sequences(tok, seq_len=64, shard_tokens=1000))
     assert "SinglePartition" not in p
-    assert "Window" in p  # the per-_pid local cumsum survives
+    # the per-_pid cumsum now runs eagerly behind a localCheckpoint
+    # (so the cached narrow projection can be unpersisted — ADVICE r5);
+    # the final plan sees only the checkpointed offsets, which are
+    # small enough to broadcast back onto the corpus.
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastHashJoin" in p
 
 
 def test_lsh_topk_quantized_reads_only_codes(spark, tmp_path):

@@ -175,3 +175,37 @@ def test_warc_index_and_selective_read(spark, tmp_path):
         for r in got:
             assert r.http_status == 200
             assert bytes(r.payload) == HTML
+
+
+def test_member_offsets_many_members_linear():
+    """ADVICE r5: indexing a record-per-member archive must advance a
+    cursor over a memoryview, never copy the remaining compressed
+    bytes per member (O(R^2)). Pin correctness on a 2000-member
+    archive — at the old quadratic cost this size is already ~2 GB of
+    copying; the linear path indexes it instantly — and pin that every
+    offset/length slice round-trips through parse_warc."""
+    import time
+
+    from mod_reservoir_spark.sources.warc import _member_offsets
+
+    recs = [
+        _rec("response", f"r{i}", HTTP) for i in range(2000)
+    ]
+    data = b"".join(gzip.compress(r) for r in recs)
+    t0 = time.monotonic()
+    offs = list(_member_offsets(data))
+    elapsed = time.monotonic() - t0
+    assert len(offs) == 2000
+    # boundaries must tile the archive exactly
+    pos = 0
+    for off, ln, fields in offs:
+        assert off == pos
+        pos += ln
+    assert pos == len(data)
+    # spot-check slices decompress independently
+    for off, ln, fields in offs[::500]:
+        (rec,) = parse_warc(data[off : off + ln])
+        assert rec["target_uri"] == fields["warc-target-uri"]
+    # generous wall bound: linear is well under a second; the old
+    # quadratic copy path took tens of seconds at this member count
+    assert elapsed < 10.0
