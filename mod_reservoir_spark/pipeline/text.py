@@ -1243,6 +1243,36 @@ def build_text_index(
     return postings, stats
 
 
+def write_text_index(postings: DataFrame, stats: DataFrame, path: str) -> None:
+    """Materialize the index of :func:`build_text_index` in its
+    SERVING layout: postings range-partitioned AND sorted by term —
+    so a query's pushed ``term IN (...)`` filter prunes whole files
+    via min/max stats and row groups within them (the layout
+    :func:`bm25_search_indexed` is designed against; previously a
+    docstring recommendation, now the written artifact, plan-guarded
+    in tests) — plus the 1-row stats sidecar.
+
+    Layout: ``{path}/postings`` (term-ranged, term-sorted parquet),
+    ``{path}/stats``. Read back with :func:`read_text_index`.
+    Deltas from :func:`merge_text_index` append under
+    ``{path}/postings`` (new files sort independently; term pruning
+    still applies per file)."""
+    (
+        postings.repartitionByRange("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(f"{path}/postings")
+    )
+    stats.write.parquet(f"{path}/stats")
+
+
+def read_text_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) from a :func:`write_text_index` directory."""
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/stats"),
+    )
+
+
 def merge_text_index(
     new_docs: DataFrame, old_stats: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -1341,6 +1371,7 @@ def bm25_search_batch(
     b: float = 0.75,
     query_id_col: str = "query_id",
     query_col: str = "query",
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Many queries against the materialized index in ONE plan — the
     retrieval-by-the-thousands shape (benchmark prompts for
@@ -1357,15 +1388,27 @@ def bm25_search_batch(
     query_id — bounded by each query's candidate count, never the
     corpus.
 
+    A degenerate MEGA-batch (more than ``max_broadcast_queries``
+    queries — millions of prompts) would blow the broadcast threshold,
+    so past the cutover the (query_id, term) joins route as ordinary
+    shuffle joins instead (the ``lsh_topk_distributed`` auto-routing
+    precedent); results are identical, equivalence-pinned in tests.
+
     Output: (query_id, doc_id, dl, n_terms, score_e6, rnk).
     """
     from pyspark.sql import Window
+
+    over = (
+        queries.select(query_id_col).limit(max_broadcast_queries + 1).count()
+        > max_broadcast_queries
+    )
+    bcast = (lambda df: df) if over else F.broadcast
 
     qterm = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(tokens(query_col)).alias("term"),
     ).distinct()
-    p = postings.join(F.broadcast(qterm.select("term").distinct()), "term")
+    p = postings.join(bcast(qterm.select("term").distinct()), "term")
     df_tbl = p.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
@@ -1380,7 +1423,7 @@ def bm25_search_batch(
         F.col("score_e6").desc(), F.col("doc_id").asc()
     )
     return (
-        p.join(F.broadcast(qterm), "term")
+        p.join(bcast(qterm), "term")
         .join(F.broadcast(df_tbl), "term")
         .crossJoin(
             F.broadcast(stats.select(F.col("n_docs"), F.col("avgdl")))

@@ -177,3 +177,55 @@ def test_bm25_batch_equivalence(spark, tmp_path):
             for r in tx.bm25_search_indexed(p, s, qtext, k=15).collect()
         ]
         assert got == want, qtext
+
+
+def test_write_text_index_layout_and_pushdown(spark, tmp_path):
+    """write_text_index materializes the SERVING layout (term-ranged,
+    term-sorted postings + stats sidecar): reads back equivalently,
+    serves exactly the direct result, and the query's term IN filter
+    reaches the written parquet scan as a pushed filter."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    postings, stats = tx.build_text_index(docs)
+    tx.write_text_index(postings, stats, str(tmp_path / "idx"))
+    p, s = tx.read_text_index(spark, str(tmp_path / "idx"))
+
+    direct = tx.bm25_search(docs, "spark window merge", k=25).collect()
+    served = tx.bm25_search_indexed(p, s, "spark window merge", k=25).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in served]
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tx.bm25_search_indexed(p, s, "spark window", k=5).explain(True)
+    plan_txt = buf.getvalue()
+    assert "PushedFilters" in plan_txt and "In(term" in plan_txt
+
+    # the written files are genuinely term-sorted (row-group pruning
+    # depends on it): within every file, terms appear in order
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    for f in Path(tmp_path / "idx" / "postings").glob("*.parquet"):
+        terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
+        assert terms == sorted(terms), f
+
+
+def test_bm25_batch_mega_route_equivalence(spark, tmp_path):
+    """Past max_broadcast_queries the batch path routes the
+    (query_id, term) joins as shuffle joins — results identical to the
+    broadcast fast path."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    postings, stats = tx.build_text_index(docs)
+    qs = spark.createDataFrame(
+        [(1, "spark window merge"), (2, "vector"), (3, "slow join agg")],
+        "query_id long, query string",
+    )
+    fast = tx.bm25_search_batch(postings, stats, qs, k=15).collect()
+    routed = tx.bm25_search_batch(
+        postings, stats, qs, k=15, max_broadcast_queries=1
+    ).collect()
+    key = lambda r: (r.query_id, r.rnk)  # noqa: E731
+    assert sorted(map(tuple, fast), key=lambda t: (t[0], t[5])) == sorted(
+        map(tuple, routed), key=lambda t: (t[0], t[5])
+    )
