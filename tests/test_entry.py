@@ -42,6 +42,14 @@ def test_entry_smoke(spark):
 EVENT_QUERIES = ["sessionize", "hourly_rollup", "topk_per_type"]
 
 
+def _pool_q():
+    return {**em.queries(), **em.retired_queries()}
+
+
+def _pool_sql():
+    return {**em.oracle_sql(), **em.retired_oracle_sql()}
+
+
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 def test_event_queries_timestamp_encoding_agnostic(spark, name, tmp_path):
     """The driver regenerates events.parquet every round and its ts
@@ -65,14 +73,14 @@ def test_event_queries_timestamp_encoding_agnostic(spark, name, tmp_path):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
-    dcols, drows, dtags = arrow_rows(con.execute(em.oracle_sql()[name]).arrow())
+    dcols, drows, dtags = arrow_rows(con.execute(_pool_sql()[name]).arrow())
     want = table_hash(drows, dcols, dtags)
     for label, col in variants.items():
         d = tmp_path / label
         d.mkdir()
         tbl = src.set_column(i, pa.field("ts", col.type), col)
         pq.write_table(tbl, d / "events.parquet", version="2.6")
-        sdf = em.queries()[name](spark, str(d))
+        sdf = _pool_q()[name](spark, str(d))
         scols, srows, stags = arrow_rows(sdf.toArrow())
         assert sorted(scols) == sorted(dcols), label
         assert table_hash(srows, scols, stags) == want, label
@@ -85,9 +93,9 @@ def test_oracle_sample(spark, name):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
-    sdf = em.queries()[name](spark, SF)
+    sdf = _pool_q()[name](spark, SF)
     scols, srows, stags = arrow_rows(sdf.toArrow())
-    dcols, drows, dtags = arrow_rows(con.execute(em.oracle_sql()[name]).arrow())
+    dcols, drows, dtags = arrow_rows(con.execute(_pool_sql()[name]).arrow())
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert table_hash(srows, scols, stags) == table_hash(drows, dcols, dtags)

@@ -19,14 +19,23 @@ def test_retired_surface_is_disjoint_and_complete():
     retired = set(em.retired_queries())
     assert not (live & retired)
     assert set(em.retired_oracle_sql()) == retired
-    # the rotation promoted at least 8 formerly-pytest-only operators
+    # round-5 rotation promoted at least 8 formerly-pytest-only
+    # operators; round 6 promoted 10 more — all must stay live or be
+    # consciously rotated (update this set when they are)
     promoted = {
         "curate_funnel", "line_dedup", "span_stats", "ngram_counts",
         "tfidf_top_terms", "unigram_logprob", "bloom_registers",
         "mixture_sample", "split_assign", "dsir_weights", "chunk_text",
         "perplexity_buckets", "near_contamination",
+        # round 6
+        "hybrid_search", "lsh_topk_quantized", "bm25_indexed",
+        "semantic_dedup", "remove_duplicate_spans", "normalize_text",
+        "domain_quality", "leakage_safe_split", "logreg_train",
+        "extract_html",
     }
     assert promoted <= live
+    # every live query has an oracle (no silent rows-only rows)
+    assert set(em.oracle_sql()) == live
 
 
 @pytest.mark.parametrize("name", RETIRED)
