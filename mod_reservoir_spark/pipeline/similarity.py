@@ -291,6 +291,7 @@ def kmeans_train(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool | str = "auto",
 ) -> tuple[list[list[float]], list[float]]:
     """Distributed Lloyd refinement for the IVF coarse quantizer.
 
@@ -326,13 +327,18 @@ def kmeans_train(
     sc = embeddings.sparkSession.sparkContext
     history: list[float] = []
     for _ in range(iterations):
-        bc = sc.broadcast((cm, np.sqrt((cm * cm).sum(axis=1))))
+        # per-iteration routing plan over the CURRENT centroids: past
+        # TWO_LEVEL_MIN_CELLS cells the assignment scan is
+        # O(rows·sqrt(C)) instead of O(rows·C) — the term VERDICT r5
+        # measured above-linear at sf10 under auto_clusters
+        plan = _maybe_plan(cm, two_level)
+        bc = sc.broadcast((cm, np.sqrt((cm * cm).sum(axis=1)), plan))
         k, d = cm.shape
 
         def partials(batches, bc=bc, k=k, d=d):
             import pandas as pd
 
-            bcm, bcnorm = bc.value
+            bcm, bcnorm, bplan = bc.value
             sums = np.zeros((k, d))
             counts = np.zeros(k, dtype=np.int64)
             inertia = 0.0
@@ -342,11 +348,9 @@ def kmeans_train(
                     continue
                 seen = True
                 vm = np.array(pdf[pdf.columns[0]].tolist(), dtype=np.float64)
-                vnorm = np.sqrt((vm * vm).sum(axis=1))
-                s = (vm @ bcm.T) / (vnorm[:, None] * bcnorm[None, :])
-                s = np.round(s, 6)  # cross-engine tie behavior (ivf_assign)
-                cell = s.argmax(axis=1)
-                inertia += float((1.0 - s[np.arange(len(cell)), cell]).sum())
+                # round-6 + first-max tie rule in both paths (ivf_assign)
+                cell, best = _nearest_cells(vm, bcm, bcnorm, bplan)
+                inertia += float((1.0 - best).sum())
                 np.add.at(sums, cell, vm)
                 np.add.at(counts, cell, 1)
             if seen:
@@ -400,8 +404,19 @@ def _branch_plan(cm, rounds: int = 4):
 
     C = cm.shape[0]
     B = int(np.ceil(np.sqrt(C)))
-    bm = cm[:B].copy()
     cn = np.sqrt((cm * cm).sum(axis=1))
+    # deterministic farthest-point seeding (cosine): seeds spread
+    # across the centroid set's modes instead of clumping in whatever
+    # group the first B centroids happen to share — naive first-B
+    # seeding splits genuine branches and the probe misses them
+    cu = cm / cn[:, None]
+    seeds = [0]
+    best = cu @ cu[0]
+    for _ in range(B - 1):
+        nxt = int(best.argmin())
+        seeds.append(nxt)
+        best = np.maximum(best, cu @ cu[nxt])
+    bm = cm[seeds].copy()
 
     def grp(bm):
         bn = np.sqrt((bm * bm).sum(axis=1))
@@ -500,6 +515,12 @@ def ivf_assign(
     ``centroids``: a trained centroid matrix (e.g. from
     :func:`kmeans_train`) — when given, the deterministic smallest-id
     seed is skipped. Output: (vec_id, cell).
+
+    ``two_level`` ("auto" default): at ``TWO_LEVEL_MIN_CELLS``+ cells
+    the per-row scan of ALL centroids routes through ~sqrt(C) coarse
+    branches instead (:func:`_nearest_cells`) — O(rows·sqrt(C)) where
+    flat assignment is O(rows·C), the term that made auto-sized
+    SemDeDup above-linear at 100× data. ``True``/``False`` force.
     """
     import numpy as np
     import pandas as pd
@@ -519,22 +540,21 @@ def ivf_assign(
         )
         cm = np.array([v for _i, v in cent_rows], dtype=np.float64)
     cnorm = np.sqrt((cm * cm).sum(axis=1))
-    bc = embeddings.sparkSession.sparkContext.broadcast((cm, cnorm))
+    plan = _maybe_plan(cm, two_level)
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        (cm, cnorm, plan)
+    )
 
     def assign(batches):
-        bcm, bcnorm = bc.value
+        bcm, bcnorm, bplan = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            vnorm = np.sqrt((vm * vm).sum(axis=1))
-            s = (vm @ bcm.T) / (vnorm[:, None] * bcnorm[None, :])
-            s = np.round(s, 6)  # cross-engine tie behavior
-            # argmax with lowest-index tie-break (np.argmax is already
-            # first-max, matching the SQL row_number ORDER BY cell)
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col], "cell": s.argmax(axis=1)}
-            )
+            # round-6 scores + first-max tie rule (lowest cell id) in
+            # both the flat and routed paths — cross-engine behavior
+            cell, _s = _nearest_cells(vm, bcm, bcnorm, bplan)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "cell": cell})
 
     return embeddings.select(id_col, vec_col).mapInPandas(
         assign, schema="vec_id long, cell long"
@@ -810,6 +830,7 @@ def semantic_dedup(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool | str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove documents
     whose EMBEDDINGS are near-identical, even when their text is not —
@@ -830,6 +851,16 @@ def semantic_dedup(
     duplicates LSH misses. The exact cosine runs JVM-side (zip_with
     fold over the two vectors) — candidates never cross into Python.
 
+    ``two_level`` ("auto"): past TWO_LEVEL_MIN_CELLS cells the k-means
+    assignment (train AND final assign) routes through ~sqrt(C) coarse
+    branches — O(rows·sqrt(C)) instead of the O(rows·C) that made the
+    assignment step the measured above-linear term at 100× data
+    (VERDICT r5). The routing is approximate for border vectors (the
+    standard IVF trade) but near-duplicate pairs have (near-)identical
+    vectors and route identically, so the DROP-SET is preserved —
+    pinned equal to the flat path in tests/test_two_level.py; cells
+    are themselves SemDeDup's own recall heuristic.
+
     Output: (vec_id, keep_id, is_kept) — one row per embedding.
     """
     from mod_reservoir_spark.pipeline.dedup import near_dedup_keep
@@ -837,10 +868,12 @@ def semantic_dedup(
     if n_clusters == "auto":
         n_clusters = auto_clusters(embeddings.count())
     centroids, _history = kmeans_train(
-        embeddings, n_clusters, iterations, id_col, vec_col
+        embeddings, n_clusters, iterations, id_col, vec_col,
+        two_level=two_level,
     )
     cells = ivf_assign(
-        embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids
+        embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids,
+        two_level=two_level,
     )
     ev = (
         embeddings.select(
