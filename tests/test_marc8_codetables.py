@@ -163,17 +163,108 @@ def test_unmapped_set_warns_once_and_status(caplog):
     marc8._WARNED_SETS.clear()
 
 
-def test_greek_and_ext_arabic_also_warn(caplog):
+def test_ext_arabic_warns_greek_does_not(caplog):
+    """Extended Arabic stays behind the codetables.xml seam (ISO 11822
+    has no transcribable-from-layout structure) and must warn; basic
+    Greek is built-in as of round 7 and must decode silently."""
     import logging
 
     marc8._WARNED_SETS.clear()
     caplog.set_level(logging.WARNING, logger=marc8.__name__)
-    marc8.marc8_to_unicode(b"\x1b(S\x41")   # basic Greek
+    assert marc8.marc8_to_unicode(b"\x1b(S\x41") == "\u0391"  # Alpha
     marc8.marc8_to_unicode(b"\x1b(4\x41")   # extended Arabic
     msgs = [r.getMessage() for r in caplog.records]
-    assert any("basic Greek" in m for m in msgs)
+    assert not any("basic Greek" in m for m in msgs)
     assert any("extended Arabic" in m for m in msgs)
     marc8._WARNED_SETS.clear()
+
+
+# ---------------------------------------------------------------------------
+# Built-in Basic Greek (ISO 5428 / LoC code 53) — no external file.
+# Pins transcribed from the published LoC table layout; the loadable
+# codetables.xml merges OVER these, so the published file stays
+# authoritative (load_codetables / test_basic_greek_and_combining).
+# Output is DECOMPOSED (base + combining mark), matching marc4j.
+# ---------------------------------------------------------------------------
+
+
+def test_builtin_greek_polytonic_word():
+    # logos: lambda, acute+omicron (mark precedes base in MARC-8),
+    # gamma, omicron, FINAL sigma — mark reordered after its base.
+    data = b"\x1b(S\x6b\x22\x6f\x63\x6f\x72\x1b(B"
+    assert marc8.marc8_to_unicode(data) == (
+        "\u03bb\u03bf\u0301\u03b3\u03bf\u03c2"
+    )
+
+
+def test_builtin_greek_marks_decompose_after_base():
+    # (MARC-8 bytes, decomposed Unicode): iota-subscript, smooth and
+    # rough breathings, perispomeni, dialytika, varia — each queued
+    # before its base in MARC-8, emitted after it in Unicode.
+    cases = [
+        (b"\x27\x61", "\u03b1\u0345"),
+        (b"\x25\x61", "\u03b1\u0313"),
+        (b"\x26\x61", "\u03b1\u0314"),
+        (b"\x24\x61", "\u03b1\u0342"),
+        (b"\x23\x69", "\u03b9\u0308"),
+        (b"\x21\x61", "\u03b1\u0300"),
+        # rough breathing + acute stack (classical crasis shape)
+        (b"\x26\x22\x61", "\u03b1\u0314\u0301"),
+    ]
+    for marc, uni in cases:
+        assert marc8.marc8_to_unicode(b"\x1b(S" + marc) == uni
+
+
+def test_builtin_greek_alphabet_runs_and_double_capital_sigma():
+    # full lowercase run 0x61..0x79: 25 forms incl. final+medial sigma
+    lower = bytes(range(0x61, 0x7A))
+    expect = (
+        "".join(chr(c) for c in range(0x3B1, 0x3C2))  # alpha..rho
+        + "\u03c2\u03c3"
+        + "".join(chr(c) for c in range(0x3C4, 0x3CA))  # tau..omega
+    )
+    assert marc8.marc8_to_unicode(b"\x1b(S" + lower) == expect
+    # capitals 0x41..0x59: both sigma-aligned slots 0x52/0x53 give
+    # U+03A3 (U+03A2 is unassigned); ISO 5428 keeps the +-0x20 case
+    # alignment its sibling ISO 5427 also preserves.
+    caps = bytes(range(0x41, 0x5A))
+    expect_caps = (
+        "".join(chr(c) for c in range(0x391, 0x3A2))
+        + "\u03a3\u03a3"
+        + "".join(chr(c) for c in range(0x3A4, 0x3AA))
+    )
+    assert marc8.marc8_to_unicode(b"\x1b(S" + caps) == expect_caps
+    for b in range(0x61, 0x7A):
+        lo = marc8.marc8_to_unicode(b"\x1b(S" + bytes([b]))
+        up = marc8.marc8_to_unicode(b"\x1b(S" + bytes([b - 0x20]))
+        assert up == lo.upper()
+
+
+def test_builtin_greek_in_g1_high_bit():
+    # designate Greek as G1 (ESC ) S): bytes 0xA1-0xFE mask to low
+    data = b"\x1b)S\xeb\xa2\xef\xe3\xef\xf2"
+    assert marc8.marc8_to_unicode(data) == (
+        "\u03bb\u03bf\u0301\u03b3\u03bf\u03c2"
+    )
+
+
+def test_builtin_greek_punctuation():
+    data = b"\x1b(S\x30\x31\x32\x33\x3b\x3f"
+    assert marc8.marc8_to_unicode(data) == (
+        "\u00ab\u00bb\u201c\u201d\u0387\u037e"
+    )
+
+
+def test_builtin_greek_unlisted_positions_replacement():
+    # positions with no LoC assignment (e.g. 0x28, 0x5D, 0x7E) stay
+    # honest U+FFFD rather than guessing
+    assert marc8.marc8_to_unicode(b"\x1b(S\x28\x5d\x7e") == "\ufffd" * 3
+
+
+def test_builtin_greek_status_reports_only_eacc_and_ext_arabic():
+    status = marc8.codetables_status()
+    assert "basic Greek" not in status["unmapped_sets"]
+    assert set(status["unmapped_sets"]) <= {"EACC/CJK", "extended Arabic"}
 
 
 def test_packaged_codetables_auto_discovered(monkeypatch, tmp_path):
