@@ -409,13 +409,18 @@ def _branch_plan(cm, rounds: int = 4):
     # across the centroid set's modes instead of clumping in whatever
     # group the first B centroids happen to share — naive first-B
     # seeding splits genuine branches and the probe misses them
+    # round-6 scores at every DECISION site (seeding argmin, grouping
+    # argmax, probe top-p): the plan is then a pure function of the
+    # centroid values reproducible across engines — what lets the
+    # driver contract pin the routed path against a SQL oracle
+    # (raw-float argmin order is summation-order-sensitive)
     cu = cm / cn[:, None]
     seeds = [0]
-    best = cu @ cu[0]
+    best = np.round(cu @ cu[0], 6)
     for _ in range(B - 1):
         nxt = int(best.argmin())
         seeds.append(nxt)
-        best = np.maximum(best, cu @ cu[nxt])
+        best = np.maximum(best, np.round(cu @ cu[nxt], 6))
     bm = cm[seeds].copy()
 
     def grp(bm):
@@ -456,8 +461,13 @@ def _nearest_cells(vm, cm, cnorm, plan=None, probe: int = 2):
     bm, bn, branch_cells = plan
     B = bm.shape[0]
     p = min(probe, B)
-    cs = (vm @ bm.T) / (vnorm[:, None] * bn[None, :])
-    top = np.argpartition(-cs, p - 1, axis=1)[:, :p]
+    # round-6 + lowest-branch-id ties (lexsort), same cross-engine
+    # rule as every other ranking site — argpartition's tie choice is
+    # unspecified, which a SQL oracle could not replicate
+    cs = np.round((vm @ bm.T) / (vnorm[:, None] * bn[None, :]), 6)
+    top = np.lexsort(
+        (np.tile(np.arange(B), (vm.shape[0], 1)), -cs), axis=1
+    )[:, :p]
     n = vm.shape[0]
     best_score = np.full(n, -np.inf)
     best_cell = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
