@@ -1324,6 +1324,222 @@ def q_extract_html(spark, sf_dir):
     return hx.extract_html_text(docs)
 
 
+# --------------------------------------------------------------------
+# round-7 promotions (rotation 3 — VERDICT r6 "Next #7")
+# --------------------------------------------------------------------
+
+_BM25_BATCH_QUERIES = [
+    (0, "spark window merge"),
+    (1, "filter join scan"),
+    (2, "vector data stream"),
+    (3, "index read write"),
+    (4, "merge sort shuffle"),
+    (5, "query plan cost"),
+]
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Batch retrieval against the materialized index through BOTH
+    routing regimes in one contract row — pipeline/text.py
+    bm25_search_batch: the broadcast path (small query sets) and the
+    past-cutover shuffle-join path (max_broadcast_queries=1 forces
+    the mega-batch route) must return identical rows, so the union is
+    pinned against ONE per-query BM25 oracle duplicated per path."""
+    path = _BM25_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        q_bm25_indexed(spark, sf_dir)  # builds + caches the index
+        path = _BM25_INDEX_CACHE[sf_dir]
+    p, s = tx.read_text_index(spark, path)
+    qdf = spark.createDataFrame(
+        _BM25_BATCH_QUERIES, "query_id long, query string"
+    )
+    nq = len(_BM25_BATCH_QUERIES)
+    a = tx.bm25_search_batch(p, s, qdf, k=10, n_queries=nq)
+    b = tx.bm25_search_batch(
+        p, s, qdf, k=10, n_queries=nq, max_broadcast_queries=1
+    )
+    return a.withColumn("route", F.lit("broadcast")).unionByName(
+        b.withColumn("route", F.lit("shuffle"))
+    )
+
+
+def q_chunk_sequences(spark, sf_dir):
+    """Packed fixed-length training sequences (GPT-style
+    concat-and-chunk with an eos piece per document, md5 layout order,
+    bounded shards, trailing partial dropped) — pipeline/tokenizer.py
+    chunk_sequences over whitespace tokens. tokens joined to one
+    column for the hash comparator."""
+    from mod_reservoir_spark.pipeline import tokenizer as tok
+
+    tokenized = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.tokens("text").alias("pieces")
+    )
+    out = tok.chunk_sequences(tokenized, seq_len=64, shard_tokens=2000)
+    return out.select(
+        "shard_id",
+        "seq_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("tok_csv"),
+    )
+
+
+def q_bpe_train(spark, sf_dir):
+    """Learned BPE merge list (Sennrich et al. 2016): ONE combinable
+    word-count aggregation over the corpus, driver-side merge loop
+    with lexicographic tie-break — pipeline/tokenizer.py bpe_train.
+    The oracle unrolls the IDENTICAL 10-merge trajectory in SQL
+    (pair counts -> best pair -> non-overlapping left-to-right rewrite
+    via a wrapped-symbol string encoding)."""
+    from mod_reservoir_spark.pipeline import tokenizer as tok
+
+    merges = tok.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=10, min_count=2
+    )
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    )
+
+
+_WARC_FIXTURE_CACHE: dict[str, str] = {}
+_WARC_DOC_CAP = 120  # bounded fixture slice: the build is a driver-
+# side byte-construction step, so it must stay k-sized, never corpus-
+# sized (the .collect() audit rule)
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC index + selective range reads as one oracle-checkable
+    round-trip — sources/warc.py warc_index / read_warc_slices. A
+    per-record-gzip WARC is built once per sf_dir from the first
+    _WARC_DOC_CAP documents (HTTP 200 responses whose payload is the
+    document text); the index's (offset, length) slices then
+    selectively read every 3rd record, and the decoded payloads are
+    returned as doc-joinable facts (md5, byte length, status) that the
+    oracle recomputes from the documents table — offsets are correct
+    IFF every slice decompresses to the right payload."""
+    import gzip
+    import os
+    import tempfile
+
+    from mod_reservoir_spark.sources.warc import (
+        read_warc_slices,
+        warc_index,
+    )
+
+    path = _WARC_FIXTURE_CACHE.get(sf_dir)
+    if path is None:
+        rows = sorted(
+            (r.doc_id, r.text)
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _WARC_DOC_CAP)
+            .select("doc_id", "text")
+            .collect()
+        )
+        members = []
+        for doc_id, text in rows:
+            body = (text or "").encode("utf-8")
+            block = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                + body
+            )
+            rec = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                + f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n".encode()
+                + f"WARC-Target-URI: http://example.com/{doc_id}\r\n".encode()
+                + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                + f"Content-Length: {len(block)}\r\n\r\n".encode()
+                + block
+                + b"\r\n\r\n"
+            )
+            members.append(gzip.compress(rec))
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="warc_fix_"), "docs.warc.gz"
+        )
+        with open(path, "wb") as f:
+            f.write(b"".join(members))
+        _WARC_FIXTURE_CACHE[sf_dir] = path
+
+    idx = warc_index(spark, path)
+    wanted = idx.filter(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long") % 3
+        == 0
+    )
+    got = read_warc_slices(spark, wanted)
+    return got.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("long").alias("payload_len"),
+        F.col("http_status").cast("long").alias("http_status"),
+    )
+
+
+def q_ivf_routed(spark, sf_dir):
+    """The two-level (coarse-branch) assignment path under the driver
+    oracle — pipeline/similarity.py ivf_assign at n_centroids=256,
+    which crosses TWO_LEVEL_MIN_CELLS so the production 'auto' config
+    routes through ~sqrt(C) branches (VERDICT r6 "What's wrong #3":
+    previously the routed path was pytest-only). The oracle replicates
+    the full deterministic plan in SQL: farthest-point branch seeding,
+    4 Lloyd rounds over the centroid matrix, probe-2 branch selection,
+    exact round-6 cosine within probed branches' cells — every
+    decision site round-6 + lowest-id ties (similarity.py round-7)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_assign(emb, n_centroids=256)
+
+
+_BM25_STREAM_CACHE: dict[str, str] = {}
+
+
+def q_bm25_stream_index(spark, sf_dir):
+    """The STREAMING-maintained BM25 index folded into the serving
+    layout — streaming/index_stream.py stream_text_index ->
+    compact_text_index. Documents are streamed as JSONL micro-batches
+    (maxFilesPerTrigger=1) through the replay-safe per-batch state
+    contract, compacted, and the served postings table must EXACTLY
+    equal build_text_index over the corpus — which is what the SQL
+    oracle computes directly. Batch composition is irrelevant to the
+    fold (pure append of disjoint doc_ids + additive stats), so the
+    row is deterministic however the stream chops the input."""
+    import os
+    import tempfile
+
+    from mod_reservoir_spark.streaming.index_stream import (
+        compact_text_index,
+        stream_text_index,
+    )
+
+    serving = _BM25_STREAM_CACHE.get(sf_dir)
+    if serving is None:
+        root = tempfile.mkdtemp(prefix="bm25_stream_")
+        indir = os.path.join(root, "in")
+        os.makedirs(indir)
+        (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(3)
+            .write.mode("overwrite")
+            .json(indir)
+        )
+        serving = os.path.join(root, "serving")
+        q = stream_text_index(
+            spark,
+            indir,
+            os.path.join(root, "ckpt"),
+            os.path.join(root, "state"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        compact_text_index(spark, os.path.join(root, "state"), serving)
+        _BM25_STREAM_CACHE[sf_dir] = serving
+    postings, _stats = tx.read_text_index(spark, serving)
+    return postings.select("term", "doc_id", "tf", "dl")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the signature clustering operator end-to-end at
     sf0.001 (bipartite edges → connected components)."""
@@ -1341,20 +1557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_filter": q_cql_filter,
         "keyset_page": q_keyset_page,
         "three_table_join": q_three_table_join,
-        "cluster_histogram": q_cluster_histogram,
         "cluster_cc": q_cluster_cc,
-        "cluster_members": q_cluster_members,
-        "bpe_tokens": q_bpe_tokens,
         "sketch_registers": q_sketch_registers,
         "quality_filter": q_quality_filter,
-        "pack_shards": q_pack_shards,
-        "pii_scrub": q_pii_scrub,
         "minhash_incremental": q_minhash_incremental,
         "contamination": q_contamination,
         "winnow_pairs": q_winnow_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dedup_keep": q_near_dedup_keep,
-        "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_lsh_self": q_embedding_lsh_self,
@@ -1388,6 +1598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "logreg_train": q_logreg_train,
         "extract_html": q_extract_html,
+        # round-7 promotions (rotation 3 — VERDICT r6 "Next #7")
+        "bm25_batch": q_bm25_batch,
+        "chunk_sequences": q_chunk_sequences,
+        "bpe_train": q_bpe_train,
+        "warc_roundtrip": q_warc_roundtrip,
+        "ivf_routed": q_ivf_routed,
+        "bm25_stream_index": q_bm25_stream_index,
     }
 
 
@@ -2905,6 +3122,13 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (query, oracle) pair below against DuckDB at sf0.001 with the
     driver's own comparator."""
     return {
+        # round-7 retirements (rotation 3: long-stable r2-r4 rows)
+        "cluster_histogram": q_cluster_histogram,
+        "cluster_members": q_cluster_members,
+        "bpe_tokens": q_bpe_tokens,
+        "pii_scrub": q_pii_scrub,
+        "pack_shards": q_pack_shards,
+        "simhash_pairs": q_simhash_pairs,
         # round-6 retirements (green since r2-r3)
         "sessionize": q_sessionize,
         "hourly_rollup": q_hourly_rollup,
@@ -3561,6 +3785,278 @@ def _leakage_oracle() -> str:
     """
 
 
+# ---- round-7 oracles ------------------------------------------------
+
+_BPE_RE_SQL = (
+    "'''(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+)
+
+
+def _bm25_batch_oracle(k=10, k1=1.2, b=0.75) -> str:
+    """Per-query BM25 over the corpus postings (the bm25_search_batch
+    semantics: global df, n_terms = matching distinct query terms,
+    per-query row_number top-k), duplicated across both routing
+    regimes — broadcast and past-cutover shuffle return identical
+    rows by construction, so one ranked table cross-joined with the
+    route labels is the exact union the Spark row emits."""
+    qterms = []
+    for qid, q in _BM25_BATCH_QUERIES:
+        for t in {t for t in q.lower().split() if t}:
+            qterms.append(f"({qid}, '{t}')")
+    all_terms = sorted(
+        {t for _qid, q in _BM25_BATCH_QUERIES for t in q.lower().split()}
+    )
+    tlist = ", ".join(f"'{t}'" for t in all_terms)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(coalesce(len(toks), 0)) AS DOUBLE) / count(*)
+               AS avgdl
+      FROM t),
+    qt(query_id, term) AS (VALUES {', '.join(qterms)}),
+    posting AS (
+      SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS dl,
+             unnest(list_filter(toks, x -> x IN ({tlist}))) AS term
+      FROM t),
+    tf AS (
+      SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+      FROM posting GROUP BY 1, 2, 3),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id, tf.dl,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(round(sum(
+               ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({k1} + 1.0)
+               / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl))
+             ) * 1000000) AS BIGINT) AS score_e6
+      FROM tf JOIN df USING (term) JOIN qt USING (term)
+      CROSS JOIN stats s
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+      FROM scored)
+    SELECT rt.route, CAST(query_id AS BIGINT) AS query_id, doc_id, dl,
+           n_terms, score_e6, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked CROSS JOIN (VALUES ('broadcast'), ('shuffle')) rt(route)
+    WHERE rnk <= {k}
+    """
+
+
+def _chunk_sequences_oracle(seq_len=64, shard_tokens=2000) -> str:
+    """chunk_sequences replicated: md5 layout order, +1 eos token per
+    doc, global-offset shard cut, per-shard stream index, full
+    sequences only."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    o AS (
+      SELECT doc_id, toks || ['<|eos|>'] AS te,
+             md5(CAST(doc_id AS VARCHAR)) AS ord,
+             CAST(len(toks) + 1 AS BIGINT) AS n
+      FROM t),
+    c AS (
+      SELECT *, sum(n) OVER (
+        ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) - n AS bef
+      FROM o),
+    s AS (SELECT te, ord,
+                 CAST(bef // {shard_tokens} AS BIGINT) AS shard_id
+          FROM c),
+    stream AS (
+      SELECT shard_id, ord, u.i AS i, u.tok AS tok
+      FROM s, unnest(list_transform(range(1, len(te) + 1),
+             i -> struct_pack(i := i, tok := te[i]))) AS t2(u)),
+    idx AS (
+      SELECT shard_id, tok,
+             row_number() OVER (
+               PARTITION BY shard_id ORDER BY ord, i) - 1 AS idx
+      FROM stream),
+    grp AS (
+      SELECT shard_id, idx // {seq_len} AS seq_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY idx) AS tok_csv
+      FROM idx GROUP BY 1, 2)
+    SELECT shard_id, seq_id, n_tokens, tok_csv
+    FROM grp WHERE n_tokens = {seq_len}
+    """
+
+
+def _bpe_train_oracle(n_merges=10, min_count=2) -> str:
+    """The IDENTICAL 10-merge BPE trajectory unrolled in SQL. Words
+    are encoded as chr(31)-wrapped symbol strings
+    (<31>s1<31><31>s2<31>…), so the non-overlapping left-to-right
+    merge of bpe_train_from_counts is ONE replace() per word per
+    iteration (replace resumes scanning after each substitution —
+    exactly the BPE overlap rule), and pair counts come from
+    re-splitting on the double separator. Ties: ORDER BY cnt DESC,
+    a, b — the Python (-count, (a, b)) tuple order."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    parts = [f"""
+    wc AS MATERIALIZED (
+      SELECT piece AS word, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(
+          regexp_extract_all(text, {_BPE_RE_SQL}),
+          x -> regexp_matches(x, '\\S'))) AS piece
+        FROM documents)
+      GROUP BY 1 HAVING count(*) >= {min_count}),
+    w0 AS MATERIALIZED (
+      SELECT {sep} || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substring(word, i, 1)), {sep2})
+             || {sep} AS ws, n
+      FROM wc)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+    pc{i} AS MATERIALIZED (
+      SELECT u.a AS a, u.b AS b, sum(n) AS cnt FROM (
+        SELECT n, str_split(trim(ws, chr(31)), {sep2}) AS syms
+        FROM w{i - 1}),
+        unnest(list_transform(range(1, len(syms)),
+          j -> struct_pack(a := syms[j], b := syms[j + 1]))) AS t(u)
+      GROUP BY 1, 2),
+    best{i} AS MATERIALIZED (
+      SELECT a, b FROM pc{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT replace(ws, {sep}||q.a||{sep2}||q.b||{sep},
+                     {sep}||q.a||q.b||{sep}) AS ws, n
+      FROM w{i - 1} CROSS JOIN best{i} q)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS rank, a, b FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + finals
+
+
+def _ivf_routed_oracle(n_centroids=256, rounds=4, probe=2) -> str:
+    """The two-level routed assignment (similarity.py _branch_plan +
+    _nearest_cells) replicated end-to-end: B=ceil(sqrt(C)) branches
+    seeded farthest-point over the unit centroid matrix (round-6
+    argmin, lowest-cell ties), 4 Lloyd rounds over the centroids
+    (round-6 argmax, lowest-branch ties; empty branches keep their
+    centroid), probe-2 branch selection per vector (round-6, lowest-
+    branch ties), exact round-6 cosine over the probed branches'
+    cells (lowest-cell ties). Every CTE MATERIALIZED — the chain is
+    sequential and DuckDB would otherwise inline it exponentially."""
+    import math
+
+    B = int(math.ceil(math.sqrt(n_centroids)))
+    parts = [f"""
+    emb AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(
+               embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    cent AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cell,
+             v, nrm, list_transform(v, x -> x / nrm) AS u
+      FROM (SELECT vec_id, v, nrm FROM emb
+            ORDER BY vec_id LIMIT {n_centroids})),
+    best0 AS MATERIALIZED (
+      SELECT c.cell, round(list_dot_product(c.u, s.u), 6) AS best
+      FROM cent c CROSS JOIN (SELECT u FROM cent WHERE cell = 0) s)"""]
+    for k in range(1, B):
+        parts.append(f"""
+    seed{k} AS MATERIALIZED (
+      SELECT cell FROM best{k - 1} ORDER BY best ASC, cell ASC LIMIT 1),
+    best{k} AS MATERIALIZED (
+      SELECT c.cell,
+             greatest(b.best,
+                      round(list_dot_product(c.u, s.u), 6)) AS best
+      FROM cent c JOIN best{k - 1} b USING (cell)
+      CROSS JOIN (SELECT c2.u FROM cent c2
+                  JOIN seed{k} USING (cell)) s)""")
+    bm0 = "SELECT CAST(0 AS BIGINT) AS b, v FROM cent WHERE cell = 0"
+    for k in range(1, B):
+        bm0 += (
+            f" UNION ALL SELECT CAST({k} AS BIGINT), c.v"
+            f" FROM cent c JOIN seed{k} USING (cell)"
+        )
+    parts.append(f"\n    bm0 AS MATERIALIZED ({bm0})")
+    for r in range(rounds + 1):  # rounds Lloyd updates + final group
+        parts.append(f"""
+    gsc{r} AS MATERIALIZED (
+      SELECT c.cell, m.b,
+             round(list_dot_product(c.v, m.v)
+                   / (c.nrm * sqrt(list_dot_product(m.v, m.v))), 6)
+               AS s
+      FROM cent c CROSS JOIN bm{r} m),
+    g{r} AS MATERIALIZED (
+      SELECT cell, b FROM (
+        SELECT cell, b, row_number() OVER (
+          PARTITION BY cell ORDER BY s DESC, b ASC) AS rn
+        FROM gsc{r}) WHERE rn = 1)""")
+        if r == rounds:
+            break
+        parts.append(f"""
+    bmu{r} AS MATERIALIZED (
+      SELECT b, list(ax ORDER BY i) AS v FROM (
+        SELECT g.b AS b, ue.i AS i, avg(ue.x) AS ax
+        FROM g{r} g JOIN cent c USING (cell),
+             unnest(list_transform(range(1, len(c.v) + 1),
+               i -> struct_pack(i := i, x := c.v[i]))) AS t(ue)
+        GROUP BY 1, 2)
+      GROUP BY b),
+    bm{r + 1} AS MATERIALIZED (
+      SELECT m.b, COALESCE(nu.v, m.v) AS v
+      FROM bm{r} m LEFT JOIN bmu{r} nu USING (b))""")
+    parts.append(f"""
+    bnorm AS MATERIALIZED (
+      SELECT b, v, sqrt(list_dot_product(v, v)) AS bn FROM bm{rounds}),
+    qsc AS MATERIALIZED (
+      SELECT e.vec_id, m.b,
+             round(list_dot_product(e.v, m.v) / (e.nrm * m.bn), 6) AS s
+      FROM emb e CROSS JOIN bnorm m),
+    top AS MATERIALIZED (
+      SELECT vec_id, b FROM (
+        SELECT vec_id, b, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, b ASC) AS rn
+        FROM qsc) WHERE rn <= {probe}),
+    sc AS MATERIALIZED (
+      SELECT t.vec_id, c.cell,
+             round(list_dot_product(e.v, c.v) / (e.nrm * c.nrm), 6)
+               AS s
+      FROM top t
+      JOIN g{rounds} g ON g.b = t.b
+      JOIN cent c USING (cell)
+      JOIN emb e ON e.vec_id = t.vec_id)""")
+    return ("WITH " + ",".join(parts) + """
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+      FROM sc) WHERE rn = 1""")
+
+
+def _r7_oracles() -> dict[str, str]:
+    return {
+        "bm25_batch": _bm25_batch_oracle(),
+        "chunk_sequences": _chunk_sequences_oracle(),
+        "bpe_train": _bpe_train_oracle(),
+        "warc_roundtrip": f"""
+            SELECT doc_id, md5(text) AS payload_md5,
+                   CAST(strlen(text) AS BIGINT) AS payload_len,
+                   CAST(200 AS BIGINT) AS http_status
+            FROM documents
+            WHERE doc_id < {_WARC_DOC_CAP} AND doc_id % 3 = 0
+        """,
+        "ivf_routed": _ivf_routed_oracle(),
+        "bm25_stream_index": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            p AS (
+              SELECT doc_id,
+                     CAST(coalesce(len(toks), 0) AS BIGINT) AS dl,
+                     unnest(toks) AS term
+              FROM t)
+            SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, dl
+            FROM p GROUP BY term, doc_id, dl
+        """,
+    }
+
+
 def _oracle_pool() -> dict[str, str]:
     """Every oracle the contract has ever carried, live or retired —
     oracle_sql()/retired_oracle_sql() select from this pool by the
@@ -3570,6 +4066,7 @@ def _oracle_pool() -> dict[str, str]:
     pool.update(_retired_literals())
     pool.update(_r6_oracles())
     pool["leakage_safe_split"] = _leakage_oracle()
+    pool.update(_r7_oracles())
     return pool
 
 

@@ -1372,6 +1372,7 @@ def bm25_search_batch(
     query_id_col: str = "query_id",
     query_col: str = "query",
     max_broadcast_queries: int = 100_000,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Many queries against the materialized index in ONE plan — the
     retrieval-by-the-thousands shape (benchmark prompts for
@@ -1394,12 +1395,21 @@ def bm25_search_batch(
     shuffle joins instead (the ``lsh_topk_distributed`` auto-routing
     precedent); results are identical, equivalence-pinned in tests.
 
+    ``n_queries``: optional caller hint (exact query count) that skips
+    the routing probe — the common small-batch caller then spends no
+    extra action counting a frame it just built (VERDICT r6 "What's
+    wrong #4").
+
     Output: (query_id, doc_id, dl, n_terms, score_e6, rnk).
     """
     from pyspark.sql import Window
 
     over = (
-        queries.select(query_id_col).limit(max_broadcast_queries + 1).count()
+        n_queries > max_broadcast_queries
+        if n_queries is not None
+        else queries.select(query_id_col)
+        .limit(max_broadcast_queries + 1)
+        .count()
         > max_broadcast_queries
     )
     bcast = (lambda df: df) if over else F.broadcast

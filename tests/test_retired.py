@@ -32,6 +32,9 @@ def test_retired_surface_is_disjoint_and_complete():
         "semantic_dedup", "remove_duplicate_spans", "normalize_text",
         "domain_quality", "leakage_safe_split", "logreg_train",
         "extract_html",
+        # round 7 (rotation 3)
+        "bm25_batch", "chunk_sequences", "bpe_train",
+        "warc_roundtrip", "ivf_routed", "bm25_stream_index",
     }
     assert promoted <= live
     # every live query has an oracle (no silent rows-only rows)
@@ -53,3 +56,24 @@ def test_retired_oracle(spark, name):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert table_hash(srows, scols, stags) == table_hash(drows, dcols, dtags)
+
+
+def test_coverage_ledger_matches_pool():
+    """COVERAGE.md's contract ledger must list EXACTLY the live and
+    retired row sets (VERDICT r6 "Next #2": rotation must be a
+    membership edit that cannot silently drift from the docs)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    text = open(path, encoding="utf-8").read()
+    marker = "## Contract ledger"
+    assert marker in text, "COVERAGE.md lost its contract ledger section"
+    section = text[text.index(marker):]
+    live_part = section[section.index("### Live driver rows"):
+                        section.index("### Retired rows")]
+    retired_part = section[section.index("### Retired rows"):]
+    live_md = set(re.findall(r"`([a-z0-9_]+)`", live_part))
+    retired_md = set(re.findall(r"`([a-z0-9_]+)`", retired_part))
+    assert live_md == set(em.queries())
+    assert retired_md == set(em.retired_queries())
