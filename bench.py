@@ -90,6 +90,35 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
+
+    # CC telemetry sidecar (VERDICT r6 "Next #10"): edges/iterations of
+    # the clustering runs this bench drove, tracked round-over-round
+    # next to the timings. Written beside bench.py, never on stdout —
+    # the driver contract is ONE JSON line.
+    from mod_reservoir_spark.operators import clustering as cc
+
+    if cc.LAST_RUN_STATS:
+        sidecar = {
+            "sf": float(sf),
+            "repeats": repeats,
+            "last_run": {
+                k: cc.LAST_RUN_STATS[k]
+                for k in ("edges", "iterations", "converged")
+            },
+            "runs": cc.LAST_RUN_STATS.get("runs", 0),
+            "total_iterations": cc.LAST_RUN_STATS.get(
+                "total_iterations", 0
+            ),
+        }
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "CC_TELEMETRY.json",
+            ),
+            "w",
+        ) as f:
+            json.dump(sidecar, f, indent=1)
+
     print(
         json.dumps(
             {

@@ -54,6 +54,12 @@ def truncate_match_values(df: DataFrame, col: str = "match_value") -> DataFrame:
     return df.withColumn(col, F.substring(F.col(col), 1, MATCHVALUE_MAX_LENGTH))
 
 
+# telemetry of the most recent connected_components run in this
+# process (+ cumulative run/iteration counters) — see the update site
+# in connected_components and the bench.py sidecar
+LAST_RUN_STATS: dict = {}
+
+
 def connected_components(
     edges: DataFrame,
     node_col: str = "global_id",
@@ -173,6 +179,18 @@ def connected_components(
         converged,
         iterations,
         max_iterations,
+    )
+    # machine-readable telemetry (VERDICT r6 "Next #10"): bench.py
+    # snapshots these into its CC sidecar so edges/iterations are
+    # tracked round-over-round like timings; per-process counters,
+    # no locking needed (one driver)
+    LAST_RUN_STATS.update(
+        edges=n_edges,
+        iterations=iterations,
+        converged=converged,
+        runs=LAST_RUN_STATS.get("runs", 0) + 1,
+        total_iterations=LAST_RUN_STATS.get("total_iterations", 0)
+        + iterations,
     )
     if not converged:
         msg = (

@@ -50,6 +50,7 @@ def curate(
     max_contamination_ppm: int = 0,
     scrub: bool = True,
     benchmark_near_ppm: int | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Run the full curation funnel and return the per-document LEDGER:
     one row per input document with
@@ -74,6 +75,21 @@ def curate(
     Jaccard against any benchmark item reaches the given ppm drop as
     ``near_contaminated`` — the reordered/reworded eval leak the
     n-gram check misses.
+
+    ``hasher`` feeds the near-dup stage's shingle hash (VERDICT r6
+    "Next #6"): ``md5`` is the cross-engine contract hash (the driver
+    row keeps it), ``xxhash64`` the measured fast path — ~30% less
+    signature CPU on the funnel's dominant stage at scale. The honest
+    behavior contract: every drop is verification-exact under either
+    hasher (candidates are always re-checked with exact Jaccard, so
+    no FALSE drops ever), and true near-dups (Jaccard well above the
+    LSH band S-curve) drop identically; but banding RECALL at the
+    S-curve margin is probabilistic in the hash base, so borderline
+    pairs right at the threshold may be caught by one hasher and
+    missed by the other — pinned on the real corpus (planted-dup
+    equality + bounded borderline drift,
+    tests/test_curate.py::test_curate_hasher_drop_set_invariant).
+    An explicit ``near_kwargs['hasher']`` wins over this parameter.
 
     Rows with a NULL doc_id are DROPPED up front (the split family's
     rule: an id-less document has no stable identity for dedup or
@@ -114,9 +130,11 @@ def curate(
     e_surv = e.filter("_e_keep").select("doc_id", "_text")
 
     # near dedup among exact survivors
+    nk = dict(near_kwargs or {})
+    nk.setdefault("hasher", hasher)
     n = near_dedup_keep(
         e_surv.select("doc_id", F.col("_text").alias("text")),
-        **(near_kwargs or {}),
+        **nk,
     ).select("doc_id", "keep_id", F.col("is_kept").alias("_n_keep"))
     n_surv = e_surv.join(n.filter("_n_keep = 1"), "doc_id").select(
         "doc_id", "_text"

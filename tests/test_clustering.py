@@ -588,3 +588,23 @@ def test_cc_chain_convergence_or_loud_failure(spark):
         edges, max_iterations=2, on_nonconverged="warn"
     )
     assert warned.count() == n
+
+
+def test_cc_telemetry_stats_populated(spark):
+    """connected_components records machine-readable telemetry after
+    every run (bench.py snapshots it into CC_TELEMETRY.json — VERDICT
+    r6 'Next #10')."""
+    from mod_reservoir_spark.operators import clustering as cc
+
+    edges = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2")], "global_id string, match_value string"
+    )
+    before = cc.LAST_RUN_STATS.get("runs", 0)
+    cc.connected_components(
+        edges, node_col="global_id", value_col="match_value"
+    ).collect()
+    stats = cc.LAST_RUN_STATS
+    assert stats["runs"] == before + 1
+    assert stats["converged"] is True
+    assert stats["edges"] == 3
+    assert 1 <= stats["iterations"] <= stats["total_iterations"]
