@@ -363,3 +363,47 @@ def test_hybrid_search_plan(spark, docs):
     )
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_bm25_batch_route_plans(spark, docs):
+    """Both bm25_search_batch routing regimes produce the plans their
+    cutover promises: the small-batch route BROADCASTS the (query_id,
+    term) table onto the postings; the forced mega-batch route must
+    NOT broadcast it (ordinary shuffle joins — the plan that survives
+    millions of queries)."""
+    from mod_reservoir_spark.pipeline.text import (
+        bm25_search_batch,
+        build_text_index,
+    )
+
+    postings, stats = build_text_index(docs)
+    qdf = spark.createDataFrame(
+        [(0, "spark window"), (1, "vector data")],
+        "query_id long, query string",
+    )
+    p_small = plan(
+        bm25_search_batch(postings, stats, qdf, k=5, n_queries=2)
+    )
+    assert "BroadcastHashJoin" in p_small
+    p_mega = plan(
+        bm25_search_batch(
+            postings, stats, qdf, k=5, n_queries=2,
+            max_broadcast_queries=1,
+        )
+    )
+    # the stats 1-row crossjoin legitimately broadcasts in both routes;
+    # the qterm joins must not — so the mega plan carries SortMergeJoin
+    # or ShuffledHashJoin for them
+    assert "SortMergeJoin" in p_mega or "ShuffledHashJoin" in p_mega
+
+
+def test_ivf_assign_routed_plan_no_shuffle(spark):
+    """Routed or flat, ivf_assign is ONE narrow Arrow pass over the
+    corpus — no Exchange: the centroid matrix and branch plan ship by
+    broadcast variable, never a join."""
+    from mod_reservoir_spark.pipeline.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(ivf_assign(emb, n_centroids=16, two_level=True))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
