@@ -1540,6 +1540,35 @@ def q_bm25_stream_index(spark, sf_dir):
     return postings.select("term", "doc_id", "tf", "dl")
 
 
+
+def q_semantic_dedup_routed(spark, sf_dir):
+    """SemDeDup END-TO-END through the two-level ROUTED path at
+    C=256 — the literal VERDICT r6 "Next #7" ask: kmeans_train (2
+    Lloyd iterations, each re-planning the coarse branches over its
+    CURRENT centroids and assigning through them), final routed
+    assignment, within-cell round-6 cosine pairs at >= 0.95, CC
+    keeper. Planted 1.5x-scaled copies of every 25th vector are the
+    guaranteed drop-set (cosine exactly 1.0; scale-invariant routing
+    keeps them with their parents). The oracle unrolls the ENTIRE
+    chain — three full branch plans (one per iteration + final),
+    routed assignments, corpus-mean Lloyd updates, pair join and
+    recursive-CTE components — in one MATERIALIZED-CTE SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias(
+            "embedding"
+        ),
+    )
+    return sim.semantic_dedup(
+        emb.select("vec_id", "embedding").unionByName(planted),
+        n_clusters=256,
+        threshold=0.95,
+        iterations=2,
+        two_level=True,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the signature clustering operator end-to-end at
     sf0.001 (bipartite edges → connected components)."""
@@ -1565,7 +1594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dedup_keep": q_near_dedup_keep,
-        "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_lsh_self": q_embedding_lsh_self,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1605,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "ivf_routed": q_ivf_routed,
         "bm25_stream_index": q_bm25_stream_index,
+        "semantic_dedup_routed": q_semantic_dedup_routed,
     }
 
 
@@ -3123,6 +3152,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's own comparator."""
     return {
         # round-7 retirements (rotation 3: long-stable r2-r4 rows)
+        "embedding_topk": q_embedding_topk,
         "cluster_histogram": q_cluster_histogram,
         "cluster_members": q_cluster_members,
         "bpe_tokens": q_bpe_tokens,
@@ -3931,6 +3961,107 @@ def _bpe_train_oracle(n_merges=10, min_count=2) -> str:
     return "WITH " + ",".join(parts) + "\n    " + finals
 
 
+def _routed_block(sfx, cent, corpus, out, n_centroids=256,
+                  rounds=4, probe=2):
+    """CTE parts for ONE two-level routing plan + routed assignment
+    (similarity.py _branch_plan + _nearest_cells), parameterized so
+    the SemDeDup oracle can instantiate it once per Lloyd iteration.
+
+    ``cent``: a CTE name with (cell, v) centroid rows; ``corpus``: a
+    CTE name with (vec_id, v, nrm) rows; ``out``: the name of the
+    produced (vec_id, cell) assignment CTE. Every decision site is
+    round-6 + lowest-id ties — the similarity.py round-7 contract.
+    """
+    import math
+
+    B = int(math.ceil(math.sqrt(n_centroids)))
+    parts = [f"""
+    cu{sfx} AS MATERIALIZED (
+      SELECT cell, v, sqrt(list_dot_product(v, v)) AS nrm,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+               AS u
+      FROM {cent}),
+    best{sfx}0 AS MATERIALIZED (
+      SELECT c.cell, round(list_dot_product(c.u, s.u), 6) AS best
+      FROM cu{sfx} c
+      CROSS JOIN (SELECT u FROM cu{sfx} WHERE cell = 0) s)"""]
+    for k in range(1, B):
+        parts.append(f"""
+    seed{sfx}{k} AS MATERIALIZED (
+      SELECT cell FROM best{sfx}{k - 1}
+      ORDER BY best ASC, cell ASC LIMIT 1),
+    best{sfx}{k} AS MATERIALIZED (
+      SELECT c.cell,
+             greatest(b.best,
+                      round(list_dot_product(c.u, s.u), 6)) AS best
+      FROM cu{sfx} c JOIN best{sfx}{k - 1} b USING (cell)
+      CROSS JOIN (SELECT c2.u FROM cu{sfx} c2
+                  JOIN seed{sfx}{k} USING (cell)) s)""")
+    bm0 = (
+        f"SELECT CAST(0 AS BIGINT) AS b, v FROM cu{sfx} WHERE cell = 0"
+    )
+    for k in range(1, B):
+        bm0 += (
+            f" UNION ALL SELECT CAST({k} AS BIGINT), c.v"
+            f" FROM cu{sfx} c JOIN seed{sfx}{k} USING (cell)"
+        )
+    parts.append(f"\n    bm{sfx}0 AS MATERIALIZED ({bm0})")
+    for r in range(rounds + 1):  # rounds Lloyd updates + final group
+        parts.append(f"""
+    gsc{sfx}{r} AS MATERIALIZED (
+      SELECT c.cell, m.b,
+             round(list_dot_product(c.v, m.v)
+                   / (c.nrm * sqrt(list_dot_product(m.v, m.v))), 6)
+               AS s
+      FROM cu{sfx} c CROSS JOIN bm{sfx}{r} m),
+    g{sfx}{r} AS MATERIALIZED (
+      SELECT cell, b FROM (
+        SELECT cell, b, row_number() OVER (
+          PARTITION BY cell ORDER BY s DESC, b ASC) AS rn
+        FROM gsc{sfx}{r}) WHERE rn = 1)""")
+        if r == rounds:
+            break
+        parts.append(f"""
+    bmu{sfx}{r} AS MATERIALIZED (
+      SELECT b, list(ax ORDER BY i) AS v FROM (
+        SELECT g.b AS b, ue.i AS i, avg(ue.x) AS ax
+        FROM g{sfx}{r} g JOIN cu{sfx} c USING (cell),
+             unnest(list_transform(range(1, len(c.v) + 1),
+               i -> struct_pack(i := i, x := c.v[i]))) AS t(ue)
+        GROUP BY 1, 2)
+      GROUP BY b),
+    bm{sfx}{r + 1} AS MATERIALIZED (
+      SELECT m.b, COALESCE(nu.v, m.v) AS v
+      FROM bm{sfx}{r} m LEFT JOIN bmu{sfx}{r} nu USING (b))""")
+    parts.append(f"""
+    bn{sfx} AS MATERIALIZED (
+      SELECT b, v, sqrt(list_dot_product(v, v)) AS bn
+      FROM bm{sfx}{rounds}),
+    qsc{sfx} AS MATERIALIZED (
+      SELECT e.vec_id, m.b,
+             round(list_dot_product(e.v, m.v) / (e.nrm * m.bn), 6) AS s
+      FROM {corpus} e CROSS JOIN bn{sfx} m),
+    top{sfx} AS MATERIALIZED (
+      SELECT vec_id, b FROM (
+        SELECT vec_id, b, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, b ASC) AS rn
+        FROM qsc{sfx}) WHERE rn <= {probe}),
+    sc{sfx} AS MATERIALIZED (
+      SELECT t.vec_id, c.cell,
+             round(list_dot_product(e.v, c.v) / (e.nrm * c.nrm), 6)
+               AS s
+      FROM top{sfx} t
+      JOIN g{sfx}{rounds} g ON g.b = t.b
+      JOIN cu{sfx} c USING (cell)
+      JOIN {corpus} e ON e.vec_id = t.vec_id),
+    {out} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+        FROM sc{sfx}) WHERE rn = 1)""")
+    return parts
+
+
 def _ivf_routed_oracle(n_centroids=256, rounds=4, probe=2) -> str:
     """The two-level routed assignment (similarity.py _branch_plan +
     _nearest_cells) replicated end-to-end: B=ceil(sqrt(C)) branches
@@ -3941,9 +4072,6 @@ def _ivf_routed_oracle(n_centroids=256, rounds=4, probe=2) -> str:
     branch ties), exact round-6 cosine over the probed branches'
     cells (lowest-cell ties). Every CTE MATERIALIZED — the chain is
     sequential and DuckDB would otherwise inline it exponentially."""
-    import math
-
-    B = int(math.ceil(math.sqrt(n_centroids)))
     parts = [f"""
     emb AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -3952,83 +4080,86 @@ def _ivf_routed_oracle(n_centroids=256, rounds=4, probe=2) -> str:
       FROM embeddings),
     cent AS MATERIALIZED (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-               AS cell,
-             v, nrm, list_transform(v, x -> x / nrm) AS u
-      FROM (SELECT vec_id, v, nrm FROM emb
-            ORDER BY vec_id LIMIT {n_centroids})),
-    best0 AS MATERIALIZED (
-      SELECT c.cell, round(list_dot_product(c.u, s.u), 6) AS best
-      FROM cent c CROSS JOIN (SELECT u FROM cent WHERE cell = 0) s)"""]
-    for k in range(1, B):
-        parts.append(f"""
-    seed{k} AS MATERIALIZED (
-      SELECT cell FROM best{k - 1} ORDER BY best ASC, cell ASC LIMIT 1),
-    best{k} AS MATERIALIZED (
-      SELECT c.cell,
-             greatest(b.best,
-                      round(list_dot_product(c.u, s.u), 6)) AS best
-      FROM cent c JOIN best{k - 1} b USING (cell)
-      CROSS JOIN (SELECT c2.u FROM cent c2
-                  JOIN seed{k} USING (cell)) s)""")
-    bm0 = "SELECT CAST(0 AS BIGINT) AS b, v FROM cent WHERE cell = 0"
-    for k in range(1, B):
-        bm0 += (
-            f" UNION ALL SELECT CAST({k} AS BIGINT), c.v"
-            f" FROM cent c JOIN seed{k} USING (cell)"
+               AS cell, v
+      FROM (SELECT vec_id, v FROM emb
+            ORDER BY vec_id LIMIT {n_centroids}))"""]
+    parts += _routed_block(
+        "_r", "cent", "emb", "assign_r", n_centroids, rounds, probe
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + "\n    SELECT vec_id, cell FROM assign_r"
+    )
+
+
+def _semantic_dedup_routed_oracle(
+    n_centroids=256, iters=2, threshold=0.95
+) -> str:
+    """q_semantic_dedup_routed replicated end-to-end: planted scaled
+    copies, then per Lloyd iteration a FULL branch plan over the
+    current centroids (via _routed_block) + routed corpus assignment
+    + corpus-mean update (empty cells keep their centroid), a final
+    plan + routed assignment, within-cell pairs, recursive-CTE
+    components, min-id keeper."""
+    parts = [f"""
+    e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      FROM embeddings WHERE vec_id % 25 = 0),
+    e AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cell, v
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY vec_id LIMIT {n_centroids}))"""]
+    for i in range(iters):
+        parts += _routed_block(
+            f"_k{i}", f"c{i}", "e", f"a{i}", n_centroids
         )
-    parts.append(f"\n    bm0 AS MATERIALIZED ({bm0})")
-    for r in range(rounds + 1):  # rounds Lloyd updates + final group
         parts.append(f"""
-    gsc{r} AS MATERIALIZED (
-      SELECT c.cell, m.b,
-             round(list_dot_product(c.v, m.v)
-                   / (c.nrm * sqrt(list_dot_product(m.v, m.v))), 6)
-               AS s
-      FROM cent c CROSS JOIN bm{r} m),
-    g{r} AS MATERIALIZED (
-      SELECT cell, b FROM (
-        SELECT cell, b, row_number() OVER (
-          PARTITION BY cell ORDER BY s DESC, b ASC) AS rn
-        FROM gsc{r}) WHERE rn = 1)""")
-        if r == rounds:
-            break
-        parts.append(f"""
-    bmu{r} AS MATERIALIZED (
-      SELECT b, list(ax ORDER BY i) AS v FROM (
-        SELECT g.b AS b, ue.i AS i, avg(ue.x) AS ax
-        FROM g{r} g JOIN cent c USING (cell),
-             unnest(list_transform(range(1, len(c.v) + 1),
-               i -> struct_pack(i := i, x := c.v[i]))) AS t(ue)
+    mu{i} AS MATERIALIZED (
+      SELECT cell, list(ax ORDER BY i) AS v FROM (
+        SELECT a.cell AS cell, ue.i AS i, avg(ue.x) AS ax
+        FROM a{i} a JOIN e USING (vec_id),
+             unnest(list_transform(range(1, len(e.v) + 1),
+               i -> struct_pack(i := i, x := e.v[i]))) AS t(ue)
         GROUP BY 1, 2)
-      GROUP BY b),
-    bm{r + 1} AS MATERIALIZED (
-      SELECT m.b, COALESCE(nu.v, m.v) AS v
-      FROM bm{r} m LEFT JOIN bmu{r} nu USING (b))""")
+      GROUP BY cell),
+    c{i + 1} AS MATERIALIZED (
+      SELECT p.cell, COALESCE(nu.v, p.v) AS v
+      FROM c{i} p LEFT JOIN mu{i} nu USING (cell))""")
+    parts += _routed_block(
+        "_kf", f"c{iters}", "e", "af", n_centroids
+    )
     parts.append(f"""
-    bnorm AS MATERIALIZED (
-      SELECT b, v, sqrt(list_dot_product(v, v)) AS bn FROM bm{rounds}),
-    qsc AS MATERIALIZED (
-      SELECT e.vec_id, m.b,
-             round(list_dot_product(e.v, m.v) / (e.nrm * m.bn), 6) AS s
-      FROM emb e CROSS JOIN bnorm m),
-    top AS MATERIALIZED (
-      SELECT vec_id, b FROM (
-        SELECT vec_id, b, row_number() OVER (
-          PARTITION BY vec_id ORDER BY s DESC, b ASC) AS rn
-        FROM qsc) WHERE rn <= {probe}),
-    sc AS MATERIALIZED (
-      SELECT t.vec_id, c.cell,
-             round(list_dot_product(e.v, c.v) / (e.nrm * c.nrm), 6)
-               AS s
-      FROM top t
-      JOIN g{rounds} g ON g.b = t.b
-      JOIN cent c USING (cell)
-      JOIN emb e ON e.vec_id = t.vec_id)""")
-    return ("WITH " + ",".join(parts) + """
-    SELECT vec_id, cell FROM (
-      SELECT vec_id, cell, row_number() OVER (
-        PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
-      FROM sc) WHERE rn = 1""")
+    pr AS MATERIALIZED (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.v, eb.v)
+                  / (ea.nrm * eb.nrm), 6) >= {threshold}),
+    e2 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pr
+      UNION
+      SELECT doc_b, doc_a FROM pr),
+    reach AS (
+      SELECT src AS id, dst AS r FROM e2
+      UNION
+      SELECT reach.id, e2b.dst
+      FROM reach JOIN e2 e2b ON reach.r = e2b.src),
+    comp AS (
+      SELECT id, least(min(r), id) AS keep_id FROM reach GROUP BY id)""")
+    return ("WITH RECURSIVE " + ",".join(parts) + """
+    SELECT e.vec_id,
+           COALESCE(comp.keep_id, e.vec_id) AS keep_id,
+           (CASE WHEN COALESCE(comp.keep_id, e.vec_id) = e.vec_id
+                 THEN 1 ELSE 0 END)::BIGINT AS is_kept
+    FROM e LEFT JOIN comp ON comp.id = e.vec_id
+    """)
 
 
 def _r7_oracles() -> dict[str, str]:
@@ -4044,6 +4175,7 @@ def _r7_oracles() -> dict[str, str]:
             WHERE doc_id < {_WARC_DOC_CAP} AND doc_id % 3 = 0
         """,
         "ivf_routed": _ivf_routed_oracle(),
+        "semantic_dedup_routed": _semantic_dedup_routed_oracle(),
         "bm25_stream_index": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             p AS (

@@ -35,6 +35,7 @@ def test_retired_surface_is_disjoint_and_complete():
         # round 7 (rotation 3)
         "bm25_batch", "chunk_sequences", "bpe_train",
         "warc_roundtrip", "ivf_routed", "bm25_stream_index",
+        "semantic_dedup_routed",
     }
     assert promoted <= live
     # every live query has an oracle (no silent rows-only rows)
