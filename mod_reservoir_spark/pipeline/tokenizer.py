@@ -208,6 +208,7 @@ def chunk_sequences(
     shard_tokens: int = 1_000_000,
     id_col: str = "doc_id",
     drop_last: bool = True,
+    with_bounds: bool = False,
 ) -> DataFrame:
     """The last mile of pretraining data prep: lay the tokenized
     corpus end-to-end (an ``eos`` piece after every document) and cut
@@ -233,6 +234,16 @@ def chunk_sequences(
 
     Output: (strata…, shard_id, seq_id, tokens array<string>) with
     len(tokens) == seq_len exactly.
+
+    ``with_bounds`` adds ``seg_lens array<long>`` — the lengths of
+    the maximal same-document runs inside each sequence (each
+    document's segment includes its eos; a document cut by a sequence
+    boundary contributes a partial segment on each side). Segment
+    lengths always sum to seq_len. This is the metadata a trainer
+    needs to build block-diagonal attention masks / per-document
+    position ids for packed sequences instead of letting attention
+    bleed across concatenated documents — kept optional so the
+    bounds-free contract schema is unchanged.
     """
     from pyspark.sql import Window
 
@@ -319,7 +330,8 @@ def chunk_sequences(
     in_types = {f.name: f.dataType.simpleString() for f in tokenized.schema}
     out_schema = ", ".join(
         [*(f"{s} {in_types[s]}" for s in strata),
-         "shard_id long", "seq_id long", "tokens array<string>"]
+         "shard_id long", "seq_id long", "tokens array<string>",
+         *(["seg_lens array<long>"] if with_bounds else [])]
     )
 
     def chunk(key, pdf):
@@ -327,7 +339,8 @@ def chunk_sequences(
 
         pdf = pdf.sort_values("_ord")
         stream: list[str] = []
-        for pieces in pdf["pieces"]:
+        owners: list[int] = []
+        for j, pieces in enumerate(pdf["pieces"]):
             if pieces is None:
                 # NULL pieces (outer joins, parquet round-trips): the
                 # Spark-side count gave it 0 tokens, so contributing
@@ -335,12 +348,32 @@ def chunk_sequences(
                 continue
             stream.extend(pieces)
             stream.append(eos)
+            if with_bounds:
+                owners.extend([j] * (len(pieces) + 1))
         rows = []
+        bounds = []
         n_full = len(stream) // seq_len
+
+        def seg_lens(own):
+            out, run = [], 0
+            for a, b in zip(own, own[1:]):
+                run += 1
+                if a != b:
+                    out.append(run)
+                    run = 0
+            out.append(run + 1)
+            return out
+
         for i in range(n_full):
             rows.append(stream[i * seq_len : (i + 1) * seq_len])
+            if with_bounds:
+                bounds.append(
+                    seg_lens(owners[i * seq_len : (i + 1) * seq_len])
+                )
         if not drop_last and len(stream) % seq_len:
             rows.append(stream[n_full * seq_len :])
+            if with_bounds:
+                bounds.append(seg_lens(owners[n_full * seq_len :]))
         return pd.DataFrame(
             {
                 **{s: [key[j]] * len(rows) for j, s in enumerate(strata)},
@@ -349,6 +382,11 @@ def chunk_sequences(
                 # explicit object dtype: a zero-row group would infer
                 # float64, which Arrow cannot convert to list<string>
                 "tokens": pd.Series(rows, dtype=object),
+                **(
+                    {"seg_lens": pd.Series(bounds, dtype=object)}
+                    if with_bounds
+                    else {}
+                ),
             }
         )
 

@@ -11,6 +11,7 @@ from mod_reservoir_spark.pipeline.tokenizer import (
     bpe_train,
     bpe_train_from_counts,
     bpe_word_counts,
+    chunk_sequences,
 )
 
 
@@ -186,3 +187,71 @@ def test_chunk_sequences_null_pieces_and_typed_strata(spark):
     stream = [t for r in sorted(rows, key=lambda r: r.seq_id) for t in r.tokens]
     assert stream.count("<|eos|>") == 2  # one per non-null doc
     assert all(r.src == 7 for r in rows)
+
+
+def test_chunk_sequences_seg_lens_bounds(spark):
+    """with_bounds=True emits per-sequence document segment lengths
+    (the block-diagonal attention-mask metadata): each sequence's
+    seg_lens sums to seq_len, and replaying the segments over the
+    shard stream reconstructs every document's (tokens + eos) length
+    — verified against an independent Python layout of the same md5
+    order."""
+    import hashlib
+
+    rows = [(i, [f"t{i}_{k}" for k in range(3 + i % 5)]) for i in range(40)]
+    tokenized = spark.createDataFrame(
+        rows, "doc_id long, pieces array<string>"
+    )
+    out = chunk_sequences(
+        tokenized, seq_len=8, shard_tokens=50, with_bounds=True
+    ).collect()
+    assert out, "no sequences produced"
+    for r in out:
+        assert sum(r.seg_lens) == 8 == len(r.tokens)
+        assert all(x > 0 for x in r.seg_lens)
+        # eos tokens inside the sequence close segments: every
+        # non-final segment must end on an eos token
+        pos = 0
+        for seg in r.seg_lens[:-1]:
+            pos += seg
+            assert r.tokens[pos - 1] == "<|eos|>"
+
+    # independent layout: same md5 order, same shard cut
+    order = sorted(rows, key=lambda t: hashlib.md5(str(t[0]).encode()).hexdigest())
+    before = 0
+    shards: dict[int, list[int]] = {}
+    for doc_id, pieces in order:
+        n = len(pieces) + 1
+        shards.setdefault(before // 50, []).append(n)
+        before += n
+    for shard_id, doc_lens in shards.items():
+        stream_len = sum(doc_lens)
+        want_seqs = stream_len // 8
+        got = [r for r in out if r.shard_id == shard_id]
+        assert len(got) == want_seqs
+        # concatenated seg_lens of the shard's sequences must be a
+        # prefix-refinement of doc_lens: merging runs that do NOT end
+        # at a doc boundary reconstructs the doc lengths (truncated
+        # by the dropped partial tail)
+        flat = [x for r in sorted(got, key=lambda r: r.seq_id)
+                for x in r.seg_lens]
+        merged, acc = [], 0
+        bounds_at = set()
+        t = 0
+        for n in doc_lens:
+            t += n
+            bounds_at.add(t)
+        pos = 0
+        for x in flat:
+            acc += x
+            pos += x
+            if pos in bounds_at:
+                merged.append(acc)
+                acc = 0
+        prefix = []
+        t = 0
+        for n in doc_lens:
+            t += n
+            if t <= want_seqs * 8:
+                prefix.append(n)
+        assert merged[: len(prefix)] == prefix
