@@ -751,6 +751,75 @@ def blocklist_filter(
     return docs.join(bad_docs, "doc_id", "left_anti")
 
 
+_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_eid)="
+
+
+def canonical_url_expr(col) -> Column:
+    """Deterministic URL canonicalization for crawl-level URL dedup
+    (the SURT-spirited normalization every web-curation pipeline runs
+    before anything content-based): strip the fragment, lowercase
+    scheme and host, drop a leading ``www.`` and the scheme's default
+    port, strip trailing path slashes, drop tracking query params
+    (utm_*, gclid, fbclid, ref, mc_eid) and SORT the survivors so
+    parameter order stops mattering. Pure column expressions — the
+    DuckDB oracle replicates every step exactly (pinned in
+    tests/test_pipeline.py). Contract-simple like _URL_RE: no
+    userinfo/IPv6/percent-decoding — the goal is a deterministic
+    equivalence key both engines agree on, not RFC 3986."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^(https?)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^https?://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).otherwise(F.regexp_replace(host, r":443$", ""))
+    path = F.regexp_extract(u, r"^https?://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.sort_array(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def url_dedup(
+    pages: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup — the cheapest dedup pass a crawl pipeline
+    runs FIRST (same page fetched via tracking-tagged / reordered /
+    www-variant URLs), before any content hashing: keeper = min id
+    per canonical URL via the map-side-combinable min-struct
+    ownership (the line_dedup shape — never a Window, a hot URL's
+    copies stay distributed). Output: (id, canonical_url, keeper,
+    is_kept)."""
+    with_canon = pages.select(
+        F.col(id_col), canonical_url_expr(url_col).alias("canonical_url")
+    )
+    owners = with_canon.groupBy("canonical_url").agg(
+        F.min(F.col(id_col)).alias("keeper")
+    )
+    return (
+        with_canon.join(owners, "canonical_url")
+        .select(
+            id_col,
+            "canonical_url",
+            "keeper",
+            (F.col(id_col) == F.col("keeper"))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",

@@ -2201,3 +2201,85 @@ def test_multimodal_pil_real_decode(spark):
     ).collect()
     assert (out[0].out_width, out[0].out_height) == (100, 50)
     assert out[0].n_bytes_out > 0
+
+
+def test_canonical_url_and_url_dedup_oracle(spark):
+    """URL canonicalization + URL-level dedup hash-match a DuckDB
+    replica of every normalization step on crafted crawl URLs
+    (tracking params, reordered query, www/port/fragment/trailing-
+    slash variants all collapse; distinct pages stay distinct)."""
+    import duckdb
+
+    from mod_reservoir_spark.pipeline.text import (
+        canonical_url_expr,
+        url_dedup,
+    )
+
+    urls = [
+        (1, "https://www.Example.com:443/a/b/?utm_source=x&z=2&a=1#frag"),
+        (2, "https://example.com/a/b?a=1&z=2"),
+        (3, "http://example.com:80/a/b?a=1&z=2"),  # http != https
+        (4, "https://example.com/a/b?z=2&a=1&fbclid=abc"),
+        (5, "https://example.com/other"),
+        (6, "https://example.com/other/"),
+        (7, "http://sub.example.com/a/b?a=1&z=2"),
+        (8, "https://example.com/a/b?a=2&z=2"),  # different value
+    ]
+    pages = spark.createDataFrame(urls, "doc_id long, url string")
+
+    got = {
+        r.doc_id: (r.canonical_url, r.keeper, r.is_kept)
+        for r in url_dedup(pages).collect()
+    }
+    # 1,2,4 collapse (https); 3 stays apart (scheme); 5,6 collapse;
+    # 7 and 8 are singletons
+    assert got[1][0] == got[2][0] == got[4][0] == "https://example.com/a/b?a=1&z=2"
+    assert got[1][1:] == (1, 1) and got[2][1:] == (1, 0) and got[4][1:] == (1, 0)
+    assert got[3][0] == "http://example.com/a/b?a=1&z=2"
+    assert got[3][2] == 1
+    assert got[5][0] == got[6][0] == "https://example.com/other"
+    assert got[7][2] == 1 and got[8][2] == 1
+
+    # full-step DuckDB replica over the same rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pages(doc_id BIGINT, url VARCHAR)"
+    )
+    con.executemany("INSERT INTO pages VALUES (?, ?)", urls)
+    sql = r"""
+    WITH s AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM pages),
+    p AS (
+      SELECT doc_id,
+        lower(regexp_extract(u, '^(https?)://', 1)) AS scheme,
+        regexp_replace(
+          lower(regexp_extract(u, '^https?://([^/?#]+)', 1)),
+          '^www\.', '') AS hostport,
+        regexp_replace(
+          regexp_extract(u, '^https?://[^/?#]+([^?#]*)', 1),
+          '/+$', '') AS path,
+        regexp_extract(u, '\?([^#]*)', 1) AS query
+      FROM s),
+    c AS (
+      SELECT doc_id,
+        scheme || '://' ||
+        CASE WHEN scheme = 'http'
+             THEN regexp_replace(hostport, ':80$', '')
+             ELSE regexp_replace(hostport, ':443$', '') END ||
+        path ||
+        CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+      FROM (
+        SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+                 str_split(query, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_eid)=')
+               )), '&'), '') AS qs
+        FROM p)),
+    o AS (SELECT canonical_url, min(doc_id) AS keeper
+          FROM c GROUP BY 1)
+    SELECT c.doc_id, c.canonical_url, o.keeper,
+           (CASE WHEN c.doc_id = o.keeper THEN 1 ELSE 0 END)::INTEGER
+             AS is_kept
+    FROM c JOIN o USING (canonical_url)
+    """
+    _hash_vs_oracle(url_dedup(pages), con, sql)
