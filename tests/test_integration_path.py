@@ -69,9 +69,25 @@ def test_web_to_training_path(spark, tmp_path):
         F.regexp_extract("target_uri", r"/(\d+)$", 1)
         .cast("long")
         .alias("doc_id"),
+        F.col("target_uri").alias("url"),
         F.decode("payload", "utf-8").alias("text"),
     )
     assert html_docs.count() == len(pages)
+
+    # 1b. URL-level dedup — the pass that runs BEFORE any content
+    # work: the same capture re-fetched under a tracking-tagged URL
+    # variant must collapse to one keeper
+    from mod_reservoir_spark.pipeline.text import url_dedup
+
+    refetch = html_docs.filter("doc_id = 3").select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat(F.col("url"), F.lit("?utm_source=feed")).alias("url"),
+        "text",
+    )
+    crawl = html_docs.unionByName(refetch)
+    kept_urls = url_dedup(crawl).filter("is_kept = 1").select("doc_id")
+    assert kept_urls.count() == len(pages)  # the refetch collapsed
+    html_docs = crawl.join(kept_urls, "doc_id").select("doc_id", "text")
 
     # 2. extraction: the content paragraph survives, script and the
     # link-dense block are dropped
