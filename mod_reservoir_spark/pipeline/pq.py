@@ -1,0 +1,460 @@
+"""Product-quantized ANN serving (IVF-PQ) — the billion-vector shape.
+
+The scalar path (:func:`similarity.quantize_embeddings`) shrinks
+float32 4× and still re-scores from codes; PQ is the structure
+actually used at 100 TB vector scale (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — the layout
+behind FAISS's IVFPQ): split each d-dim vector into ``m`` subspaces,
+k-means each subspace against its own ``ksub``-entry codebook, and
+store only the m nearest-centroid ids — **m bytes per vector** at
+ksub<=128 (64-dim float32 256 B → 16 B at the m=16 default, 16×).
+
+Serving never reconstructs vectors: Asymmetric Distance Computation
+(ADC) turns a query into an m×ksub lookup table of subspace partial
+inner products; a candidate's score is the sum of m table entries
+picked by its codes. Here BOTH sides of that are JVM expressions —
+the LUT is built with higher-order functions over the literal
+codebook array and the per-candidate sum is a zip_with/aggregate over
+the codes column — so the hot scoring path has **no Python crossing
+at all** and the scan reads only (id, codes) (plan-guarded in
+tests/test_pq.py). Scores are the ADC *approximation* of cosine
+(ip̂ / (|q|·|x̂|) over the reconstruction x̂); ``rescore=True`` joins
+the ADC shortlist back to float vectors for exact final ranking.
+
+Scale shape: `pq_topk` is the brute ADC scan (every code row, tiny
+rows); `ivf_pq_topk` prunes candidates to the probed IVF cells first
+— probe table is (queries × nprobe) rows, candidates come from one
+equi-join on the cell id, exactly the :func:`similarity.ivf_topk`
+silhouette but over 8-byte codes instead of 256-byte vectors.
+
+Cross-engine determinism (the repo-wide convention): every
+assignment/ranking site rounds to 6 decimals first and breaks ties
+toward the lowest index/id, so a DuckDB oracle handed the same
+codebook literals reproduces codes and scores exactly.
+
+Reference parity note: the reference (folio-org/mod-reservoir) has no
+vector search at all — this module extends the engine for the
+LLM-training-data workloads the build brief adds as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import _dot, _topk
+
+
+def _split_dims(d: int, m: int) -> int:
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    return d // m
+
+
+def _code_type(ksub: int) -> str:
+    # codes are 0..ksub-1; signed tinyint holds <=127
+    return "tinyint" if ksub <= 128 else "smallint"
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 16,
+    ksub: int = 32,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[list[float]]], list[float]]:
+    """Per-subspace Lloyd refinement for the PQ codebooks.
+
+    Same scalable shape as :func:`similarity.kmeans_train`: each
+    iteration broadcasts the (tiny) m×ksub×dsub codebook tensor and
+    makes ONE Arrow-batched corpus pass emitting per-batch PARTIAL
+    sums — (sub, cid, count, sum-subvector, inertia) rows — so the
+    driver reduce is kilobytes regardless of corpus size. Assignment
+    is squared-L2 argmin per subspace with round-6 distances and
+    lowest-cid ties (the cross-engine rule). Empty cells keep their
+    previous centroid. Seeds are the subvectors of the ``ksub``
+    smallest ids — deterministic and oracle-reproducible.
+
+    Returns (codebooks, inertia_history): codebooks[sub][cid] is a
+    dsub-float centroid; inertia is the summed squared-L2 to the
+    assigned centroids (non-increasing across iterations is the
+    convergence pin in tests/test_pq.py).
+    """
+    import numpy as np
+
+    seed_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("pq_train: empty corpus")
+    d = len(seed_rows[0][1])
+    dsub = _split_dims(d, m)
+    seeds = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+    ksub = seeds.shape[0]  # corpus smaller than ksub seeds fewer cells
+    # cb[sub, cid] = seed cid's sub-th subvector
+    cb = seeds.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+    sc = embeddings.sparkSession.sparkContext
+    history: list[float] = []
+    for _ in range(iterations):
+        bc = sc.broadcast(cb)
+
+        def partials(batches, bc=bc, m=m, ksub=ksub, dsub=dsub):
+            import pandas as pd
+
+            bcb = bc.value
+            sums = np.zeros((m, ksub, dsub))
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            inertia = 0.0
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                vm = np.array(pdf[pdf.columns[0]].tolist(), dtype=np.float64)
+                r = vm.reshape(len(vm), m, dsub)
+                # (rows, m, ksub) squared-L2; round-6 + first-min tie
+                d2 = np.round(
+                    ((r[:, :, None, :] - bcb[None, :, :, :]) ** 2).sum(-1),
+                    6,
+                )
+                code = d2.argmin(axis=2)
+                inertia += float(
+                    np.take_along_axis(d2, code[:, :, None], 2).sum()
+                )
+                for sub in range(m):
+                    np.add.at(sums[sub], code[:, sub], r[:, sub, :])
+                    np.add.at(counts[sub], code[:, sub], 1)
+            if seen:
+                subs, cids = np.divmod(np.arange(m * ksub), ksub)
+                yield pd.DataFrame(
+                    {
+                        "sub": subs,
+                        "cid": cids,
+                        "n": counts.ravel(),
+                        "s": [row.tolist() for row in sums.reshape(-1, dsub)],
+                        "inertia": [inertia] + [0.0] * (m * ksub - 1),
+                    }
+                )
+
+        rows = (
+            embeddings.select(vec_col)
+            .mapInPandas(
+                partials,
+                schema="sub long, cid long, n long, s array<double>, "
+                "inertia double",
+            )
+            .collect()
+        )
+        sums = np.zeros_like(cb)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        inertia = 0.0
+        for r in rows:
+            sums[r["sub"], r["cid"]] += np.array(r["s"])
+            counts[r["sub"], r["cid"]] += r["n"]
+            inertia += r["inertia"]
+        nonempty = counts > 0
+        cb = np.where(
+            nonempty[:, :, None],
+            sums / np.maximum(counts, 1)[:, :, None],
+            cb,
+        )
+        history.append(round(inertia, 6))
+        bc.destroy()
+    return [[c.tolist() for c in sub] for sub in cb], history
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its m nearest sub-centroid ids.
+
+    One Arrow-batched argmin pass with the broadcast codebook tensor —
+    no shuffle; output (vec_id, codes array<tinyint>) is the m-byte
+    storage row. Round-6 squared-L2 + lowest-cid ties, so a DuckDB
+    oracle handed the same codebook literals produces identical codes.
+    """
+    import numpy as np
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cbm = np.array(codebooks, dtype=np.float64)
+    bc = embeddings.sparkSession.sparkContext.broadcast(cbm)
+    ctype = _code_type(ksub)
+
+    def encode(batches):
+        import pandas as pd
+
+        bcb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            r = vm.reshape(len(vm), m, dsub)
+            d2 = np.round(
+                ((r[:, :, None, :] - bcb[None, :, :, :]) ** 2).sum(-1), 6
+            )
+            code = d2.argmin(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "codes": [row for row in code],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"vec_id long, codes array<{ctype}>"
+    )
+
+
+def _adc_score(codes_col, lut_col, qnorm_col, codebooks):
+    """The JVM ADC expression: approximate cosine from codes + a
+    per-query inner-product LUT. Reconstruction norm² comes from the
+    query-independent |centroid|² table inlined as a literal."""
+    n2_lit = F.lit(
+        [
+            [sum(x * x for x in c) for c in sub]
+            for sub in codebooks
+        ]
+    )
+    pick = lambda table: F.aggregate(  # noqa: E731
+        F.zip_with(
+            codes_col,
+            table,
+            lambda c, l: F.element_at(l, c.cast("int") + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ip = pick(lut_col)
+    denom = qnorm_col * F.sqrt(pick(n2_lit))
+    return F.when(denom > 0, F.round(ip / denom, 6)).otherwise(
+        F.lit(float("nan"))
+    )
+
+
+def _query_lut(codebooks, vec_col: str = "embedding"):
+    """Per-query LUT column: lut[sub][cid] = q_sub · centroid — built
+    entirely with higher-order functions over the literal codebook
+    array (no Python, no collect; the query frame can be any size)."""
+    dsub = len(codebooks[0][0])
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.transform(
+        F.lit(codebooks),
+        lambda sub, s: F.transform(
+            sub,
+            lambda c: _dot(F.slice(qv, s * F.lit(dsub) + F.lit(1), dsub), c),
+        ),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    rescore: bool | DataFrame = False,
+    shortlist: int = 8,
+) -> DataFrame:
+    """Brute ADC top-k: every (query, code-row) pair scored JVM-side.
+
+    The query side is projected to (id, LUT, |q|) — m×ksub doubles per
+    query — and cross-joined against the codes scan; Spark broadcasts
+    whichever side is small (the usual serving case: the query batch).
+    No driver collect anywhere, so mega query batches are just a bigger
+    shuffle, not a broadcast hazard.
+
+    ``rescore``: pass the float embeddings DataFrame to re-rank an ADC
+    shortlist of ``shortlist``·k candidates per query with exact
+    cosine — the standard two-stage serving refinement; output then
+    carries the exact score. Default off: pure-codes serving.
+
+    Output: (query_id, neighbor_id, score, rank) — the family
+    contract; score is the ADC cosine approximation (round-6).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _query_lut(codebooks, vec_col).alias("_lut"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            9,
+        ).alias("_qnorm"),
+    )
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("_codes")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_score(
+                F.col("_codes"), F.col("_lut"), F.col("_qnorm"), codebooks
+            ).alias("score"),
+        )
+    )
+    if rescore is False:
+        return _topk(scored, k)
+    return _rescore(scored, queries, rescore, k, shortlist, id_col, vec_col)
+
+
+def _rescore(
+    scored: DataFrame,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of the ADC shortlist (top shortlist·k per
+    query): two equi-joins against the float vectors, then the same
+    round-6 cosine every exact path uses."""
+    from .similarity import _norm
+
+    short = _topk(scored, shortlist * k).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    a = F.transform(F.col("_qv"), lambda x: x.cast("double"))
+    b = F.transform(F.col("_cv"), lambda x: x.cast("double"))
+    exact = (
+        short.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6).alias("score"),
+        )
+    )
+    return _topk(exact, k)
+
+
+def pq_index(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF-PQ serving table: (vec_id, cell, codes) —
+    the coarse cell from :func:`similarity.ivf_assign` joined to the
+    PQ codes, i.e. ~9 bytes of index per vector at the defaults.
+    Write it partitioned/sorted by cell and `ivf_pq_topk` serves with
+    cell-pruned scans."""
+    from .similarity import ivf_assign
+
+    cells = ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids
+    )
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    return cells.join(codes, "vec_id")
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rescore: bool | DataFrame = False,
+    shortlist: int = 8,
+) -> DataFrame:
+    """IVF-PQ serving: queries probe their ``nprobe`` nearest coarse
+    cells (round-6 cosine + lowest-cell ties — the ivf_topk rule);
+    candidates come from ONE equi-join on the cell id against the
+    (cell, codes) index; ADC scores the candidates JVM-side.
+
+    With nprobe >= n_cells this equals :func:`pq_topk` exactly
+    (pinned in tests). The candidate generator is an equi-join on a
+    bounded key and the per-candidate row is m bytes — the silhouette
+    that survives a billion-vector corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cm = np.array(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cm * cm).sum(axis=1))
+    bc = index.sparkSession.sparkContext.broadcast((cm, cnorm))
+
+    def probe(batches):
+        bcm, bcnorm = bc.value
+        npb = min(nprobe, len(bcm))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            s = np.round(
+                (vm @ bcm.T) / (vnorm[:, None] * bcnorm[None, :]), 6
+            )
+            order = np.lexsort(
+                (np.tile(np.arange(s.shape[1]), (len(vm), 1)), -s), axis=1
+            )[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), npb),
+                    "cell": order.ravel(),
+                }
+            )
+
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe, schema="query_id long, cell long"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _query_lut(codebooks, vec_col).alias("_lut"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            9,
+        ).alias("_qnorm"),
+    )
+    cand = (
+        probes.join(
+            index.select(
+                F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "codes")
+        .distinct()
+    )
+    scored = cand.join(q, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        _adc_score(
+            F.col("codes"), F.col("_lut"), F.col("_qnorm"), codebooks
+        ).alias("score"),
+    )
+    if rescore is False:
+        return _topk(scored, k)
+    return _rescore(scored, queries, rescore, k, shortlist, id_col, vec_col)
