@@ -12,20 +12,30 @@ ksub<=128 (64-dim float32 256 B → 16 B at the m=16 default, 16×).
 Serving never reconstructs vectors: Asymmetric Distance Computation
 (ADC) turns a query into an m×ksub lookup table of subspace partial
 inner products; a candidate's score is the sum of m table entries
-picked by its codes. Here BOTH sides of that are JVM expressions —
-the LUT is built with higher-order functions over the literal
-codebook array and the per-candidate sum is a zip_with/aggregate over
-the codes column — so the hot scoring path has **no Python crossing
-at all** and the scan reads only (id, codes) (plan-guarded in
-tests/test_pq.py). Scores are the ADC *approximation* of cosine
-(ip̂ / (|q|·|x̂|) over the reconstruction x̂); ``rescore=True`` joins
-the ADC shortlist back to float vectors for exact final ranking.
+picked by its codes. Two scoring regimes, routed by query-set size
+exactly like lsh_topk_quantized:
+
+- **broadcast path** (the serving case): LUTs built driver-side and
+  broadcast; the codes scan streams through ONE Arrow-batched pass
+  where scoring is m numpy gathers per batch — the cosine_topk hot
+  shape. The scan reads only (id, codes) (plan-guarded).
+- **past-cutover fallback** (mega query sets): no driver collect —
+  the LUT becomes a JVM expression column (higher-order functions
+  over the literal codebook array) and scoring a crossJoin
+  expression. HOFs evaluate interpreted (no whole-stage codegen), so
+  per-pair this is ~5× slower (measured at 200k×100, sf10 round 7) —
+  the price of unbounded query sets; both paths produce identical
+  round-6 scores (equivalence-pinned).
+
+Scores are the ADC *approximation* of cosine (ip̂ / (|q|·|x̂|) over
+the reconstruction x̂); ``rescore=True`` joins the ADC shortlist back
+to float vectors for exact final ranking.
 
 Scale shape: `pq_topk` is the brute ADC scan (every code row, tiny
 rows); `ivf_pq_topk` prunes candidates to the probed IVF cells first
 — probe table is (queries × nprobe) rows, candidates come from one
 equi-join on the cell id, exactly the :func:`similarity.ivf_topk`
-silhouette but over 8-byte codes instead of 256-byte vectors.
+silhouette but over m-byte codes instead of 256-byte vectors.
 
 Cross-engine determinism (the repo-wide convention): every
 assignment/ranking site rounds to 6 decimals first and breaks ties
@@ -213,17 +223,10 @@ def pq_encode(
     )
 
 
-def _adc_score(codes_col, lut_col, qnorm_col, codebooks):
-    """The JVM ADC expression: approximate cosine from codes + a
-    per-query inner-product LUT. Reconstruction norm² comes from the
-    query-independent |centroid|² table inlined as a literal."""
-    n2_lit = F.lit(
-        [
-            [sum(x * x for x in c) for c in sub]
-            for sub in codebooks
-        ]
-    )
-    pick = lambda table: F.aggregate(  # noqa: E731
+def _pick(codes_col, table):
+    """Sum of the m table entries selected by the codes: the ADC
+    inner loop, a zip_with/aggregate JVM expression."""
+    return F.aggregate(
         F.zip_with(
             codes_col,
             table,
@@ -232,8 +235,27 @@ def _adc_score(codes_col, lut_col, qnorm_col, codebooks):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    ip = pick(lut_col)
-    denom = qnorm_col * F.sqrt(pick(n2_lit))
+
+
+def _recon_n2(codes_col, codebooks):
+    """Reconstruction norm² per code row, from the query-independent
+    |centroid|² table. MUST be projected on the corpus side BEFORE
+    any join with the query side: the literal m×ksub array is
+    constructed per evaluating row, so evaluating it per (query ×
+    candidate) pair instead of per candidate was a measured 25×
+    serving slowdown at 200k×100 (sf10 run, round 7)."""
+    n2_lit = F.lit(
+        [[sum(x * x for x in c) for c in sub] for sub in codebooks]
+    )
+    return _pick(codes_col, n2_lit)
+
+
+def _adc_score(lut_col, qnorm_col, codes_col, n2_col):
+    """The per-pair JVM ADC expression: approximate cosine from the
+    candidate's codes + the query's inner-product LUT + the
+    PRE-projected reconstruction norm² column (see _recon_n2)."""
+    ip = _pick(codes_col, lut_col)
+    denom = qnorm_col * F.sqrt(n2_col)
     return F.when(denom > 0, F.round(ip / denom, 6)).otherwise(
         F.lit(float("nan"))
     )
@@ -242,7 +264,11 @@ def _adc_score(codes_col, lut_col, qnorm_col, codebooks):
 def _query_lut(codebooks, vec_col: str = "embedding"):
     """Per-query LUT column: lut[sub][cid] = q_sub · centroid — built
     entirely with higher-order functions over the literal codebook
-    array (no Python, no collect; the query frame can be any size)."""
+    array (no Python, no collect; the query frame can be any size).
+    Used on the PAST-CUTOVER path only: HOF expressions evaluate
+    interpreted (no whole-stage codegen), so per-pair they lose to the
+    Arrow-batched numpy path by ~5× — but they need no driver collect,
+    which is what the mega-query regime requires."""
     dsub = len(codebooks[0][0])
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return F.transform(
@@ -252,6 +278,31 @@ def _query_lut(codebooks, vec_col: str = "embedding"):
             lambda c: _dot(F.slice(qv, s * F.lit(dsub) + F.lit(1), dsub), c),
         ),
     )
+
+
+def _np_luts(q_rows, codebooks):
+    """(qids, luts, qnorms) numpy triple from collected query rows:
+    luts[q, sub, cid] = q_sub · centroid, qnorm rounded to 9 (the same
+    rounding site as the JVM/SQL formulations, so both serving paths
+    and the DuckDB oracle produce identical round-6 scores)."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cbm = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qsub = qm.reshape(len(q_rows), m, dsub)
+    luts = np.einsum("qms,mks->qmk", qsub, cbm)
+    qnorms = np.round(np.sqrt((qm * qm).sum(axis=1)), 9)
+    return qids, luts, qnorms
+
+
+def _np_n2(codebooks):
+    import numpy as np
+
+    cbm = np.array(codebooks, dtype=np.float64)
+    return (cbm * cbm).sum(axis=2)  # (m, ksub)
 
 
 def pq_topk(
@@ -264,14 +315,25 @@ def pq_topk(
     vec_col: str = "embedding",
     rescore: bool | DataFrame = False,
     shortlist: int = 8,
+    max_broadcast_queries: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
-    """Brute ADC top-k: every (query, code-row) pair scored JVM-side.
+    """Brute ADC top-k over every code row.
 
-    The query side is projected to (id, LUT, |q|) — m×ksub doubles per
-    query — and cross-joined against the codes scan; Spark broadcasts
-    whichever side is small (the usual serving case: the query batch).
-    No driver collect anywhere, so mega query batches are just a bigger
-    shuffle, not a broadcast hazard.
+    Fast path (query batch under the broadcast cutover — the serving
+    case): queries are collected, their LUTs built driver-side, and
+    the corpus streams through ONE Arrow-batched pass where scoring is
+    m numpy gathers per batch — the :func:`similarity.cosine_topk`
+    shape, no shuffle of the corpus. (A pure zip_with/aggregate
+    formulation was tried first: Spark higher-order functions run
+    interpreted, ~5× slower per pair at 200k×100 — the same lesson
+    cosine_topk's docstring records.)
+
+    Past the cutover the no-collect fallback kicks in: the LUT becomes
+    a JVM expression column (:func:`_query_lut`) and scoring a
+    crossJoin + expression — slower per pair but shuffle-safe at any
+    query-set size. ``n_queries`` is the caller hint that skips the
+    routing probe (the lsh_topk_quantized contract).
 
     ``rescore``: pass the float embeddings DataFrame to re-rank an ADC
     shortlist of ``shortlist``·k candidates per query with exact
@@ -279,8 +341,98 @@ def pq_topk(
     carries the exact score. Default off: pure-codes serving.
 
     Output: (query_id, neighbor_id, score, rank) — the family
-    contract; score is the ADC cosine approximation (round-6).
+    contract; score is the ADC cosine approximation (round-6),
+    identical on both paths (pinned in tests/test_pq.py).
     """
+    from .similarity import MAX_BROADCAST_QUERIES
+
+    if max_broadcast_queries is None:
+        max_broadcast_queries = MAX_BROADCAST_QUERIES
+    q_rows = None
+    if n_queries is not None:
+        over = n_queries > max_broadcast_queries
+    else:
+        q_rows = (
+            queries.select(id_col, vec_col)
+            .limit(max_broadcast_queries + 1)
+            .collect()
+        )
+        over = len(q_rows) > max_broadcast_queries
+    if over:
+        scored = _adc_scored_distributed(
+            codes, queries, codebooks, id_col, codes_col, vec_col
+        )
+    else:
+        if q_rows is None:
+            q_rows = queries.select(id_col, vec_col).collect()
+        scored = _adc_scored_broadcast(
+            codes, q_rows, codebooks, id_col, codes_col
+        )
+    if rescore is False:
+        return _topk(scored, k)
+    return _rescore(scored, queries, rescore, k, shortlist, id_col, vec_col)
+
+
+def _adc_scored_broadcast(
+    codes: DataFrame, q_rows, codebooks, id_col: str, codes_col: str
+) -> DataFrame:
+    """(query_id, neighbor_id, score) via broadcast LUTs + one
+    Arrow-batched numpy pass over the codes scan."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    qids, luts, qnorms = _np_luts(q_rows, codebooks)
+    n2_tab = _np_n2(codebooks)
+    bq = codes.sparkSession.sparkContext.broadcast(
+        (qids, luts, qnorms, n2_tab)
+    )
+
+    def score(batches):
+        bqids, bluts, bqnorms, bn2 = bq.value
+        sub_ix = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[codes_col].tolist(), dtype=np.int64)
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            n2 = bn2[sub_ix[None, :], cm].sum(axis=1)
+            # ip[q, row] = sum over sub of lut[q, sub, code[row, sub]]
+            ip = np.zeros((len(bqids), len(nids)))
+            for sub in range(m):
+                ip += bluts[:, sub, :][:, cm[:, sub]]
+            denom = bqnorms[:, None] * np.sqrt(n2)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(denom > 0, ip / denom, np.nan)
+            sflat = np.round(s.ravel(), 6)
+            qcol = np.repeat(bqids, len(nids))
+            ncol = np.tile(nids, len(bqids))
+            mask = qcol != ncol
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol[mask],
+                    "neighbor_id": ncol[mask],
+                    "score": sflat[mask],
+                }
+            )
+
+    return codes.select(id_col, codes_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double"
+    )
+
+
+def _adc_scored_distributed(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    id_col: str,
+    codes_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, neighbor_id, score) with NO driver collect: the LUT
+    is a JVM expression column on the query side, scoring a crossJoin
+    expression. Per-pair this is interpreted-HOF slow, but it is the
+    shape that survives an unbounded query set."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _query_lut(codebooks, vec_col).alias("_lut"),
@@ -296,22 +448,21 @@ def pq_topk(
         ).alias("_qnorm"),
     )
     c = codes.select(
-        F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("_codes")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(codes_col).alias("_codes"),
+        _recon_n2(F.col(codes_col), codebooks).alias("_n2"),
     )
-    scored = (
+    return (
         c.crossJoin(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             _adc_score(
-                F.col("_codes"), F.col("_lut"), F.col("_qnorm"), codebooks
+                F.col("_lut"), F.col("_qnorm"), F.col("_codes"), F.col("_n2")
             ).alias("score"),
         )
     )
-    if rescore is False:
-        return _topk(scored, k)
-    return _rescore(scored, queries, rescore, k, shortlist, id_col, vec_col)
 
 
 def _rescore(
@@ -381,11 +532,15 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     rescore: bool | DataFrame = False,
     shortlist: int = 8,
+    max_broadcast_queries: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF-PQ serving: queries probe their ``nprobe`` nearest coarse
     cells (round-6 cosine + lowest-cell ties — the ivf_topk rule);
     candidates come from ONE equi-join on the cell id against the
-    (cell, codes) index; ADC scores the candidates JVM-side.
+    (cell, codes) index; ADC scores the candidates with the broadcast
+    numpy LUTs (query sets past the broadcast cutover fall back to the
+    no-collect JVM-expression scoring — see :func:`pq_topk`).
 
     With nprobe >= n_cells this equals :func:`pq_topk` exactly
     (pinned in tests). The candidate generator is an equi-join on a
@@ -394,6 +549,11 @@ def ivf_pq_topk(
     """
     import numpy as np
     import pandas as pd
+
+    from .similarity import MAX_BROADCAST_QUERIES
+
+    if max_broadcast_queries is None:
+        max_broadcast_queries = MAX_BROADCAST_QUERIES
 
     cm = np.array(centroids, dtype=np.float64)
     cnorm = np.sqrt((cm * cm).sum(axis=1))
@@ -423,38 +583,105 @@ def ivf_pq_topk(
     probes = queries.select(id_col, vec_col).mapInPandas(
         probe, schema="query_id long, cell long"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _query_lut(codebooks, vec_col).alias("_lut"),
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x * x,
-                )
-            ),
-            9,
-        ).alias("_qnorm"),
-    )
-    cand = (
-        probes.join(
-            index.select(
-                F.col("vec_id").alias("neighbor_id"), "cell", "codes"
-            ),
-            "cell",
+    q_rows = None
+    if n_queries is not None:
+        over = n_queries > max_broadcast_queries
+    else:
+        q_rows = (
+            queries.select(id_col, vec_col)
+            .limit(max_broadcast_queries + 1)
+            .collect()
         )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "codes")
-        .distinct()
-    )
-    scored = cand.join(q, "query_id").select(
-        "query_id",
-        "neighbor_id",
-        _adc_score(
-            F.col("codes"), F.col("_lut"), F.col("_qnorm"), codebooks
-        ).alias("score"),
-    )
+        over = len(q_rows) > max_broadcast_queries
+    if over:
+        cand = (
+            probes.join(
+                index.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    "cell",
+                    "codes",
+                    # norm² projected per INDEX row, before the probe
+                    # join fans candidates out per query (_recon_n2)
+                    _recon_n2(F.col("codes"), codebooks).alias("_n2"),
+                ),
+                "cell",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "codes", "_n2")
+            .distinct()
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _query_lut(codebooks, vec_col).alias("_lut"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.col(vec_col), lambda x: x.cast("double")
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x * x,
+                    )
+                ),
+                9,
+            ).alias("_qnorm"),
+        )
+        scored = cand.join(q, "query_id").select(
+            "query_id",
+            "neighbor_id",
+            _adc_score(
+                F.col("_lut"), F.col("_qnorm"), F.col("codes"), F.col("_n2")
+            ).alias("score"),
+        )
+    else:
+        if q_rows is None:
+            q_rows = queries.select(id_col, vec_col).collect()
+        cand = (
+            probes.join(
+                index.select(
+                    F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+                ),
+                "cell",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "codes")
+            .distinct()
+        )
+        m = len(codebooks)
+        qids, luts, qnorms = _np_luts(q_rows, codebooks)
+        n2_tab = _np_n2(codebooks)
+        qidx = {int(qid): i for i, qid in enumerate(qids)}
+        bq = index.sparkSession.sparkContext.broadcast(
+            (qidx, luts, qnorms, n2_tab)
+        )
+
+        def score(batches):
+            bqidx, bluts, bqnorms, bn2 = bq.value
+            sub_ix = np.arange(m)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cm_codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+                qi = np.array(
+                    [bqidx[q] for q in pdf["query_id"]], dtype=np.int64
+                )
+                n2 = bn2[sub_ix[None, :], cm_codes].sum(axis=1)
+                picked = bluts[qi[:, None], sub_ix[None, :], cm_codes]
+                ip = picked.sum(axis=1)
+                denom = bqnorms[qi] * np.sqrt(n2)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = np.where(denom > 0, ip / denom, np.nan)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "score": np.round(s, 6),
+                    }
+                )
+
+        scored = cand.mapInPandas(
+            score, schema="query_id long, neighbor_id long, score double"
+        )
     if rescore is False:
         return _topk(scored, k)
     return _rescore(scored, queries, rescore, k, shortlist, id_col, vec_col)
