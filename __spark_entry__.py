@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from mod_reservoir_spark.operators.clustering import cluster_all_pools
 from mod_reservoir_spark.operators.export import keyset_page
 from mod_reservoir_spark.pipeline import dedup as dd
+from mod_reservoir_spark.pipeline import pq as pqm
 from mod_reservoir_spark.pipeline import similarity as sim
 from mod_reservoir_spark.pipeline import sampling as smp
 from mod_reservoir_spark.pipeline import text as tx
@@ -640,6 +641,43 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(
         emb, queries, k=5, n_centroids=16, nprobe=4
     ).withColumnRenamed("rank", "rnk")
+
+
+# PQ contract shape: m=8 subspaces of dsub=8 dims, ksub=8 centroids,
+# ONE unrolled Lloyd update — small enough that the oracle can derive
+# the codebooks from the embeddings view itself (seeds = subvectors of
+# the 8 smallest vec_ids), so the SQL is fully self-contained.
+PQ_M = 8
+PQ_KSUB = 8
+
+
+def q_pq_codes(spark, sf_dir):
+    """PQ storage rows (pipeline/pq.py): per-subspace Lloyd (ONE
+    update over deterministic smallest-id seeds) then nearest-sub-
+    centroid encoding — the m-byte form a 100 TB vector corpus ships
+    in. The oracle unrolls seed selection, round-6 L2 assignment, the
+    per-dimension mean update (empty cells keep their seed) and the
+    re-encode entirely from the embeddings view."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb, _hist = pqm.pq_train(emb, m=PQ_M, ksub=PQ_KSUB, iterations=1)
+    return pqm.pq_encode(emb, cb).selectExpr(
+        "vec_id", "transform(codes, c -> cast(c as bigint)) as codes"
+    )
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """ADC serving from PQ codes only (pipeline/pq.py pq_topk): the
+    query LUT of subspace inner products + sum-of-m-entries scoring,
+    approximate-cosine top-5 — never reconstructing a vector. Same
+    one-update codebooks as q_pq_codes; oracle recomputes LUT, the
+    |centroid|² table and the ADC ranking in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb, _hist = pqm.pq_train(emb, m=PQ_M, ksub=PQ_KSUB, iterations=1)
+    codes = pqm.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pqm.pq_topk(codes, queries, cb, k=5).withColumnRenamed(
+        "rank", "rnk"
+    )
 
 
 def _q6(x: float) -> int:
@@ -1595,9 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dedup_keep": q_near_dedup_keep,
         "embedding_lsh_topk": q_embedding_lsh_topk,
-        "embedding_lsh_self": q_embedding_lsh_self,
         "embedding_near_dup": q_embedding_near_dup,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
         "kmeans_train": q_kmeans_train,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1634,6 +1670,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_routed": q_ivf_routed,
         "bm25_stream_index": q_bm25_stream_index,
         "semantic_dedup_routed": q_semantic_dedup_routed,
+        # round-7 late promotions (rotation 3b: IVF-PQ lands with
+        # fully self-contained SQL oracles; embedding_lsh_self and
+        # embedding_ivf_topk — stable since r1/r2, superseded as scale
+        # paths by the quantized/routed/PQ family — rotate out)
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 
@@ -3151,6 +3193,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (query, oracle) pair below against DuckDB at sf0.001 with the
     driver's own comparator."""
     return {
+        # round-7 retirements (rotation 3b: superseded scale paths)
+        "embedding_lsh_self": q_embedding_lsh_self,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         # round-7 retirements (rotation 3: long-stable r2-r4 rows)
         "embedding_topk": q_embedding_topk,
         "cluster_histogram": q_cluster_histogram,
@@ -4162,8 +4207,131 @@ def _semantic_dedup_routed_oracle(
     """)
 
 
+def _pq_chain(m: int = PQ_M, ksub: int = PQ_KSUB, dsub: int = 8) -> str:
+    """Shared CTE chain for the PQ contract rows: seed codebooks from
+    the ksub smallest vec_ids' subvectors, round-6 L2 assignment
+    (lowest-cid ties), ONE per-dimension-mean Lloyd update (empty
+    cells keep their seed), re-assignment → codes. Fully derived from
+    the embeddings view — no literals, so the SQL is static across
+    scale factors. dsub=8 matches the testdata's 64-dim vectors at
+    m=8 (pipeline/pq.py pq_train/pq_encode)."""
+    return f"""
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                 embedding
+          FROM embeddings ORDER BY vec_id LIMIT {ksub}
+        ),
+        subs AS (SELECT unnest(range({m})) AS sub),
+        dims AS (SELECT unnest(range(1, {dsub} + 1)) AS i),
+        cb0 AS (
+          SELECT s.sub, sd.cid, d.i,
+                 sd.embedding[s.sub * {dsub} + d.i]::DOUBLE AS v
+          FROM seeds sd, subs s, dims d
+        ),
+        d0 AS (
+          SELECT e.vec_id, c.sub, c.cid,
+                 round(sum((e.embedding[c.sub * {dsub} + c.i]::DOUBLE
+                            - c.v) ^ 2), 6) AS d2
+          FROM embeddings e, cb0 c
+          GROUP BY e.vec_id, c.sub, c.cid
+        ),
+        a0 AS (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+            FROM d0) WHERE rn = 1
+        ),
+        m1 AS (
+          SELECT a.sub, a.cid, d.i,
+                 avg(e.embedding[a.sub * {dsub} + d.i]::DOUBLE) AS v
+          FROM a0 a JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+          GROUP BY a.sub, a.cid, d.i
+        ),
+        cb1 AS (
+          SELECT c0.sub, c0.cid, c0.i, coalesce(m1.v, c0.v) AS v
+          FROM cb0 c0 LEFT JOIN m1
+            ON m1.sub = c0.sub AND m1.cid = c0.cid AND m1.i = c0.i
+        ),
+        d1 AS (
+          SELECT e.vec_id, c.sub, c.cid,
+                 round(sum((e.embedding[c.sub * {dsub} + c.i]::DOUBLE
+                            - c.v) ^ 2), 6) AS d2
+          FROM embeddings e, cb1 c
+          GROUP BY e.vec_id, c.sub, c.cid
+        ),
+        a1 AS (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+            FROM d1) WHERE rn = 1
+        ),
+        pq_codes AS (
+          SELECT vec_id, list(cid ORDER BY sub) AS codes
+          FROM a1 GROUP BY vec_id
+        )"""
+
+
+def _pq_oracles(m: int = PQ_M, dsub: int = 8, k: int = 5) -> dict[str, str]:
+    chain = _pq_chain()
+    return {
+        "pq_codes": f"""
+            WITH {chain}
+            SELECT vec_id, codes FROM pq_codes
+        """,
+        "pq_adc_topk": f"""
+            WITH {chain},
+            q AS (SELECT vec_id AS query_id, embedding
+                  FROM embeddings WHERE vec_id % 50 = 0),
+            lut AS (
+              SELECT q.query_id, c.sub, c.cid,
+                     sum(q.embedding[c.sub * {dsub} + c.i]::DOUBLE
+                         * c.v) AS ip
+              FROM q, cb1 c GROUP BY q.query_id, c.sub, c.cid
+            ),
+            n2 AS (
+              SELECT sub, cid, sum(v * v) AS n2
+              FROM cb1 GROUP BY sub, cid
+            ),
+            qn AS (
+              SELECT query_id, round(sqrt(list_sum(list_transform(
+                       embedding, x -> x::DOUBLE * x::DOUBLE))), 9)
+                       AS qnorm
+              FROM q
+            ),
+            terms AS (
+              SELECT qn.query_id, c.vec_id AS neighbor_id, s.sub,
+                     c.codes[s.sub + 1] AS cid
+              FROM qn, pq_codes c, subs s
+              WHERE c.vec_id <> qn.query_id
+            ),
+            scored AS (
+              SELECT t.query_id, t.neighbor_id,
+                     sum(l.ip) AS ip_sum, sum(n2.n2) AS n2_sum
+              FROM terms t
+              JOIN lut l ON l.query_id = t.query_id
+                        AND l.sub = t.sub AND l.cid = t.cid
+              JOIN n2 ON n2.sub = t.sub AND n2.cid = t.cid
+              GROUP BY t.query_id, t.neighbor_id
+            ),
+            final AS (
+              SELECT s.query_id, s.neighbor_id,
+                     CASE WHEN qn.qnorm * sqrt(s.n2_sum) > 0
+                          THEN round(s.ip_sum
+                                     / (qn.qnorm * sqrt(s.n2_sum)), 6)
+                          ELSE 'NaN'::DOUBLE END AS score
+              FROM scored s JOIN qn ON qn.query_id = s.query_id
+            )
+            SELECT query_id, neighbor_id, score, rn AS rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn
+              FROM final) WHERE rn <= {k}
+        """,
+    }
+
+
 def _r7_oracles() -> dict[str, str]:
     return {
+        **_pq_oracles(),
         "bm25_batch": _bm25_batch_oracle(),
         "chunk_sequences": _chunk_sequences_oracle(),
         "bpe_train": _bpe_train_oracle(),

@@ -36,6 +36,8 @@ def test_retired_surface_is_disjoint_and_complete():
         "bm25_batch", "chunk_sequences", "bpe_train",
         "warc_roundtrip", "ivf_routed", "bm25_stream_index",
         "semantic_dedup_routed",
+        # round 7 (rotation 3b: IVF-PQ)
+        "pq_codes", "pq_adc_topk",
     }
     assert promoted <= live
     # every live query has an oracle (no silent rows-only rows)
