@@ -521,6 +521,67 @@ def pq_index(
     return cells.join(codes, "vec_id")
 
 
+def write_pq_index(
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Persist the COMPLETE serving artifact — the write_text_index
+    symmetry for vectors: ``{path}/codes/cell=<c>/`` holds the
+    (vec_id, codes) rows one parquet partition per coarse cell
+    (vec_id-sorted within), and ``{path}/model/`` holds the codebooks
+    and coarse centroids as rows (kind, sub, cid, center), so a serving
+    process needs nothing but the path. Cell partitioning means a
+    probe join (broadcast, or a literal cell filter) prunes unprobed
+    cells at the file level."""
+    spark = index.sparkSession
+    (
+        index.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    rows = [
+        ("codebook", sub, cid, list(center))
+        for sub, centers in enumerate(codebooks)
+        for cid, center in enumerate(centers)
+    ] + [
+        ("centroid", -1, cid, list(c)) for cid, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        rows, "kind string, sub long, cid long, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+
+
+def read_pq_index(
+    spark, path: str
+) -> tuple[DataFrame, list[list[list[float]]], list[list[float]]]:
+    """(index, codebooks, centroids) back from :func:`write_pq_index`
+    — directly servable by :func:`ivf_pq_topk`. The model frame is
+    tiny (m×ksub + n_cells rows) and collected; the codes frame stays
+    lazy with ``cell`` restored from the partition directories."""
+    idx = spark.read.parquet(f"{path}/codes").withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    model = spark.read.parquet(f"{path}/model").collect()
+    cb_rows = sorted(
+        ((r.sub, r.cid, list(r.center)) for r in model if r.kind == "codebook")
+    )
+    m = max(r[0] for r in cb_rows) + 1
+    codebooks = [
+        [c for s, _cid, c in cb_rows if s == sub] for sub in range(m)
+    ]
+    centroids = [
+        list(r.center)
+        for r in sorted(
+            (r for r in model if r.kind == "centroid"), key=lambda r: r.cid
+        )
+    ]
+    return idx, codebooks, centroids
+
+
 def ivf_pq_topk(
     index: DataFrame,
     queries: DataFrame,

@@ -85,13 +85,26 @@ def read_stream_pq_index(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def compact_pq_index(
-    spark: SparkSession, state_dir: str, serving_path: str
+    spark: SparkSession,
+    state_dir: str,
+    serving_path: str,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Fold the streaming state into the cell-partitioned serving
     layout: one parquet partition per coarse cell, rows sorted by
     vec_id within. Probe joins on ``cell`` (a literal or broadcast
-    side) prune unprobed cells at the file level."""
+    side) prune unprobed cells at the file level. With
+    ``codebooks``/``centroids`` the fold writes the COMPLETE
+    self-describing artifact (:func:`~mod_reservoir_spark.pipeline.pq
+    .write_pq_index` — codes + model), readable with
+    ``read_pq_index`` alone."""
     idx = read_stream_pq_index(spark, state_dir)
+    if codebooks is not None and centroids is not None:
+        from mod_reservoir_spark.pipeline.pq import write_pq_index
+
+        write_pq_index(idx, codebooks, centroids, serving_path)
+        return
     (
         idx.repartition("cell")
         .sortWithinPartitions("vec_id")

@@ -302,6 +302,40 @@ def test_pq_topk_both_paths_identical(spark, small_cb):
     assert fast_i == slow_i
 
 
+def test_write_read_pq_index_roundtrip(spark, tmp_path, small_cb):
+    """The self-describing serving artifact (write_text_index
+    symmetry): codes + codebooks + centroids round-trip through one
+    path and serve ivf_pq_topk identically to the in-memory originals;
+    the codes layout is one partition directory per coarse cell."""
+    import os
+
+    from mod_reservoir_spark.pipeline.pq import (
+        read_pq_index,
+        write_pq_index,
+    )
+
+    cb, _ = small_cb
+    emb = spark.read.parquet(EMB)
+    cents, _h = kmeans_train(emb, n_centroids=8, iterations=2)
+    idx = pq_index(emb, cb, cents)
+    path = str(tmp_path / "ivfpq")
+    write_pq_index(idx, cb, cents, path)
+    r_idx, r_cb, r_cents = read_pq_index(spark, path)
+    assert r_cb == cb and r_cents == cents
+    q = emb.filter("vec_id < 10")
+    direct = sorted(
+        map(tuple, ivf_pq_topk(idx, q, cb, cents, k=5, nprobe=3).collect())
+    )
+    served = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(r_idx, q, r_cb, r_cents, k=5, nprobe=3).collect(),
+        )
+    )
+    assert direct == served
+    assert {d for d in os.listdir(f"{path}/codes") if d.startswith("cell=")}
+
+
 REAL_EMB = "tests/fixtures/real/embeddings.parquet"
 
 

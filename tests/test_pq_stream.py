@@ -101,3 +101,18 @@ def test_stream_pq_index_equals_batch_replay_and_serving(spark, tmp_path):
         d for d in os.listdir(serving) if d.startswith("cell=")
     }
     assert len(cells) == served_idx.select("cell").distinct().count()
+
+    # COMPACTION WITH MODEL: the self-describing artifact — a serving
+    # process reconstructs everything from the path alone
+    from mod_reservoir_spark.pipeline.pq import read_pq_index
+
+    artifact = str(tmp_path / "artifact")
+    compact_pq_index(spark, state, artifact, codebooks=cb, centroids=cents)
+    a_idx, a_cb, a_cents = read_pq_index(spark, artifact)
+    assert a_cb == cb and a_cents == cents
+    from_artifact = sorted(
+        map(tuple, ivf_pq_topk(
+            a_idx, qdf, a_cb, a_cents, k=5, nprobe=3
+        ).collect())
+    )
+    assert from_artifact == direct
