@@ -668,8 +668,11 @@ def ivf_pq_topk(
                 "cell",
             )
             .filter(F.col("query_id") != F.col("neighbor_id"))
+            # no distinct: probe cells per query are UNIQUE by
+            # construction (lexsort permutation, top-nprobe), so a
+            # (query, neighbor) pair cannot repeat — a dedup here
+            # would be a full candidate-set shuffle for nothing
             .select("query_id", "neighbor_id", "codes", "_n2")
-            .distinct()
         )
         q = queries.select(
             F.col(id_col).alias("query_id"),
@@ -705,8 +708,8 @@ def ivf_pq_topk(
                 "cell",
             )
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "codes")
-            .distinct()
+            .select("query_id", "neighbor_id", "codes")  # no distinct:
+            # probe cells per query are unique (see fallback branch)
         )
         m = len(codebooks)
         qids, luts, qnorms = _np_luts(q_rows, codebooks)

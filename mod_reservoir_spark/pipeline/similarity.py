@@ -205,6 +205,9 @@ def _lsh_candidates(
         qsig.join(sig.withColumnRenamed("vec_id", "neighbor_id"), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        # distinct IS required here (unlike the IVF candidate joins):
+        # the same pair collides in every table whose bucket matches,
+        # so without dedup a pair re-scores once per colliding table
         .distinct()
     )
 
@@ -642,8 +645,11 @@ def ivf_topk(
             cells.withColumnRenamed("vec_id", "neighbor_id"), "cell"
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # no distinct: the probe emits each query's top-nprobe cells
+        # exactly once (lexsort permutation), so candidate pairs are
+        # already unique — dropping the dedup removes a full shuffle
+        # of the candidate set (round-7 plan audit)
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
