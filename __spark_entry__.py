@@ -1607,6 +1607,32 @@ def q_semantic_dedup_routed(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Jelinek-Mercer interpolated BIGRAM self-perplexity (1e6-scaled
+    mean NLL over bigram positions) — pipeline/text.py
+    bigram_logprob_scores, the word-ORDER-sensitive fluency signal one
+    Markov order above the retired unigram row. Oracle replicates the
+    count tables, the interpolation arithmetic and the rounding."""
+    return tx.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_near_dedup_quality(spark, sf_dir):
+    """Quality-aware near-dedup keeper (supersedes the retired
+    min-doc_id row): connected components over the verified MinHash-LSH
+    pair graph keeping the LONGEST member per component (keep_by=
+    n_chars, ties to min doc_id) — RefinedWeb's keep-longest policy
+    via pipeline/dedup.py near_dedup_keep(keep_by=...). Oracle:
+    recursive-CTE reachability + ordered-aggregate argmax keeper."""
+    return dd.near_dedup_keep(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        shingle_n=2,
+        threshold_ppm=300000,
+        keep_by="n_chars",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the signature clustering operator end-to-end at
     sf0.001 (bipartite edges → connected components)."""
@@ -1631,7 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "winnow_pairs": q_winnow_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "near_dedup_keep": q_near_dedup_keep,
+        "near_dedup_quality": q_near_dedup_quality,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "kmeans_train": q_kmeans_train,
@@ -1642,7 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_stats": q_span_stats,
         "ngram_counts": q_ngram_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "bloom_registers": q_bloom_registers,
         "mixture_sample": q_mixture_sample,
         "split_assign": q_split_assign,
@@ -3193,6 +3219,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (query, oracle) pair below against DuckDB at sf0.001 with the
     driver's own comparator."""
     return {
+        # round-7 retirements (superseded by strictly-stronger live
+        # siblings: bigram_logprob and near_dedup_quality)
+        "unigram_logprob": q_unigram_logprob,
+        "near_dedup_keep": q_near_dedup_keep,
         # round-7 retirements (rotation 3b: superseded scale paths)
         "embedding_lsh_self": q_embedding_lsh_self,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -4329,9 +4359,104 @@ def _pq_oracles(m: int = PQ_M, dsub: int = 8, k: int = 5) -> dict[str, str]:
     }
 
 
+def _near_dedup_quality_oracle(num_hashes: int = 16, bands: int = 4,
+                               threshold_ppm: int = 300000) -> str:
+    """near_dedup_keep(keep_by="n_chars"): same recursive-CTE
+    reachability as _near_dedup_keep_oracle, but the keeper per
+    component is the ordered-aggregate argmax (n_chars DESC, doc_id
+    ASC) — RefinedWeb's keep-longest policy."""
+    pairs_sql = _minhash_lsh_oracle(num_hashes, bands, threshold_ppm)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({pairs_sql})
+    ),
+    e2 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS r FROM e2
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN e2 e ON reach.r = e.src
+    ),
+    comp AS (
+      SELECT id, least(min(r), id) AS comp FROM reach GROUP BY id
+    ),
+    keepers AS (
+      SELECT c.comp,
+             (array_agg(c.id ORDER BY d.n_chars DESC, c.id ASC))[1]
+               AS keep_id
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+      GROUP BY c.comp
+    )
+    SELECT d.doc_id,
+           COALESCE(k.keep_id, d.doc_id) AS keep_id,
+           (CASE WHEN COALESCE(k.keep_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END)::BIGINT AS is_kept
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN keepers k ON k.comp = c.comp
+    """
+
+
+def _bigram_logprob_oracle(lam_ppm: int = 800000) -> str:
+    """bigram_logprob_scores replicated: per-doc bigram partials, the
+    corpus bigram/context/unigram count tables, the Jelinek-Mercer
+    interpolation with the SAME left-associative double arithmetic as
+    the Spark expression, and the 1e6 rounding."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+            FROM t WHERE len(toks) >= 2)
+    ),
+    per_doc AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS bf
+      FROM big GROUP BY 1, 2, 3
+    ),
+    cb AS (
+      SELECT w1, w2, CAST(sum(bf) AS BIGINT) AS cb
+      FROM per_doc GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+    term_doc AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+      GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM term_doc GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(sum(p.bf) AS BIGINT) AS n_bigrams,
+             CAST(round(sum(p.bf * -ln(
+                 ({lam_ppm} / 1000000.0) * cb.cb / c1.c1
+                 + (1 - {lam_ppm} / 1000000.0) * v.ctf
+                   / CAST(tot.total AS DOUBLE)
+             )) / sum(p.bf) * 1000000) AS BIGINT) AS mean_nll_e6
+      FROM per_doc p
+      JOIN cb USING (w1, w2)
+      JOIN c1 USING (w1)
+      JOIN vocab v ON v.term = p.w2
+      CROSS JOIN tot
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.mean_nll_e6, 0) AS mean_nll_e6
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
 def _r7_oracles() -> dict[str, str]:
     return {
         **_pq_oracles(),
+        "near_dedup_quality": _near_dedup_quality_oracle(16, 4, 300000),
+        "bigram_logprob": _bigram_logprob_oracle(),
         "bm25_batch": _bm25_batch_oracle(),
         "chunk_sequences": _chunk_sequences_oracle(),
         "bpe_train": _bpe_train_oracle(),

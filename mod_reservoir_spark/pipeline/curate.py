@@ -69,7 +69,12 @@ def curate(
     ``benchmark=None`` skips decontamination; ``max_contamination_ppm``
     is the keep threshold (0 = any benchmark 8-gram overlap drops).
     ``quality_kwargs`` / ``near_kwargs`` pass through to
-    :func:`quality_filter` / :func:`near_dedup_keep`.
+    :func:`quality_filter` / :func:`near_dedup_keep` — in particular
+    ``near_kwargs={"keep_by": F.length("text")}`` switches the
+    near-dup stage to the quality-aware keeper (keep the LONGEST copy
+    per component, RefinedWeb's policy; any expression over the
+    stage's (doc_id, text) frame works). The contract row keeps the
+    default min-id policy.
     ``benchmark_near_ppm`` (with a benchmark) adds the PARAPHRASE-level
     stage after verbatim decontamination: documents whose MinHash
     Jaccard against any benchmark item reaches the given ppm drop as

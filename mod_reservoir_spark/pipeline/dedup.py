@@ -21,7 +21,7 @@ either engine (Spark 4 runs ANSI mode: overflow would throw, not wrap).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from mod_reservoir_spark.pipeline.text import ppm, tokens
 
@@ -864,11 +864,21 @@ def near_dedup_keep(
     threshold_ppm: int = 500000,
     pairs: DataFrame | None = None,
     hasher: str = "md5",
+    keep_by: str | Column | None = None,
 ) -> DataFrame:
     """APPLY near-deduplication: connected components over the verified
     MinHash-LSH pair graph, keeping the minimum doc_id per component —
     the standard pretraining keeper policy (near-dup chains collapse to
     one survivor even when the endpoints were never directly compared).
+
+    ``keep_by``: optional column (name or expression over ``docs``)
+    scoring each document; when given, the keeper per component is the
+    HIGHEST-scoring member, ties broken by minimum doc_id — the
+    quality-aware policy real curation runs use (RefinedWeb keeps the
+    longest copy; classifier-filtered pipelines keep the
+    highest-quality copy) instead of an arbitrary id. The reduction is
+    one map-side-combinable ``max(struct(score, -doc_id))`` per
+    component — same shuffle count as the default policy.
 
     Output: one row per document — (doc_id, keep_id, is_kept), where
     keep_id is the document's own id when it is in no near-dup pair.
@@ -914,7 +924,30 @@ def near_dedup_keep(
     ).select(F.col("doc").cast("long").alias("doc_id"), "comp")
     # component label is the lexicographic-min node string; the keeper
     # policy wants the NUMERIC min, so reduce per component explicitly
-    keepers = comp.groupBy("comp").agg(F.min("doc_id").alias("keep_id"))
+    if keep_by is not None:
+        score = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+        scores = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            score.cast("double").alias("_score"),
+        )
+        # max(struct(score, -id)) = highest score, then LOWEST id —
+        # combinable, unlike a per-component sort
+        keepers = (
+            comp.join(scores, "doc_id")
+            .groupBy("comp")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_score"), (-F.col("doc_id")).alias("_nid")
+                    )
+                ).alias("_best")
+            )
+            .select(
+                "comp", (-F.col("_best._nid")).cast("long").alias("keep_id")
+            )
+        )
+    else:
+        keepers = comp.groupBy("comp").agg(F.min("doc_id").alias("keep_id"))
     mapped = comp.join(keepers, "comp").select("doc_id", "keep_id")
     return (
         docs.select("doc_id")

@@ -504,12 +504,106 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", lam_ppm: int = 800000
+) -> DataFrame:
+    """Per-document mean negative log-probability under a
+    Jelinek-Mercer interpolated BIGRAM model estimated on the corpus
+    itself — one Markov order up from :func:`unigram_logprob_scores`
+    and a step closer to the KenLM-perplexity filter CCNet (Wenzek et
+    al. 2020) uses: fluency now depends on word ORDER, so shuffled or
+    stitched-together text scores high even when its token frequencies
+    look normal, which is exactly the junk the unigram score cannot
+    see.
+
+    p(w2 | w1) = lam * c(w1 w2) / c(w1 ·) + (1 - lam) * c(w2) / T
+    (Jelinek & Mercer 1980 interpolation; lam = ``lam_ppm`` / 1e6,
+    default 0.8) — the unigram back-off term keeps unseen successors
+    finite without held-out data. The score is mean(-ln p) over the
+    document's bigram positions, ×1e6 rounded to a long so a SQL
+    oracle compares exactly (same contract as the unigram score).
+
+    Scale shape: all counts are map-side-combinable groupBys on
+    bounded keys (bigram vocab, context vocab, unigram vocab); the
+    context totals c(w1 ·) roll up from the bigram table rather than
+    re-scanning the corpus; probabilities attach to the per-document
+    (w1, w2, bf) partials through three equi-joins plus one broadcast
+    scalar — a hot bigram ("of the") shuffles one row per task, never
+    one row per occurrence. No window, no Python, no driver data.
+
+    Output: (doc_id, n_bigrams, mean_nll_e6); docs with < 2 tokens
+    report 0 bigrams and 0 score.
+    """
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    width = F.greatest(F.size(toks) - 1, F.lit(0))
+    # two shifted slices zipped into (w1, w2) structs: the ngram_array
+    # discipline — never element_at lambdas over the tokenization
+    # expression (re-evaluated per element inside HOFs)
+    pairs = F.zip_with(
+        F.slice(toks, 1, width),
+        F.slice(toks, 2, width),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    per_doc = (
+        docs.select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("bf"))
+    )
+    bigrams = per_doc.groupBy("w1", "w2").agg(
+        F.sum("bf").cast("long").alias("cb")
+    )
+    contexts = bigrams.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("c1")
+    )
+    term_doc = _term_doc_counts(docs, text_col)
+    vocab = term_doc.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("ctf")
+    )
+    totals = vocab.select(F.sum("ctf").cast("long").alias("_total"))
+    lam = lam_ppm / 1000000.0
+    p = (
+        F.lit(lam) * F.col("cb") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("ctf") / F.col("_total")
+    )
+    scored = (
+        per_doc.join(bigrams, ["w1", "w2"])
+        .join(contexts, "w1")
+        .join(vocab.withColumnRenamed("term", "w2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("bf") * -F.log(p)).alias("_nll_sum"),
+        )
+        .withColumn(
+            "mean_nll_e6",
+            F.round(
+                F.col("_nll_sum") / F.col("n_bigrams") * 1000000
+            ).cast("long"),
+        )
+        .select("doc_id", "n_bigrams", "mean_nll_e6")
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("mean_nll_e6", F.lit(0))
+            .cast("long")
+            .alias("mean_nll_e6"),
+        )
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     text_col: str = "text",
     strata: tuple[str, ...] = ("lang",),
     head_ppm: int = 333334,
     middle_ppm: int = 666667,
+    scorer: str = "unigram",
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
     each stratum (per language, like CCNet), rank documents by the
@@ -529,11 +623,23 @@ def perplexity_buckets(
     stratified_sample` shape, with the same skewed-stratum mitigation
     available (pre-bucket a dominant language).
 
+    ``scorer``: ``"unigram"`` (default, the contract row's model) or
+    ``"bigram"`` — rank by :func:`bigram_logprob_scores` instead, so
+    the banding also penalizes scrambled word ORDER (closer to the
+    KenLM model CCNet actually ranks with). Band semantics and scale
+    shape are scorer-independent.
+
     Output: (doc_id, strata, mean_nll_e6, pos_ppm, bucket).
     """
     from pyspark.sql import Window
 
-    scores = unigram_logprob_scores(docs, text_col)
+    if scorer == "unigram":
+        scores = unigram_logprob_scores(docs, text_col)
+    elif scorer == "bigram":
+        scores = bigram_logprob_scores(docs, text_col)
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
+    scores = scores.select("doc_id", "mean_nll_e6")
     j = docs.select("doc_id", *strata).join(scores, "doc_id")
     w = Window.partitionBy(*strata).orderBy("mean_nll_e6", "doc_id")
     wn = Window.partitionBy(*strata)

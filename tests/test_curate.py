@@ -268,3 +268,25 @@ def test_curate_hasher_drop_set_invariant(spark):
     nd_xx = {d for d, s in d_xx if s == "near_dup"}
     drift = len(nd_md5 ^ nd_xx)
     assert drift <= max(2, len(nd_md5 | nd_xx) // 5), (nd_md5, nd_xx)
+
+
+def test_curate_quality_aware_keeper(spark, corpus):
+    """near_kwargs keep_by flows into the funnel's near-dup stage: the
+    LONGEST member of a near-dup component survives instead of the
+    min id, and nothing else about the ledger changes."""
+    default = curate(corpus, near_kwargs=dict(NEAR))
+    longest = curate(
+        corpus,
+        near_kwargs=dict(NEAR, keep_by=F.length("text")),
+    )
+    d = {r.doc_id: r.drop_stage for r in default.collect()}
+    g = {r.doc_id: r.drop_stage for r in longest.collect()}
+    # doc 1 is the exact dup (dropped before the near stage either
+    # way); docs 0 vs 2 are the near-dup pair — "bodily" makes doc 2
+    # one char longer, so the keep-longest policy flips the survivor
+    assert d[0] is None and d[2] == "near_dup"
+    assert g[2] is None and g[0] == "near_dup"
+    # every other attribution is untouched by the keeper policy
+    assert {k: v for k, v in d.items() if k not in (0, 2)} == {
+        k: v for k, v in g.items() if k not in (0, 2)
+    }

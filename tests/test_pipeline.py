@@ -2283,3 +2283,150 @@ def test_canonical_url_and_url_dedup_oracle(spark):
     FROM c JOIN o USING (canonical_url)
     """
     _hash_vs_oracle(url_dedup(pages), con, sql)
+
+
+def test_bigram_logprob_oracle(spark):
+    """Interpolated-bigram self-perplexity hash-matches a DuckDB
+    oracle on the real documents table (the same SQL the contract
+    row carries)."""
+    import __spark_entry__ as em
+    from mod_reservoir_spark.pipeline.text import bigram_logprob_scores
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = bigram_logprob_scores(docs)
+    _hash_vs_oracle(out, _duck_documents(sf), em._bigram_logprob_oracle())
+
+
+def test_bigram_logprob_exact_small(spark):
+    """Hand-checkable corpus: the Jelinek-Mercer arithmetic matches a
+    Python replication exactly; docs with < 2 tokens report zeros."""
+    import math
+
+    from mod_reservoir_spark.pipeline.text import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    # corpus: ctf a=3 b=2 c=1 solo=1, T=7; bigrams ab x2 ac x1; c1[a]=3
+    lam = 0.8
+    T = 7.0
+    p_ab = lam * 2 / 3 + (1.0 - lam) * 2 / T
+    p_ac = lam * 1 / 3 + (1.0 - lam) * 1 / T
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_e6)
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    assert got[0] == (1, round(-math.log(p_ab) * 1e6))
+    assert got[1] == got[0]
+    assert got[2] == (1, round(-math.log(p_ac) * 1e6))
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+
+
+def test_bigram_logprob_word_order_sensitivity(spark):
+    """The signal unigram scoring cannot see: a token-permuted copy of
+    a fluent document scores strictly higher (same unigram counts,
+    never-seen bigrams)."""
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    rows = [(i, "alpha beta gamma delta") for i in range(10)]
+    rows.append((99, "delta gamma beta alpha"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bg = {
+        r.doc_id: r.mean_nll_e6
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    ug = {
+        r.doc_id: r.mean_nll_e6
+        for r in unigram_logprob_scores(docs).collect()
+    }
+    assert bg[99] > bg[0]          # bigram model flags the shuffle
+    assert ug[99] == ug[0]         # unigram model is blind to it
+
+
+def test_near_dedup_keep_quality_keeper(spark):
+    """keep_by: the component keeper is the highest-scoring member
+    (ties to min doc_id); column-name and expression forms agree; the
+    default policy is unchanged."""
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.pipeline.dedup import near_dedup_keep
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base),
+        (11, base + " lambda"),
+        (12, base + " lambda mu"),   # longest of the chain
+        (20, "completely different words one two three four five six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=4, shingle_n=1, threshold_ppm=500000)
+    by_len = {
+        r.doc_id: (r.keep_id, r.is_kept)
+        for r in near_dedup_keep(
+            docs, keep_by=F.length("text"), **kw
+        ).collect()
+    }
+    assert by_len[12] == (12, 1)
+    assert by_len[10] == (12, 0) and by_len[11] == (12, 0)
+    assert by_len[20] == (20, 1)
+
+    # column-name form over a precomputed score column
+    named = {
+        r.doc_id: r.keep_id
+        for r in near_dedup_keep(
+            docs.withColumn("score", F.length("text")),
+            keep_by="score", **kw,
+        ).collect()
+    }
+    assert named == {d: k for d, (k, _) in by_len.items()}
+
+    # score ties fall back to the min doc_id (constant score == the
+    # default policy)
+    tied = {
+        r.doc_id: r.keep_id
+        for r in near_dedup_keep(docs, keep_by=F.lit(1), **kw).collect()
+    }
+    default = {
+        r.doc_id: r.keep_id
+        for r in near_dedup_keep(docs, **kw).collect()
+    }
+    assert tied == default
+    assert default[12] == 10
+
+
+def test_perplexity_buckets_bigram_scorer(spark):
+    """scorer="bigram" ranks by the interpolated-bigram NLL: a
+    token-permuted copy of the common document lands in a strictly
+    worse band position than the fluent copies; unknown scorer names
+    raise."""
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_scores,
+        perplexity_buckets,
+    )
+
+    rows = [(i, "en", "alpha beta gamma delta epsilon") for i in range(8)]
+    rows.append((99, "en", "epsilon delta gamma beta alpha"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.doc_id: (r.mean_nll_e6, r.pos_ppm, r.bucket)
+        for r in perplexity_buckets(docs, scorer="bigram").collect()
+    }
+    bg = {
+        r.doc_id: r.mean_nll_e6
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    assert out[99][0] == bg[99]       # ranks by the bigram score
+    assert out[99][1] == 1000000      # permuted doc is the worst rank
+    assert out[99][2] == "tail"
+    assert out[0][2] == "head"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        perplexity_buckets(docs, scorer="kenlm").collect()

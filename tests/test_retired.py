@@ -24,7 +24,7 @@ def test_retired_surface_is_disjoint_and_complete():
     # consciously rotated (update this set when they are)
     promoted = {
         "curate_funnel", "line_dedup", "span_stats", "ngram_counts",
-        "tfidf_top_terms", "unigram_logprob", "bloom_registers",
+        "tfidf_top_terms", "bloom_registers",
         "mixture_sample", "split_assign", "dsir_weights", "chunk_text",
         "perplexity_buckets", "near_contamination",
         # round 6
@@ -38,6 +38,9 @@ def test_retired_surface_is_disjoint_and_complete():
         "semantic_dedup_routed",
         # round 7 (rotation 3b: IVF-PQ)
         "pq_codes", "pq_adc_topk",
+        # round 7 (late swap: strictly-stronger siblings displaced
+        # unigram_logprob and near_dedup_keep to the retired sweep)
+        "bigram_logprob", "near_dedup_quality",
     }
     assert promoted <= live
     # every live query has an oracle (no silent rows-only rows)
