@@ -534,6 +534,14 @@ def bigram_logprob_scores(
     Output: (doc_id, n_bigrams, mean_nll_e6); docs with < 2 tokens
     report 0 bigrams and 0 score.
     """
+    bigrams, unigrams = lm_count_tables(docs, text_col)
+    return bigram_logprob_against(docs, bigrams, unigrams, text_col, lam_ppm)
+
+
+def _bigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2, bf) — per-document bigram-occurrence partials,
+    the map-side-combinable base both the count tables and the scorer
+    build on."""
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     width = F.greatest(F.size(toks) - 1, F.lit(0))
     # two shifted slices zipped into (w1, w2) structs: the ngram_array
@@ -544,32 +552,83 @@ def bigram_logprob_scores(
         F.slice(toks, 2, width),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    per_doc = (
+    return (
         docs.select("doc_id", F.explode(pairs).alias("bg"))
         .select("doc_id", "bg.w1", "bg.w2")
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").cast("long").alias("bf"))
     )
-    bigrams = per_doc.groupBy("w1", "w2").agg(
-        F.sum("bf").cast("long").alias("cb")
+
+
+def lm_count_tables(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus language-model count tables: ``bigrams (w1, w2,
+    cb)`` and ``unigrams (term, ctf)``. Everything else the
+    interpolated scorer needs (context totals c(w1 ·), corpus total T)
+    derives from these two by rollup, so they are the MINIMAL
+    maintained state — and both are ADDITIVE (counts over a corpus =
+    key-wise sum of counts over its parts), which is what gives them a
+    streaming face (streaming/lm_stream.py): per-batch tables are pure
+    functions of the batch, the fold is one groupBy-sum per table.
+    """
+    bigrams = (
+        _bigram_positions(docs, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.sum("bf").cast("long").alias("cb"))
     )
+    unigrams = _term_doc_counts(docs, text_col).groupBy("term").agg(
+        F.sum("tf").cast("long").alias("ctf")
+    )
+    return bigrams, unigrams
+
+
+def bigram_logprob_against(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    text_col: str = "text",
+    lam_ppm: int = 800000,
+    oov_ppm: int = 1,
+) -> DataFrame:
+    """Score documents under GIVEN LM count tables — the production
+    form of :func:`bigram_logprob_scores` and the shape CCNet actually
+    uses: the reference model is estimated on a CLEAN corpus
+    (Wikipedia, in the paper) and incoming web documents are ranked by
+    their NLL under it; self-scoring is the special case where the
+    tables come from ``lm_count_tables(docs)`` itself.
+
+    Out-of-vocabulary contract (can only trigger when the tables come
+    from a DIFFERENT corpus): an unseen bigram simply contributes no
+    interpolation mass (its lam·cb/c1 term is 0 — the unigram back-off
+    carries it, the standard JM behavior); an unseen UNIGRAM gets the
+    fixed floor probability ``oov_ppm``/1e6 (default 1e-6) so the NLL
+    stays finite — documents full of never-seen tokens score ≈
+    -ln(1e-6) ≈ 13.8, the worst band. On the self-scoring path every
+    count is ≥ 1, so neither guard fires and the arithmetic is
+    bit-identical to the contract row's oracle.
+    """
+    per_doc = _bigram_positions(docs, text_col)
     contexts = bigrams.groupBy("w1").agg(
         F.sum("cb").cast("long").alias("c1")
     )
-    term_doc = _term_doc_counts(docs, text_col)
-    vocab = term_doc.groupBy("term").agg(
-        F.sum("tf").cast("long").alias("ctf")
-    )
-    totals = vocab.select(F.sum("ctf").cast("long").alias("_total"))
+    totals = unigrams.select(F.sum("ctf").cast("long").alias("_total"))
     lam = lam_ppm / 1000000.0
-    p = (
-        F.lit(lam) * F.col("cb") / F.col("c1")
-        + F.lit(1.0 - lam) * F.col("ctf") / F.col("_total")
-    )
+    bigram_term = F.when(
+        F.coalesce(F.col("c1"), F.lit(0)) > 0,
+        F.lit(lam) * F.coalesce(F.col("cb"), F.lit(0)) / F.col("c1"),
+    ).otherwise(F.lit(0.0))
+    unigram_term = F.when(
+        F.coalesce(F.col("ctf"), F.lit(0)) > 0,
+        F.lit(1.0 - lam) * F.col("ctf") / F.col("_total"),
+    ).otherwise(F.lit(oov_ppm / 1000000.0))
+    p = bigram_term + unigram_term
     scored = (
-        per_doc.join(bigrams, ["w1", "w2"])
-        .join(contexts, "w1")
-        .join(vocab.withColumnRenamed("term", "w2"), "w2")
+        per_doc.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, "w1", "left")
+        .join(
+            unigrams.withColumnRenamed("term", "w2"), "w2", "left"
+        )
         .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(

@@ -1,0 +1,110 @@
+"""Streaming face for the language-model count tables — keep the
+corpus LM fresh under continuous ingest, the way the BM25 index
+(index_stream.py), the HLL/CM sketches and the minhash signature
+table are maintained. The serving use is
+:func:`~mod_reservoir_spark.pipeline.text.bigram_logprob_against`:
+rank INCOMING documents by NLL under the maintained reference counts
+(the CCNet pattern — a clean-corpus LM scoring the crawl).
+
+State contract (the ``streaming_hll`` / ``stream_text_index`` shape):
+
+- each micro-batch counts ONLY its own documents
+  (:func:`~mod_reservoir_spark.pipeline.text.lm_count_tables` over the
+  batch) and commits the two tables as immutable partitions
+  ``bigrams/batch=<id>/`` + ``unigrams/batch=<id>/``;
+- counts are ADDITIVE (corpus counts = key-wise sum of batch counts),
+  so the fold is one groupBy-sum per table at read time;
+- commits stage + atomically rename, so an at-least-once REPLAY
+  rewrites its own partition with identical rows (counts are a pure
+  function of the batch's documents) and the fold is unchanged —
+  exactly-once state from at-least-once delivery;
+- the folded tables are EXACTLY ``lm_count_tables`` over everything
+  ingested (equivalence-pinned in tests/test_windowed_streaming.py),
+  so ``bigram_logprob_against`` serves from them unchanged, and
+  self-scoring equality holds: scoring the ingested corpus against
+  the folded tables == ``bigram_logprob_scores`` over that corpus.
+
+At 100 TB: per-batch cost is counting the batch (never re-reading the
+corpus); state grows one bounded partition per batch (bounded by the
+batch's bigram vocabulary, not its size); the read-time fold is a
+combinable sum on vocab keys. When partition count starts to matter,
+:func:`compact_lm_counts` folds the accumulated partitions into one —
+idempotent, same rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mod_reservoir_spark.pipeline.text import lm_count_tables
+from mod_reservoir_spark.streaming.windowed import (
+    DOC_SCHEMA,
+    _commit_sketch_partition,
+)
+
+
+def stream_lm_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    text_col: str = "text",
+    schema=None,
+):
+    """Maintain the bigram/unigram count tables under continuous JSONL
+    ingest. Returns the started streaming query; state lands under
+    ``{state_dir}/bigrams/batch=<id>/`` + ``{state_dir}/unigrams/...``
+    and is read with :func:`read_stream_lm_counts`."""
+    bigrams_root = os.path.join(state_dir, "bigrams")
+    unigrams_root = os.path.join(state_dir, "unigrams")
+
+    def process(batch_df, batch_id):
+        bigrams, unigrams = lm_count_tables(batch_df, text_col)
+        _commit_sketch_partition(bigrams, bigrams_root, batch_id)
+        _commit_sketch_partition(unigrams, unigrams_root, batch_id)
+
+    docs = (
+        spark.readStream.schema(schema or DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_stream_lm_counts(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bigrams, unigrams) folded over every committed batch partition
+    — the exact shapes ``lm_count_tables`` returns, directly servable
+    by ``bigram_logprob_against``."""
+    bigrams = (
+        spark.read.parquet(os.path.join(state_dir, "bigrams"))
+        .groupBy("w1", "w2")
+        .agg(F.sum("cb").cast("long").alias("cb"))
+    )
+    unigrams = (
+        spark.read.parquet(os.path.join(state_dir, "unigrams"))
+        .groupBy("term")
+        .agg(F.sum("ctf").cast("long").alias("ctf"))
+    )
+    return bigrams, unigrams
+
+
+def compact_lm_counts(spark: SparkSession, state_dir: str,
+                      serving_path: str) -> None:
+    """Fold the accumulated batch partitions into single tables at
+    ``serving_path`` (``bigrams/`` + ``unigrams/``) — idempotent, the
+    same rows the read-time fold produces."""
+    bigrams, unigrams = read_stream_lm_counts(spark, state_dir)
+    bigrams.write.mode("overwrite").parquet(
+        os.path.join(serving_path, "bigrams")
+    )
+    unigrams.write.mode("overwrite").parquet(
+        os.path.join(serving_path, "unigrams")
+    )

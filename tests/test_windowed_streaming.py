@@ -552,3 +552,132 @@ def test_streaming_hll_grouped(spark, tmp_path):
     # pre-commit reader has the group column in its empty frame
     empty = read_hll_state(spark, str(tmp_path / "none"), ("lang",))
     assert empty.columns == ["lang", "bucket", "r"] and empty.count() == 0
+
+
+def test_stream_lm_counts_equivalence_replay_and_serving(spark, tmp_path):
+    """The streamed LM count state folded over batches must EXACTLY
+    equal lm_count_tables over everything ingested; a replayed batch
+    (at-least-once delivery) rewrites its own partition and changes
+    nothing; scoring the ingested corpus against the folded tables
+    equals self-scoring (bigram_logprob_scores); compaction preserves
+    the rows."""
+    import os
+
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_against,
+        bigram_logprob_scores,
+        lm_count_tables,
+    )
+    from mod_reservoir_spark.streaming.lm_stream import (
+        compact_lm_counts,
+        read_stream_lm_counts,
+        stream_lm_counts,
+    )
+
+    docs_all = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs_all.collect()), key=lambda t: t[0]
+    )
+    batches = [rows[0:20], rows[20:35], rows[35:]]
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "lm_state")
+    q = stream_lm_counts(spark, str(indir), str(tmp_path / "ckpt"), state)
+    try:
+        for bi, batch in enumerate(batches):
+            with open(indir / f"b{bi}.jsonl", "w") as f:
+                for i, t in batch:
+                    f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want_b, want_u = lm_count_tables(docs_all)
+    want_bigrams = {tuple(r) for r in want_b.collect()}
+    want_unigrams = {tuple(r) for r in want_u.collect()}
+
+    def check_state():
+        got_b, got_u = read_stream_lm_counts(spark, state)
+        assert {tuple(r) for r in got_b.collect()} == want_bigrams
+        assert {tuple(r) for r in got_u.collect()} == want_unigrams
+
+    check_state()
+
+    # REPLAY: at-least-once redelivery of batch 1 — identical rows,
+    # fold unchanged
+    from mod_reservoir_spark.streaming.windowed import (
+        _commit_sketch_partition,
+    )
+
+    replay_df = spark.createDataFrame(batches[1], "doc_id long, text string")
+    rb, ru = lm_count_tables(replay_df)
+    _commit_sketch_partition(rb, os.path.join(state, "bigrams"), 1)
+    _commit_sketch_partition(ru, os.path.join(state, "unigrams"), 1)
+    check_state()
+
+    # SERVING: scoring the ingested corpus against the folded tables
+    # IS self-scoring (neither OOV guard fires on the self path)
+    got_b, got_u = read_stream_lm_counts(spark, state)
+    against = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_e6)
+        for r in bigram_logprob_against(docs_all, got_b, got_u).collect()
+    }
+    self_scored = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_e6)
+        for r in bigram_logprob_scores(docs_all).collect()
+    }
+    assert against == self_scored
+
+    # COMPACTION: one table per kind, same rows
+    serving = str(tmp_path / "lm_serving")
+    compact_lm_counts(spark, state, serving)
+    cb = spark.read.parquet(os.path.join(serving, "bigrams"))
+    cu = spark.read.parquet(os.path.join(serving, "unigrams"))
+    assert {tuple(r) for r in cb.collect()} == want_bigrams
+    assert {tuple(r) for r in cu.collect()} == want_unigrams
+
+
+def test_bigram_logprob_against_oov_contract(spark):
+    """Scoring against a FOREIGN corpus LM: unseen bigrams fall back
+    to unigram mass; unseen unigrams hit the oov floor (finite NLL,
+    worst scores); seen text scores the same as under self-scoring
+    arithmetic."""
+    import math
+
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_against,
+        lm_count_tables,
+    )
+
+    reference = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    bigrams, unigrams = lm_count_tables(reference)
+    incoming = spark.createDataFrame(
+        [
+            (10, "a b"),        # fully in-vocabulary
+            (11, "b a"),        # unseen bigram, seen unigrams
+            (12, "zz qq"),      # nothing seen: pure oov floor
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_e6)
+        for r in bigram_logprob_against(
+            incoming, bigrams, unigrams
+        ).collect()
+    }
+    # reference: ctf a=3 b=2 c=1, T=7(ref tokens incl 'solo'? no: 6);
+    lam = 0.8
+    T = 6.0
+    p_ab = lam * 2 / 3 + (1 - lam) * 2 / T
+    # 'b a': c1 for w1='b' is absent (no bigram starts with b) ->
+    # bigram term 0; unigram term for w2='a'
+    p_ba = (1 - lam) * 3 / T
+    p_oov = 1 / 1000000.0
+    assert got[10] == (1, round(-math.log(p_ab) * 1e6))
+    assert got[11] == (1, round(-math.log(p_ba) * 1e6))
+    assert got[12] == (1, round(-math.log(p_oov) * 1e6))
