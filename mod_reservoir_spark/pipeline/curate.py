@@ -35,8 +35,9 @@ from mod_reservoir_spark.pipeline.text import (
 
 # funnel order is the attribution order: a document dropped by several
 # rules reports the FIRST stage in this list that rejected it
+# ("perplexity" only participates when curate() is given lm_tables)
 STAGES = (
-    "quality", "exact_dup", "near_dup", "contaminated",
+    "quality", "perplexity", "exact_dup", "near_dup", "contaminated",
     "near_contaminated",
 )
 
@@ -51,6 +52,8 @@ def curate(
     scrub: bool = True,
     benchmark_near_ppm: int | None = None,
     hasher: str = "md5",
+    lm_tables: tuple[DataFrame, DataFrame] | None = None,
+    max_nll_e6: int | None = None,
 ) -> DataFrame:
     """Run the full curation funnel and return the per-document LEDGER:
     one row per input document with
@@ -80,6 +83,20 @@ def curate(
     Jaccard against any benchmark item reaches the given ppm drop as
     ``near_contaminated`` — the reordered/reworded eval leak the
     n-gram check misses.
+
+    ``lm_tables`` (with ``max_nll_e6``) adds the CCNet perplexity
+    stage between quality and dedup: quality survivors are scored with
+    :func:`~mod_reservoir_spark.pipeline.text.bigram_logprob_against`
+    under the given REFERENCE count tables (a clean-corpus LM — built
+    by ``lm_count_tables`` or folded from the streaming state in
+    streaming/lm_stream.py) and documents whose mean NLL exceeds
+    ``max_nll_e6`` drop as ``perplexity``. Both or neither: the stage
+    needs an explicit threshold (an absolute NLL cut against a FIXED
+    reference model is reproducible across batches, unlike a
+    within-batch rank cut — use :func:`perplexity_buckets` offline to
+    pick the threshold). When ``lm_tables`` is None the stage is
+    absent from the PLAN entirely, so the default funnel — and the
+    ``curate_funnel`` contract row — is byte-identical to before.
 
     ``hasher`` feeds the near-dup stage's shingle hash (VERDICT r6
     "Next #6"): ``md5`` is the cross-engine contract hash (the driver
@@ -118,13 +135,38 @@ def curate(
         "doc_id", "_text"
     )
 
-    # exact dedup among quality survivors: fingerprint keeper = min id
-    fp = exact_duplicates(q_surv, "_text").select(
+    # optional CCNet perplexity gate among quality survivors
+    if lm_tables is not None:
+        if max_nll_e6 is None:
+            raise ValueError("lm_tables needs an explicit max_nll_e6")
+        from mod_reservoir_spark.pipeline.text import (
+            bigram_logprob_against,
+        )
+
+        ref_bigrams, ref_unigrams = lm_tables
+        px = bigram_logprob_against(
+            q_surv.select("doc_id", F.col("_text").alias("text")),
+            ref_bigrams,
+            ref_unigrams,
+        ).select(
+            "doc_id",
+            "mean_nll_e6",
+            (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),
+        )
+        p_surv = q_surv.join(px.filter("_p_keep"), "doc_id").select(
+            "doc_id", "_text"
+        )
+    else:
+        px = None
+        p_surv = q_surv
+
+    # exact dedup among perplexity survivors: fingerprint keeper = min id
+    fp = exact_duplicates(p_surv, "_text").select(
         "fingerprint", "keeper_doc_id"
     )
     from mod_reservoir_spark.pipeline.text import fingerprint_expr
 
-    with_fp = q_surv.withColumn("_fp", fingerprint_expr("_text"))
+    with_fp = p_surv.withColumn("_fp", fingerprint_expr("_text"))
     e = with_fp.join(
         fp, with_fp["_fp"] == fp["fingerprint"]
     ).select(
@@ -188,8 +230,17 @@ def curate(
         .join(c, "doc_id", "left")
         .join(nc, "doc_id", "left")
     )
+    drop_stage = F.when(F.col("_q_keep") == 0, F.lit("quality"))
+    if px is not None:
+        ledger = ledger.join(
+            px.select("doc_id", "_p_keep"), "doc_id", "left"
+        )
+        drop_stage = drop_stage.when(
+            F.col("_p_keep").isNull() | ~F.col("_p_keep"),
+            F.lit("perplexity"),
+        )
     drop_stage = (
-        F.when(F.col("_q_keep") == 0, F.lit("quality"))
+        drop_stage
         .when(~F.col("_e_keep"), F.lit("exact_dup"))
         .when(F.col("_n_keep") == 0, F.lit("near_dup"))
         .when(~F.col("_c_keep"), F.lit("contaminated"))

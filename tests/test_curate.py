@@ -290,3 +290,48 @@ def test_curate_quality_aware_keeper(spark, corpus):
     assert {k: v for k, v in d.items() if k not in (0, 2)} == {
         k: v for k, v in g.items() if k not in (0, 2)
     }
+
+
+def test_curate_perplexity_stage(spark, corpus):
+    """lm_tables + max_nll_e6 adds the CCNet perplexity gate between
+    quality and dedup: quality survivors scored under the REFERENCE
+    tables, high-NLL docs drop as 'perplexity', everything downstream
+    sees only perplexity survivors; lm_tables without a threshold
+    raises; the default ledger is untouched."""
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_against,
+        lm_count_tables,
+    )
+
+    tables = lm_count_tables(corpus)
+    scores = {
+        r.doc_id: r.mean_nll_e6
+        for r in bigram_logprob_against(corpus, *tables).collect()
+    }
+    # pick a threshold that splits the quality survivors
+    default = curate(corpus, near_kwargs=dict(NEAR))
+    d = {r.doc_id: r.drop_stage for r in default.collect()}
+    q_surv = [i for i, s in d.items() if s != "quality"]
+    cut = sorted(scores[i] for i in q_surv)[len(q_surv) // 2]
+
+    led = curate(
+        corpus, near_kwargs=dict(NEAR), lm_tables=tables, max_nll_e6=cut
+    )
+    g = {r.doc_id: r.drop_stage for r in led.collect()}
+    expect_px = {i for i in q_surv if scores[i] > cut}
+    assert {i for i, s in g.items() if s == "perplexity"} == expect_px
+    # quality attribution is first and unchanged
+    assert {i for i, s in g.items() if s == "quality"} == {
+        i for i, s in d.items() if s == "quality"
+    }
+    # downstream stages only ever see perplexity survivors
+    assert all(
+        g[i] in (None, "quality", "perplexity") or scores[i] <= cut
+        for i in g
+    )
+    # the funnel histogram carries the new stage in order
+    hist = {r.stage: r.n for r in curation_funnel(led).collect()}
+    assert hist.get("perplexity", 0) == len(expect_px)
+
+    with pytest.raises(ValueError):
+        curate(corpus, lm_tables=tables)
