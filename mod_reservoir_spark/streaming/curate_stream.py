@@ -115,16 +115,37 @@ def streaming_curate(
     max_contamination_ppm: int = 0,
     scrub: bool = True,
     benchmark_near_ppm: int | None = None,
+    lm_tables: tuple[DataFrame, DataFrame] | None = None,
+    max_nll_e6: int | None = None,
 ):
     """Start the streaming funnel over JSONL documents in ``input_dir``
     (schema ``{doc_id, text}``). Returns the StreamingQuery; read the
     accumulated results with :func:`read_curate_state`.
     ``benchmark_near_ppm`` mirrors batch curate(): the paraphrase-level
     decontamination stage, with the benchmark's SIGNATURE table built
-    once for the stream's lifetime."""
+    once for the stream's lifetime.
+    ``lm_tables``/``max_nll_e6`` mirror batch curate()'s CCNet
+    perplexity gate: each batch's quality survivors are scored under
+    the FIXED reference LM (persisted once for the stream's lifetime,
+    like the benchmark n-grams) and high-NLL docs drop as
+    ``perplexity``. Because the reference tables are frozen and the
+    score is per-document, the gate is arrival-order-independent by
+    construction — the streamed ledger stays pinned to the batch
+    funnel. To keep the reference fresh instead, maintain it with
+    streaming/lm_stream.py and restart the curate stream on a folded
+    snapshot (a moving reference inside one stream would break the
+    replay contract: a redelivered batch would re-score under
+    different counts)."""
     fp_root = os.path.join(state_dir, "fingerprints")
     sig_root = os.path.join(state_dir, "signatures")
     ledger_root = os.path.join(state_dir, "ledger")
+    ref_bigrams = ref_unigrams = None
+    if lm_tables is not None:
+        if max_nll_e6 is None:
+            raise ValueError("lm_tables needs an explicit max_nll_e6")
+        # frozen for the stream's lifetime (replay contract — see
+        # docstring); persisted because every batch joins against them
+        ref_bigrams, ref_unigrams = (t.persist() for t in lm_tables)
     bench_ng = None
     bench_sigs = None
     if benchmark is not None:
@@ -167,10 +188,30 @@ def streaming_curate(
             "doc_id", "text"
         )
 
+        # optional CCNet perplexity gate (mirrors batch curate():
+        # per-doc score under the FROZEN reference tables)
+        if ref_bigrams is not None:
+            from mod_reservoir_spark.pipeline.text import (
+                bigram_logprob_against,
+            )
+
+            px = bigram_logprob_against(
+                q_surv, ref_bigrams, ref_unigrams
+            ).select(
+                "doc_id",
+                (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),
+            )
+            p_surv = q_surv.join(px.filter("_p_keep"), "doc_id").select(
+                "doc_id", "text"
+            )
+        else:
+            px = None
+            p_surv = q_surv
+
         # exact dedup: batch-min keeper per fingerprint, then drop
         # fingerprints already owned by an earlier batch
         state_fps = _read_state(spark, fp_root, _FP_SCHEMA, batch_id)
-        with_fp = q_surv.withColumn("_fp", fingerprint_expr("text"))
+        with_fp = p_surv.withColumn("_fp", fingerprint_expr("text"))
         batch_min = with_fp.groupBy("_fp").agg(
             F.min("doc_id").alias("_kid")
         )
@@ -312,8 +353,17 @@ def streaming_curate(
                 .join(c, "doc_id", "left")
                 .join(nc, "doc_id", "left")
             )
+            drop_stage = F.when(F.col("_q_keep") == 0, F.lit("quality"))
+            if px is not None:
+                ledger = ledger.join(
+                    px.select("doc_id", "_p_keep"), "doc_id", "left"
+                )
+                drop_stage = drop_stage.when(
+                    F.col("_p_keep").isNull() | ~F.col("_p_keep"),
+                    F.lit("perplexity"),
+                )
             drop_stage = (
-                F.when(F.col("_q_keep") == 0, F.lit("quality"))
+                drop_stage
                 .when(~F.col("_e_keep"), F.lit("exact_dup"))
                 .when(~F.col("_n_keep"), F.lit("near_dup"))
                 .when(~F.col("_c_keep"), F.lit("contaminated"))

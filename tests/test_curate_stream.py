@@ -365,3 +365,70 @@ def test_compact_curate_state_continues_identically(spark, tmp_path):
         os.listdir(os.path.join(s_comp, "ledger"))
     )
     assert "batch=-1" in parts and "batch=0" not in parts
+
+
+def test_streaming_curate_perplexity_gate_equals_batch(spark, tmp_path):
+    """With a frozen reference LM, the streamed funnel's perplexity
+    stage attributes identically to batch curate(lm_tables=...) over
+    everything ingested; missing threshold raises."""
+    import pytest
+
+    from mod_reservoir_spark.pipeline.curate import curate
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_against,
+        lm_count_tables,
+    )
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    all_rows = B1 + B2 + B3
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+    # reference LM: the 'a'-family docs, so unrelated docs score high
+    reference = docs.filter(F.col("doc_id").isin(0, 1, 4, 5))
+    tables = lm_count_tables(reference)
+    scores = {
+        r.doc_id: r.mean_nll_e6
+        for r in bigram_logprob_against(docs, *tables).collect()
+    }
+    # threshold between the reference-family scores and the rest
+    cut = scores[0] + 1
+
+    with pytest.raises(ValueError):
+        streaming_curate(
+            spark, str(tmp_path / "x"), str(tmp_path / "y"),
+            str(tmp_path / "z"), lm_tables=tables,
+        )
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_curate(
+        spark,
+        str(indir),
+        str(tmp_path / "ckpt"),
+        state,
+        threshold_ppm=500000,
+        lm_tables=tables,
+        max_nll_e6=cut,
+    )
+    try:
+        for name, rows in (("b1.jsonl", B1), ("b2.jsonl", B2),
+                           ("b3.jsonl", B3)):
+            _write(str(indir), name, rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ledger, _, _ = read_curate_state(spark, state)
+    got = {r.doc_id: (r.drop_stage, r.text) for r in ledger.collect()}
+    want = {
+        r.doc_id: (r.drop_stage, r.text)
+        for r in curate(
+            docs, lm_tables=tables, max_nll_e6=cut
+        ).collect()
+    }
+    assert got == want
+    # the gate actually fired: some quality survivor dropped for NLL
+    assert "perplexity" in {s for s, _ in got.values() if s}
