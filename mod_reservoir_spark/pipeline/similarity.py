@@ -847,6 +847,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     two_level: bool | str = "auto",
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove documents
     whose EMBEDDINGS are near-identical, even when their text is not —
@@ -857,8 +858,19 @@ def semantic_dedup(
     Lloyd iteration), compare cosine ONLY within a cluster (the k-means
     cells make the O(n²) pair space an equi-join on `cell`, the same
     bounded-key shape as the LSH bucket join), connect pairs >=
-    threshold and keep the minimum id per component (near_dedup_keep's
-    CC keeper policy over the pair graph).
+    threshold and keep one representative per component
+    (near_dedup_keep's CC keeper over the pair graph).
+
+    ``keep``: which representative survives each duplicate component —
+    ``"min_id"`` (default, the deterministic contract-row policy) or
+    ``"centroid_far"``: the PAPER's keeper (Abbas et al. §3 keep the
+    example with the LOWEST cosine similarity to its cluster centroid
+    — duplicates collapse toward cluster centers, so keeping the
+    farthest member preserves the most diversity per retained
+    example). Ties break to min id. Cost: one broadcast join of the
+    k-sized centroid table against the already-materialized (vec,
+    cell) frame plus the same combinable keeper reduction — no new
+    shuffle shape.
 
     At 100 TB, size n_clusters ~ n/target so cell occupancy — and with
     it per-cell candidate pairs — stays constant, exactly the
@@ -927,9 +939,29 @@ def semantic_dedup(
         .filter(F.col("score") >= threshold)
         .select("doc_a", "doc_b")
     )
-    kept = near_dedup_keep(
-        embeddings.select(F.col(id_col).alias("doc_id")), pairs=pairs
-    )
+    if keep == "centroid_far":
+        cen = embeddings.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        )
+        vc_dot = _fold(F.zip_with("v", "centroid", lambda x, y: x * y))
+        v_norm = F.sqrt(_fold(F.transform("v", lambda x: x * x)))
+        c_norm = F.sqrt(
+            _fold(F.transform("centroid", lambda x: x * x))
+        )
+        docs_for_cc = ev.join(F.broadcast(cen), "cell").select(
+            F.col("vec_id").alias("doc_id"),
+            # negated similarity: near_dedup_keep keeps the MAX score,
+            # so the farthest-from-centroid member wins
+            (-(vc_dot / (v_norm * c_norm))).alias("_far"),
+        )
+        kept = near_dedup_keep(docs_for_cc, pairs=pairs, keep_by="_far")
+    elif keep == "min_id":
+        kept = near_dedup_keep(
+            embeddings.select(F.col(id_col).alias("doc_id")), pairs=pairs
+        )
+    else:
+        raise ValueError(f"unknown keep policy {keep!r}")
     return kept.select(
         F.col("doc_id").alias("vec_id"), "keep_id", "is_kept"
     )

@@ -2430,3 +2430,40 @@ def test_perplexity_buckets_bigram_scorer(spark):
 
     with _pytest.raises(ValueError):
         perplexity_buckets(docs, scorer="kenlm").collect()
+
+
+def test_semantic_dedup_centroid_far_keeper(spark):
+    """keep="centroid_far" implements the SemDeDup paper's keeper:
+    the duplicate-component member with the LOWEST cosine to its cell
+    centroid survives (ids 0 and 1 are a near-identical pair; 1 is
+    slightly farther from the centroid that doc 2 pulls away, so the
+    paper policy keeps 1 where min_id keeps 0); unknown policies
+    raise."""
+    import pytest as _pytest
+
+    from mod_reservoir_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.31, 0.0, 0.0]),   # dup pair, closer to centroid
+            (1, [1.0, 0.30, 0.0, 0.0]),   # dup pair, farther
+            (2, [0.0, 1.0, 0.0, 0.0]),    # pulls the centroid toward y
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(n_clusters=1, threshold=0.99, iterations=1)
+    by_id = {
+        r.vec_id: (r.keep_id, r.is_kept)
+        for r in semantic_dedup(emb, **kw).collect()
+    }
+    assert by_id[0] == (0, 1) and by_id[1] == (0, 0)
+    far = {
+        r.vec_id: (r.keep_id, r.is_kept)
+        for r in semantic_dedup(emb, keep="centroid_far", **kw).collect()
+    }
+    assert far[0] == (1, 0) and far[1] == (1, 1)
+    # the singleton keeps itself under both policies
+    assert by_id[2] == (2, 1) and far[2] == (2, 1)
+
+    with _pytest.raises(ValueError):
+        semantic_dedup(emb, keep="random", **kw)
