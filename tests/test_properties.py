@@ -256,3 +256,69 @@ def test_remove_duplicate_spans_matches_python_reference(spark):
         assert got == want, (texts, k)
 
     check()
+
+
+def test_bigram_jm_arithmetic_matches_python_reference(spark):
+    """Property: over random small corpora, the distributed
+    Jelinek-Mercer bigram scorer matches an independent pure-Python
+    implementation — exact n_bigrams, mean NLL within 1 micro-nat
+    (float summation order differs between the engines, so the 1e6
+    rounding may land one off at half-way boundaries)."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given as _given, settings as _settings
+    from hypothesis import strategies as _st
+
+    from mod_reservoir_spark.pipeline.text import bigram_logprob_scores
+
+    def ref_scores(rows, lam=0.8):
+        toks = {i: t.split() for i, t in rows}
+        uni = Counter(w for ts in toks.values() for w in ts)
+        T = sum(uni.values())
+        big = Counter(
+            (ts[j], ts[j + 1])
+            for ts in toks.values()
+            for j in range(len(ts) - 1)
+        )
+        c1 = Counter()
+        for (w1, _w2), c in big.items():
+            c1[w1] += c
+        out = {}
+        for i, ts in toks.items():
+            prs = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+            if not prs:
+                out[i] = (0, 0)
+                continue
+            nll = sum(
+                -math.log(
+                    lam * big[p] / c1[p[0]] + (1 - lam) * uni[p[1]] / T
+                )
+                for p in prs
+            )
+            out[i] = (len(prs), round(nll / len(prs) * 1e6))
+        return out
+
+    doc = _st.lists(
+        _st.sampled_from(["a", "b", "c", "dd", "eee"]),
+        min_size=0, max_size=12,
+    ).map(" ".join)
+    corpus = _st.lists(doc, min_size=1, max_size=8)
+
+    @_given(corpus)
+    @_settings(max_examples=5, deadline=None)
+    def run(texts):
+        rows = list(enumerate(texts))
+        got = {
+            r.doc_id: (r.n_bigrams, r.mean_nll_e6)
+            for r in bigram_logprob_scores(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        want = ref_scores(rows)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0], (i, got[i], want[i])
+            assert abs(got[i][1] - want[i][1]) <= 1, (i, got[i], want[i])
+
+    run()
