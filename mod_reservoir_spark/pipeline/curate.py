@@ -12,11 +12,20 @@ must attribute each document to the FIRST stage that dropped it. The
 composition encodes that contract once and equivalence-tests it against
 the hand-chained operators.
 
-Scale shape: no action runs between stages — Spark sees one DAG, so
-column pruning and shared scans apply across the whole funnel; each
-stage only adds the joins its own operator already needs (all of them
-individually plan-audited in SCALE.md). The funnel histogram is one
-extra combinable aggregation over the ledger.
+Scale shape: by default no action runs between stages — Spark sees one
+DAG, so column pruning and predicate pushdown apply across the whole
+funnel; each stage only adds the joins its own operator already needs
+(all of them individually plan-audited in SCALE.md). The honest cost
+of the pure-lazy form is SUBTREE MULTIPLICATION: every stage output
+referenced twice (survivors feed the next stage AND the ledger) is
+recomputed per reference because Catalyst does not share non-identical
+subtrees — the default sf0.001 plan re-scans the corpus 37 times.
+Fine when the funnel's one action is cheap relative to planning; at
+real scale pass ``materialize=True`` to eagerly localCheckpoint each
+stage boundary — every stage then computes exactly once and the plan
+reads checkpointed blocks instead of re-deriving (measured in
+SCALE.md; ledger pinned identical either way). The funnel histogram is
+one extra combinable aggregation over the ledger.
 """
 
 from __future__ import annotations
@@ -54,6 +63,7 @@ def curate(
     hasher: str = "md5",
     lm_tables: tuple[DataFrame, DataFrame] | None = None,
     max_nll_e6: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Run the full curation funnel and return the per-document LEDGER:
     one row per input document with
@@ -98,6 +108,14 @@ def curate(
     absent from the PLAN entirely, so the default funnel — and the
     ``curate_funnel`` contract row — is byte-identical to before.
 
+    ``materialize=True`` eagerly localCheckpoints every stage boundary
+    that the plan otherwise recomputes (module docstring: the pure-lazy
+    form multiplies shared subtrees — 37 corpus scans at sf0.001).
+    Values are pinned identical; the call itself then runs the stage
+    jobs (it is no longer fully lazy), and checkpoint blocks live until
+    the returned frame is garbage-collected. Use it when the corpus is
+    large or the funnel output is consumed more than once.
+
     ``hasher`` feeds the near-dup stage's shingle hash (VERDICT r6
     "Next #6"): ``md5`` is the cross-engine contract hash (the driver
     row keeps it), ``xxhash64`` the measured fast path — ~30% less
@@ -126,13 +144,29 @@ def curate(
     docs = docs.filter(F.col("doc_id").isNotNull()).withColumn(
         text_col, F.coalesce(F.col(text_col), F.lit(""))
     )
-    base = docs.select("doc_id", F.col(text_col).alias("_text"))
-
-    q = quality_filter(docs, text_col, **(quality_kwargs or {})).select(
-        "doc_id", "reject_reasons", F.col("keep").alias("_q_keep")
+    # materialize=True: eagerly checkpoint every frame referenced more
+    # than once (stage survivors feed BOTH the next stage and the
+    # ledger) so each stage computes exactly once — the pure-lazy
+    # default recomputes shared subtrees per reference (docstring)
+    m = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if materialize
+        else (lambda df: df)
     )
-    q_surv = base.join(q.filter("_q_keep = 1"), "doc_id").select(
-        "doc_id", "_text"
+    base = m(docs.select("doc_id", F.col(text_col).alias("_text")))
+
+    # quality over the (checkpointed) base projection — same values as
+    # over docs (the filter reads only doc_id + text) without another
+    # trip to the source
+    q = m(
+        quality_filter(base, "_text", **(quality_kwargs or {})).select(
+            "doc_id", "reject_reasons", F.col("keep").alias("_q_keep")
+        )
+    )
+    q_surv = m(
+        base.join(q.filter("_q_keep = 1"), "doc_id").select(
+            "doc_id", "_text"
+        )
     )
 
     # optional CCNet perplexity gate among quality survivors
@@ -144,17 +178,21 @@ def curate(
         )
 
         ref_bigrams, ref_unigrams = lm_tables
-        px = bigram_logprob_against(
-            q_surv.select("doc_id", F.col("_text").alias("text")),
-            ref_bigrams,
-            ref_unigrams,
-        ).select(
-            "doc_id",
-            "mean_nll_e6",
-            (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),
+        px = m(
+            bigram_logprob_against(
+                q_surv.select("doc_id", F.col("_text").alias("text")),
+                ref_bigrams,
+                ref_unigrams,
+            ).select(
+                "doc_id",
+                "mean_nll_e6",
+                (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),
+            )
         )
-        p_surv = q_surv.join(px.filter("_p_keep"), "doc_id").select(
-            "doc_id", "_text"
+        p_surv = m(
+            q_surv.join(px.filter("_p_keep"), "doc_id").select(
+                "doc_id", "_text"
+            )
         )
     else:
         px = None
@@ -167,36 +205,45 @@ def curate(
     from mod_reservoir_spark.pipeline.text import fingerprint_expr
 
     with_fp = p_surv.withColumn("_fp", fingerprint_expr("_text"))
-    e = with_fp.join(
-        fp, with_fp["_fp"] == fp["fingerprint"]
-    ).select(
-        "doc_id",
-        "_text",
-        (F.col("doc_id") == F.col("keeper_doc_id")).alias("_e_keep"),
+    e = m(
+        with_fp.join(
+            fp, with_fp["_fp"] == fp["fingerprint"]
+        ).select(
+            "doc_id",
+            "_text",
+            (F.col("doc_id") == F.col("keeper_doc_id")).alias("_e_keep"),
+        )
     )
     e_surv = e.filter("_e_keep").select("doc_id", "_text")
 
     # near dedup among exact survivors
     nk = dict(near_kwargs or {})
     nk.setdefault("hasher", hasher)
-    n = near_dedup_keep(
-        e_surv.select("doc_id", F.col("_text").alias("text")),
-        **nk,
-    ).select("doc_id", "keep_id", F.col("is_kept").alias("_n_keep"))
-    n_surv = e_surv.join(n.filter("_n_keep = 1"), "doc_id").select(
-        "doc_id", "_text"
+    n = m(
+        near_dedup_keep(
+            e_surv.select("doc_id", F.col("_text").alias("text")),
+            **nk,
+        ).select("doc_id", "keep_id", F.col("is_kept").alias("_n_keep"))
+    )
+    n_surv = m(
+        e_surv.join(n.filter("_n_keep = 1"), "doc_id").select(
+            "doc_id", "_text"
+        )
     )
 
     # decontamination among near survivors
     if benchmark is not None:
-        c = contamination(
-            n_surv.select("doc_id", F.col("_text").alias("text")), benchmark
-        ).select(
-            "doc_id",
-            "contamination_ppm",
-            (F.col("contamination_ppm") <= max_contamination_ppm).alias(
-                "_c_keep"
-            ),
+        c = m(
+            contamination(
+                n_surv.select("doc_id", F.col("_text").alias("text")),
+                benchmark,
+            ).select(
+                "doc_id",
+                "contamination_ppm",
+                (F.col("contamination_ppm") <= max_contamination_ppm).alias(
+                    "_c_keep"
+                ),
+            )
         )
     else:
         c = n_surv.select(
@@ -212,13 +259,15 @@ def curate(
         c_surv = n_surv.join(c.filter("_c_keep"), "doc_id").select(
             "doc_id", "_text"
         )
-        nc = near_contamination(
-            c_surv.select("doc_id", F.col("_text").alias("text")),
-            benchmark,
-            threshold_ppm=benchmark_near_ppm,
-        ).select(
-            "doc_id",
-            (F.col("n_bench_matches") == 0).alias("_nc_keep"),
+        nc = m(
+            near_contamination(
+                c_surv.select("doc_id", F.col("_text").alias("text")),
+                benchmark,
+                threshold_ppm=benchmark_near_ppm,
+            ).select(
+                "doc_id",
+                (F.col("n_bench_matches") == 0).alias("_nc_keep"),
+            )
         )
     else:
         nc = base.select("doc_id", F.lit(True).alias("_nc_keep"))

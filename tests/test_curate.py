@@ -335,3 +335,33 @@ def test_curate_perplexity_stage(spark, corpus):
 
     with pytest.raises(ValueError):
         curate(corpus, lm_tables=tables)
+
+
+def test_curate_materialize_identical_and_scan_free(spark, corpus, bench_docs):
+    """materialize=True checkpoints every stage boundary: the ledger is
+    row-identical to the lazy default (all stages incl. the gate and
+    both decontamination passes), and the returned plan reads
+    checkpoints — zero source re-scans (the lazy plan re-derives its
+    source dozens of times)."""
+    from mod_reservoir_spark.pipeline.text import lm_count_tables
+
+    tables = lm_count_tables(corpus)
+    kw = dict(
+        benchmark=bench_docs,
+        near_kwargs=dict(NEAR),
+        benchmark_near_ppm=400000,
+        lm_tables=tables,
+        max_nll_e6=10_000_000,
+    )
+    lazy = curate(corpus, **kw)
+    mat = curate(corpus, materialize=True, **kw)
+    assert {tuple(r) for r in lazy.collect()} == {
+        tuple(r) for r in mat.collect()
+    }
+    mat_plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in mat_plan or "Scan parquet" not in mat_plan
+    lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    # the corpus here is createDataFrame-backed; count its re-derivations
+    assert lazy_plan.count("Scan ExistingRDD") > mat_plan.count(
+        "Scan ExistingRDD"
+    )
