@@ -561,7 +561,7 @@ def _bigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def lm_count_tables(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", strata: tuple[str, ...] = ()
 ) -> tuple[DataFrame, DataFrame]:
     """The corpus language-model count tables: ``bigrams (w1, w2,
     cb)`` and ``unigrams (term, ctf)``. Everything else the
@@ -571,13 +571,26 @@ def lm_count_tables(
     key-wise sum of counts over its parts), which is what gives them a
     streaming face (streaming/lm_stream.py): per-batch tables are pure
     functions of the batch, the fold is one groupBy-sum per table.
+
+    ``strata`` (e.g. ``("lang",)``): build ONE model per stratum — the
+    CCNet shape, which trains a separate LM per language so a fluent
+    non-English document is never scored against English counts. The
+    stratum columns are prepended to both tables' keys; scoring joins
+    on them too, so each document is scored under its own stratum's
+    model (unseen strata fall to the OOV contract).
     """
-    bigrams = (
-        _bigram_positions(docs, text_col)
-        .groupBy("w1", "w2")
-        .agg(F.sum("bf").cast("long").alias("cb"))
+    big_base = _bigram_positions(docs, text_col)
+    term_doc = _term_doc_counts(docs, text_col)
+    if strata:
+        # strata are per-document attributes: attach them to the
+        # per-doc partials by key, then count within each stratum
+        keys = docs.select("doc_id", *strata).distinct()
+        big_base = big_base.join(keys, "doc_id")
+        term_doc = term_doc.join(keys, "doc_id")
+    bigrams = big_base.groupBy(*strata, "w1", "w2").agg(
+        F.sum("bf").cast("long").alias("cb")
     )
-    unigrams = _term_doc_counts(docs, text_col).groupBy("term").agg(
+    unigrams = term_doc.groupBy(*strata, "term").agg(
         F.sum("tf").cast("long").alias("ctf")
     )
     return bigrams, unigrams
@@ -590,6 +603,7 @@ def bigram_logprob_against(
     text_col: str = "text",
     lam_ppm: int = 800000,
     oov_ppm: int = 1,
+    strata: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score documents under GIVEN LM count tables — the production
     form of :func:`bigram_logprob_scores` and the shape CCNet actually
@@ -607,12 +621,25 @@ def bigram_logprob_against(
     -ln(1e-6) ≈ 13.8, the worst band. On the self-scoring path every
     count is ≥ 1, so neither guard fires and the arithmetic is
     bit-identical to the contract row's oracle.
+
+    ``strata`` (matching the tables built with
+    ``lm_count_tables(strata=...)``): every document is scored under
+    its OWN stratum's model — e.g. per-language models, the CCNet
+    shape. All joins (bigram, context, unigram, stratum total) gain
+    the stratum keys; a document whose stratum has no model falls
+    entirely to the OOV floor. Scoring with strata over a corpus
+    equals scoring each stratum's sub-corpus under its own unstratified
+    tables (pinned in tests).
     """
     per_doc = _bigram_positions(docs, text_col)
-    contexts = bigrams.groupBy("w1").agg(
+    if strata:
+        per_doc = per_doc.join(
+            docs.select("doc_id", *strata).distinct(), "doc_id"
+        )
+    skeys = list(strata)
+    contexts = bigrams.groupBy(*skeys, "w1").agg(
         F.sum("cb").cast("long").alias("c1")
     )
-    totals = unigrams.select(F.sum("ctf").cast("long").alias("_total"))
     lam = lam_ppm / 1000000.0
     bigram_term = F.when(
         F.coalesce(F.col("c1"), F.lit(0)) > 0,
@@ -623,14 +650,23 @@ def bigram_logprob_against(
         F.lit(1.0 - lam) * F.col("ctf") / F.col("_total"),
     ).otherwise(F.lit(oov_ppm / 1000000.0))
     p = bigram_term + unigram_term
-    scored = (
-        per_doc.join(bigrams, ["w1", "w2"], "left")
-        .join(contexts, "w1", "left")
-        .join(
-            unigrams.withColumnRenamed("term", "w2"), "w2", "left"
+    scored = per_doc.join(bigrams, skeys + ["w1", "w2"], "left").join(
+        contexts, skeys + ["w1"], "left"
+    ).join(
+        unigrams.withColumnRenamed("term", "w2"), skeys + ["w2"], "left"
+    )
+    if strata:
+        totals = unigrams.groupBy(*skeys).agg(
+            F.sum("ctf").cast("long").alias("_total")
         )
-        .crossJoin(F.broadcast(totals))
-        .groupBy("doc_id")
+        scored = scored.join(F.broadcast(totals), skeys, "left")
+    else:
+        totals = unigrams.select(
+            F.sum("ctf").cast("long").alias("_total")
+        )
+        scored = scored.crossJoin(F.broadcast(totals))
+    scored = (
+        scored.groupBy("doc_id")
         .agg(
             F.sum("bf").cast("long").alias("n_bigrams"),
             F.sum(F.col("bf") * -F.log(p)).alias("_nll_sum"),

@@ -52,16 +52,20 @@ def stream_lm_counts(
     state_dir: str,
     text_col: str = "text",
     schema=None,
+    strata: tuple[str, ...] = (),
 ):
     """Maintain the bigram/unigram count tables under continuous JSONL
     ingest. Returns the started streaming query; state lands under
     ``{state_dir}/bigrams/batch=<id>/`` + ``{state_dir}/unigrams/...``
-    and is read with :func:`read_stream_lm_counts`."""
+    and is read with :func:`read_stream_lm_counts`. ``strata`` builds
+    per-stratum models (e.g. per language — pass a ``schema`` carrying
+    the stratum columns); the fold below infers its grouping keys from
+    the committed columns, so it needs no matching parameter."""
     bigrams_root = os.path.join(state_dir, "bigrams")
     unigrams_root = os.path.join(state_dir, "unigrams")
 
     def process(batch_df, batch_id):
-        bigrams, unigrams = lm_count_tables(batch_df, text_col)
+        bigrams, unigrams = lm_count_tables(batch_df, text_col, strata)
         _commit_sketch_partition(bigrams, bigrams_root, batch_id)
         _commit_sketch_partition(unigrams, unigrams_root, batch_id)
 
@@ -83,15 +87,17 @@ def read_stream_lm_counts(
     """(bigrams, unigrams) folded over every committed batch partition
     — the exact shapes ``lm_count_tables`` returns, directly servable
     by ``bigram_logprob_against``."""
-    bigrams = (
-        spark.read.parquet(os.path.join(state_dir, "bigrams"))
-        .groupBy("w1", "w2")
-        .agg(F.sum("cb").cast("long").alias("cb"))
+    raw_b = spark.read.parquet(os.path.join(state_dir, "bigrams"))
+    raw_u = spark.read.parquet(os.path.join(state_dir, "unigrams"))
+    # grouping keys inferred from the committed columns, so stratified
+    # state (extra stratum columns) folds without a matching parameter
+    bkeys = [c for c in raw_b.columns if c not in ("cb", "batch")]
+    ukeys = [c for c in raw_u.columns if c not in ("ctf", "batch")]
+    bigrams = raw_b.groupBy(*bkeys).agg(
+        F.sum("cb").cast("long").alias("cb")
     )
-    unigrams = (
-        spark.read.parquet(os.path.join(state_dir, "unigrams"))
-        .groupBy("term")
-        .agg(F.sum("ctf").cast("long").alias("ctf"))
+    unigrams = raw_u.groupBy(*ukeys).agg(
+        F.sum("ctf").cast("long").alias("ctf")
     )
     return bigrams, unigrams
 

@@ -2467,3 +2467,53 @@ def test_semantic_dedup_centroid_far_keeper(spark):
 
     with _pytest.raises(ValueError):
         semantic_dedup(emb, keep="random", **kw)
+
+
+def test_lm_strata_equals_per_stratum_models(spark):
+    """Per-language LM (the CCNet shape): scoring with
+    strata=("lang",) over a mixed corpus equals scoring each
+    language's sub-corpus under its own unstratified tables; a
+    document whose language has no model falls to the OOV floor."""
+    import math
+
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_against,
+        lm_count_tables,
+    )
+
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the cat sat on the hat"),
+        (2, "de", "die katze sass auf der matte"),
+        (3, "de", "die katze sass auf dem hut"),
+        (4, "fr", "le chat"),   # stratum with a model of its own
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sb, su = lm_count_tables(docs, strata=("lang",))
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_e6)
+        for r in bigram_logprob_against(
+            docs, sb, su, strata=("lang",)
+        ).collect()
+    }
+    want = {}
+    for lang in ("en", "de", "fr"):
+        sub = docs.filter(F.col("lang") == lang)
+        b, u = lm_count_tables(sub)
+        want.update(
+            (r.doc_id, (r.n_bigrams, r.mean_nll_e6))
+            for r in bigram_logprob_against(sub, b, u).collect()
+        )
+    assert got == want
+
+    # unseen stratum: every token OOV -> the floor exactly
+    alien = spark.createDataFrame(
+        [(9, "xx", "qq zz qq")], "doc_id long, lang string, text string"
+    )
+    floor = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_e6)
+        for r in bigram_logprob_against(
+            alien, sb, su, strata=("lang",)
+        ).collect()
+    }
+    assert floor[9] == (2, round(-math.log(1e-6) * 1e6))

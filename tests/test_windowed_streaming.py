@@ -681,3 +681,61 @@ def test_bigram_logprob_against_oov_contract(spark):
     assert got[10] == (1, round(-math.log(p_ab) * 1e6))
     assert got[11] == (1, round(-math.log(p_ba) * 1e6))
     assert got[12] == (1, round(-math.log(p_oov) * 1e6))
+
+
+def test_stream_lm_counts_stratified_fold(spark, tmp_path):
+    """Stratified streaming state (per-language models): the inferred
+    fold keys include the stratum column, and the folded tables equal
+    lm_count_tables(strata=...) over everything ingested."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from mod_reservoir_spark.pipeline.text import lm_count_tables
+    from mod_reservoir_spark.streaming.lm_stream import (
+        read_stream_lm_counts,
+        stream_lm_counts,
+    )
+
+    rows = [
+        (0, "en", "the cat sat"),
+        (1, "en", "the cat ran"),
+        (2, "de", "die katze sass"),
+        (3, "de", "die katze lief"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "lm_state")
+    q = stream_lm_counts(
+        spark, str(indir), str(tmp_path / "ckpt"), state,
+        schema=schema, strata=("lang",),
+    )
+    try:
+        for bi, batch in enumerate((rows[:2], rows[2:])):
+            with open(indir / f"b{bi}.jsonl", "w") as f:
+                for i, lang, t in batch:
+                    f.write(
+                        json.dumps({"doc_id": i, "lang": lang, "text": t})
+                        + "\n"
+                    )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    docs = spark.createDataFrame(rows, schema)
+    want_b, want_u = lm_count_tables(docs, strata=("lang",))
+    got_b, got_u = read_stream_lm_counts(spark, state)
+    assert set(got_b.columns) == set(want_b.columns)
+    assert {tuple(r) for r in got_b.select(*want_b.columns).collect()} == {
+        tuple(r) for r in want_b.collect()
+    }
+    assert {tuple(r) for r in got_u.select(*want_u.columns).collect()} == {
+        tuple(r) for r in want_u.collect()
+    }
