@@ -63,6 +63,7 @@ def curate(
     hasher: str = "md5",
     lm_tables: tuple[DataFrame, DataFrame] | None = None,
     max_nll_e6: int | None = None,
+    lm_strata: tuple[str, ...] = (),
     materialize: bool = False,
 ) -> DataFrame:
     """Run the full curation funnel and return the per-document LEDGER:
@@ -107,6 +108,10 @@ def curate(
     pick the threshold). When ``lm_tables`` is None the stage is
     absent from the PLAN entirely, so the default funnel — and the
     ``curate_funnel`` contract row — is byte-identical to before.
+    ``lm_strata`` (e.g. ``("lang",)``, with tables built via
+    ``lm_count_tables(..., strata=...)``): score each document under
+    its own stratum's model — per-language gating, the full CCNet
+    recipe; the stratum columns must exist on ``docs``.
 
     ``materialize=True`` eagerly localCheckpoints every stage boundary
     that the plan otherwise recomputes (module docstring: the pure-lazy
@@ -178,11 +183,18 @@ def curate(
         )
 
         ref_bigrams, ref_unigrams = lm_tables
+        gate_in = q_surv.select("doc_id", F.col("_text").alias("text"))
+        if lm_strata:
+            # strata live on the ORIGINAL docs frame; re-attach by key
+            gate_in = gate_in.join(
+                docs.select("doc_id", *lm_strata).distinct(), "doc_id"
+            )
         px = m(
             bigram_logprob_against(
-                q_surv.select("doc_id", F.col("_text").alias("text")),
+                gate_in,
                 ref_bigrams,
                 ref_unigrams,
+                strata=lm_strata,
             ).select(
                 "doc_id",
                 "mean_nll_e6",

@@ -699,6 +699,8 @@ def perplexity_buckets(
     head_ppm: int = 333334,
     middle_ppm: int = 666667,
     scorer: str = "unigram",
+    lm_tables: tuple[DataFrame, DataFrame] | None = None,
+    table_strata: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
     each stratum (per language, like CCNet), rank documents by the
@@ -724,11 +726,23 @@ def perplexity_buckets(
     KenLM model CCNet actually ranks with). Band semantics and scale
     shape are scorer-independent.
 
+    ``lm_tables`` (optionally with ``table_strata``, e.g.
+    ``("lang",)``): rank by NLL under a REFERENCE model instead of the
+    corpus's own counts — the full CCNet recipe: per-language models
+    trained on a clean corpus (``lm_count_tables(clean, strata=...)``
+    or the lm_stream fold) score the crawl, and the banding is done
+    per language. Implies the bigram scorer; ``scorer`` is ignored.
+
     Output: (doc_id, strata, mean_nll_e6, pos_ppm, bucket).
     """
     from pyspark.sql import Window
 
-    if scorer == "unigram":
+    if lm_tables is not None:
+        scores = bigram_logprob_against(
+            docs, *lm_tables, text_col=text_col,
+            strata=tuple(table_strata or ()),
+        )
+    elif scorer == "unigram":
         scores = unigram_logprob_scores(docs, text_col)
     elif scorer == "bigram":
         scores = bigram_logprob_scores(docs, text_col)

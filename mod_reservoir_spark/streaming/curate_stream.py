@@ -117,6 +117,8 @@ def streaming_curate(
     benchmark_near_ppm: int | None = None,
     lm_tables: tuple[DataFrame, DataFrame] | None = None,
     max_nll_e6: int | None = None,
+    lm_strata: tuple[str, ...] = (),
+    schema=None,
 ):
     """Start the streaming funnel over JSONL documents in ``input_dir``
     (schema ``{doc_id, text}``). Returns the StreamingQuery; read the
@@ -195,8 +197,14 @@ def streaming_curate(
                 bigram_logprob_against,
             )
 
+            gate_in = q_surv
+            if lm_strata:
+                gate_in = gate_in.join(
+                    batch.select("doc_id", *lm_strata).distinct(),
+                    "doc_id",
+                )
             px = bigram_logprob_against(
-                q_surv, ref_bigrams, ref_unigrams
+                gate_in, ref_bigrams, ref_unigrams, strata=lm_strata
             ).select(
                 "doc_id",
                 (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),
@@ -393,7 +401,9 @@ def streaming_curate(
                 h.unpersist()
 
     docs = (
-        spark.readStream.schema(DOC_SCHEMA)
+        # schema override: per-language gating (lm_strata) needs the
+        # stratum columns on the stream — default stays (doc_id, text)
+        spark.readStream.schema(schema or DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .json(input_dir)
     )

@@ -432,3 +432,86 @@ def test_streaming_curate_perplexity_gate_equals_batch(spark, tmp_path):
     assert got == want
     # the gate actually fired: some quality survivor dropped for NLL
     assert "perplexity" in {s for s, _ in got.values() if s}
+
+
+def test_streaming_curate_per_language_gate_equals_batch(spark, tmp_path):
+    """Per-language gating (lm_strata): the streamed funnel with a
+    stratified frozen reference scores each doc under its own
+    language's model and stays ledger-identical to batch curate with
+    the same tables."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from mod_reservoir_spark.pipeline.curate import curate
+    from mod_reservoir_spark.pipeline.text import lm_count_tables
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    def long_doc(tag, tail):
+        return _filler(tag) + " " + tail
+
+    rows = [
+        (0, "en", long_doc("a", "the cat sat on the mat right here")),
+        (1, "en", long_doc("b", "mat the on sat cat the here right")),
+        (2, "de", long_doc("c", "die katze sass auf der matte genau hier")),
+        (3, "de", long_doc("d", "matte der auf sass katze die hier genau")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ref = docs.filter(F.col("doc_id").isin(0, 2))
+    tables = lm_count_tables(ref, strata=("lang",))
+    # threshold between each language's fluent and permuted scores
+    from mod_reservoir_spark.pipeline.text import bigram_logprob_against
+
+    s = {
+        r.doc_id: r.mean_nll_e6
+        for r in bigram_logprob_against(
+            docs, *tables, strata=("lang",)
+        ).collect()
+    }
+    cut = max(s[0], s[2]) + 1
+    assert min(s[1], s[3]) > cut  # the permuted docs are gateable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_curate(
+        spark, str(indir), str(tmp_path / "ckpt"), state,
+        threshold_ppm=500000,
+        lm_tables=tables, max_nll_e6=cut, lm_strata=("lang",),
+        schema=schema,
+    )
+    try:
+        for bi, batch in enumerate((rows[:2], rows[2:])):
+            with open(indir / f"b{bi}.jsonl", "w") as f:
+                for i, lang, t in batch:
+                    f.write(
+                        _json.dumps({"doc_id": i, "lang": lang, "text": t})
+                        + "\n"
+                    )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ledger, _, _ = read_curate_state(spark, state)
+    got = {r.doc_id: r.drop_stage for r in ledger.collect()}
+    want = {
+        r.doc_id: r.drop_stage
+        for r in curate(
+            docs,
+            near_kwargs={"threshold_ppm": 500000},
+            lm_tables=tables, max_nll_e6=cut, lm_strata=("lang",),
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == "perplexity" and got[3] == "perplexity"
+    assert got[0] is None and got[2] is None

@@ -2517,3 +2517,44 @@ def test_lm_strata_equals_per_stratum_models(spark):
         ).collect()
     }
     assert floor[9] == (2, round(-math.log(1e-6) * 1e6))
+
+
+def test_perplexity_buckets_under_reference_tables(spark):
+    """The full CCNet recipe: per-language reference models rank the
+    corpus and the banding is done per language — buckets under
+    lm_tables match bigram_logprob_against scores, and lm_tables wins
+    over scorer."""
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_against,
+        lm_count_tables,
+        perplexity_buckets,
+    )
+
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "mat the on sat cat the"),      # permuted english
+        (2, "de", "die katze sass auf der matte"),
+        (3, "de", "matte der auf sass katze die"),  # permuted german
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # clean reference: the fluent docs only
+    ref = docs.filter(F.col("doc_id").isin(0, 2))
+    tables = lm_count_tables(ref, strata=("lang",))
+    out = {
+        r.doc_id: (r.mean_nll_e6, r.bucket)
+        for r in perplexity_buckets(
+            docs, lm_tables=tables, table_strata=("lang",)
+        ).collect()
+    }
+    scores = {
+        r.doc_id: r.mean_nll_e6
+        for r in bigram_logprob_against(
+            docs, *tables, strata=("lang",)
+        ).collect()
+    }
+    for i in scores:
+        assert out[i][0] == scores[i]
+    # within each language the permuted copy ranks worse
+    assert out[1][0] > out[0][0] and out[3][0] > out[2][0]
+    assert out[0][1] == "head" and out[2][1] == "head"
+    assert out[1][1] == "tail" and out[3][1] == "tail"
