@@ -1616,6 +1616,18 @@ def q_bigram_logprob(spark, sf_dir):
     return tx.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_bigram_logprob_lang(spark, sf_dir):
+    """Per-LANGUAGE Jelinek-Mercer bigram self-perplexity (the CCNet
+    design: one model per language, stratum keys on every count and
+    join) — pipeline/text.py lm_count_tables(strata=("lang",)) +
+    bigram_logprob_against(strata=("lang",)). Self-scoring, so the OOV
+    guards never fire and the oracle replicates the stratified count
+    tables and interpolation exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    tables = tx.lm_count_tables(docs, strata=("lang",))
+    return tx.bigram_logprob_against(docs, *tables, strata=("lang",))
+
+
 def q_near_dedup_quality(spark, sf_dir):
     """Quality-aware near-dedup keeper (supersedes the retired
     min-doc_id row): connected components over the verified MinHash-LSH
@@ -1655,7 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "minhash_incremental": q_minhash_incremental,
         "contamination": q_contamination,
-        "winnow_pairs": q_winnow_pairs,
+        "bigram_logprob_lang": q_bigram_logprob_lang,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dedup_quality": q_near_dedup_quality,
         "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3223,6 +3235,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings: bigram_logprob and near_dedup_quality)
         "unigram_logprob": q_unigram_logprob,
         "near_dedup_keep": q_near_dedup_keep,
+        # round-7 retirement (r1-r4 stable; slot carries the
+        # per-language LM row — winnowing stays covered by the retired
+        # `winnow` row + winnow_fingerprints pytest oracles)
+        "winnow_pairs": q_winnow_pairs,
         # round-7 retirements (rotation 3b: superseded scale paths)
         "embedding_lsh_self": q_embedding_lsh_self,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -4452,11 +4468,68 @@ def _bigram_logprob_oracle(lam_ppm: int = 800000) -> str:
     """
 
 
+def _bigram_logprob_lang_oracle(lam_ppm: int = 800000) -> str:
+    """q_bigram_logprob_lang replicated: the _bigram_logprob_oracle
+    chain with the lang stratum threaded through every count table,
+    join and per-stratum total (one model per language)."""
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+            FROM t WHERE len(toks) >= 2)
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS bf
+      FROM big GROUP BY 1, 2, 3, 4
+    ),
+    cb AS (
+      SELECT lang, w1, w2, CAST(sum(bf) AS BIGINT) AS cb
+      FROM per_doc GROUP BY 1, 2, 3
+    ),
+    c1 AS (
+      SELECT lang, w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1, 2
+    ),
+    term_doc AS (
+      SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, lang, unnest(toks) AS term FROM t)
+      GROUP BY 1, 2, 3
+    ),
+    vocab AS (
+      SELECT lang, term, CAST(sum(tf) AS BIGINT) AS ctf
+      FROM term_doc GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(ctf) AS BIGINT) AS total FROM vocab GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(sum(p.bf) AS BIGINT) AS n_bigrams,
+             CAST(round(sum(p.bf * -ln(
+                 ({lam_ppm} / 1000000.0) * cb.cb / c1.c1
+                 + (1 - {lam_ppm} / 1000000.0) * v.ctf
+                   / CAST(tot.total AS DOUBLE)
+             )) / sum(p.bf) * 1000000) AS BIGINT) AS mean_nll_e6
+      FROM per_doc p
+      JOIN cb USING (lang, w1, w2)
+      JOIN c1 USING (lang, w1)
+      JOIN vocab v ON v.lang = p.lang AND v.term = p.w2
+      JOIN tot ON tot.lang = p.lang
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.mean_nll_e6, 0) AS mean_nll_e6
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
 def _r7_oracles() -> dict[str, str]:
     return {
         **_pq_oracles(),
         "near_dedup_quality": _near_dedup_quality_oracle(16, 4, 300000),
         "bigram_logprob": _bigram_logprob_oracle(),
+        "bigram_logprob_lang": _bigram_logprob_lang_oracle(),
         "bm25_batch": _bm25_batch_oracle(),
         "chunk_sequences": _chunk_sequences_oracle(),
         "bpe_train": _bpe_train_oracle(),

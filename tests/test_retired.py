@@ -41,6 +41,8 @@ def test_retired_surface_is_disjoint_and_complete():
         # round 7 (late swap: strictly-stronger siblings displaced
         # unigram_logprob and near_dedup_keep to the retired sweep)
         "bigram_logprob", "near_dedup_quality",
+        # round 7 (per-language LM row; winnow_pairs rotated out)
+        "bigram_logprob_lang",
     }
     assert promoted <= live
     # every live query has an oracle (no silent rows-only rows)
