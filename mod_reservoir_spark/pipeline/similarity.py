@@ -839,6 +839,56 @@ def auto_clusters(
     return max(lo, math.ceil(max(n_rows, 1) / target_cell))
 
 
+def cell_cosine_pairs(
+    left_ev: DataFrame,
+    right_ev: DataFrame,
+    threshold: float,
+    self_join: bool = True,
+) -> DataFrame:
+    """Exact-cosine pairs within shared k-means cells between two
+    ``(vec_id, v, cell)`` frames — the SemDeDup candidate+verify core,
+    shared by :func:`semantic_dedup` (self-join over one corpus) and
+    the streaming face (batch side × accumulated corpus side). The
+    cell equi-join bounds the pair space; the cosine is the all-JVM
+    zip_with fold; output is (doc_a, doc_b).
+
+    ``self_join=True``: both frames are the same corpus — each
+    unordered pair once (doc_a < doc_b). ``self_join=False``: cross
+    pairs only, one endpoint per frame (callers guarantee the id sets
+    are disjoint, e.g. a new batch vs the corpus state that excludes
+    it)."""
+    paired = (
+        left_ev.select(
+            F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), "cell"
+        )
+        .join(
+            right_ev.select(
+                F.col("vec_id").alias("doc_b"),
+                F.col("v").alias("vb"),
+                "cell",
+            ),
+            "cell",
+        )
+    )
+    paired = paired.filter(
+        F.col("doc_a") < F.col("doc_b")
+        if self_join
+        else F.col("doc_a") != F.col("doc_b")
+    )
+
+    def _fold(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = _fold(F.zip_with("va", "vb", lambda x, y: x * y))
+    norm_a = F.sqrt(_fold(F.transform("va", lambda x: x * x)))
+    norm_b = F.sqrt(_fold(F.transform("vb", lambda x: x * x)))
+    return (
+        paired.withColumn("score", F.round(dot / (norm_a * norm_b), 6))
+        .filter(F.col("score") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int | str = 16,
@@ -913,32 +963,10 @@ def semantic_dedup(
         .join(cells, "vec_id")
         .persist()
     )
-    paired = (
-        ev.select(
-            F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), "cell"
-        )
-        .join(
-            ev.select(
-                F.col("vec_id").alias("doc_b"),
-                F.col("v").alias("vb"),
-                "cell",
-            ),
-            "cell",
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
+    pairs = cell_cosine_pairs(ev, ev, threshold)
 
     def _fold(col):
         return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
-
-    dot = _fold(F.zip_with("va", "vb", lambda x, y: x * y))
-    norm_a = F.sqrt(_fold(F.transform("va", lambda x: x * x)))
-    norm_b = F.sqrt(_fold(F.transform("vb", lambda x: x * x)))
-    pairs = (
-        paired.withColumn("score", F.round(dot / (norm_a * norm_b), 6))
-        .filter(F.col("score") >= threshold)
-        .select("doc_a", "doc_b")
-    )
     if keep == "centroid_far":
         cen = embeddings.sparkSession.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],

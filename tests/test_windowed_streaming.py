@@ -739,3 +739,134 @@ def test_stream_lm_counts_stratified_fold(spark, tmp_path):
     assert {tuple(r) for r in got_u.select(*want_u.columns).collect()} == {
         tuple(r) for r in want_u.collect()
     }
+
+
+def test_streaming_semantic_dedup_equivalence_and_replay(spark, tmp_path):
+    """Streaming SemDeDup under FROZEN centroids: the folded per-batch
+    pair partitions equal the one-shot within-cell pair set over
+    everything ingested; a replayed batch rewrites its own partition
+    with identical rows; the read-time CC keeper equals the batch
+    keeper over the same pair graph."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.pipeline.dedup import near_dedup_keep
+    from mod_reservoir_spark.pipeline.similarity import (
+        cell_cosine_pairs,
+        ivf_assign,
+        kmeans_train,
+    )
+    from mod_reservoir_spark.streaming.semantic_stream import (
+        read_semantic_dedup_state,
+        streaming_semantic_dedup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    # planted duplicates: scaled copies of every 4th vector (cosine 1.0)
+    planted = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    allv = emb.unionByName(planted)
+    centroids, _ = kmeans_train(allv, 8, 2)
+    threshold = 0.95
+
+    rows = sorted(
+        ((r.vec_id, list(r.embedding)) for r in allv.collect()),
+        key=lambda t: t[0],
+    )
+    third = len(rows) // 3
+    batches = [rows[:third], rows[third: 2 * third], rows[2 * third:]]
+
+    indir = tmp_path / "vecs"
+    indir.mkdir()
+    state = str(tmp_path / "sem_state")
+    q = streaming_semantic_dedup(
+        spark, str(indir), str(tmp_path / "ckpt"), state,
+        centroids=centroids, threshold=threshold,
+    )
+    try:
+        for bi, batch in enumerate(batches):
+            with open(indir / f"b{bi}.jsonl", "w") as f:
+                for i, v in batch:
+                    f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # one-shot reference under the same frozen centroids
+    cells = ivf_assign(allv, centroids=centroids)
+    ev = allv.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).join(cells, "vec_id")
+    want_pairs = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in cell_cosine_pairs(ev, ev, threshold).collect()
+    }
+    assert want_pairs  # the planted copies guarantee a non-empty graph
+
+    def folded_pairs():
+        _, pairs = read_semantic_dedup_state(spark, state)
+        return {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in pairs.collect()
+        }
+
+    assert folded_pairs() == want_pairs
+
+    # REPLAY batch 1: recompute its members/pairs exactly as process()
+    # would and rewrite partition 1 — the fold must not change
+    from mod_reservoir_spark.streaming.windowed import (
+        _commit_sketch_partition,
+    )
+
+    b1 = spark.createDataFrame(
+        batches[1], "vec_id long, embedding array<double>"
+    )
+    b1_cells = ivf_assign(b1, centroids=centroids)
+    b1_ev = b1.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).join(b1_cells, "vec_id")
+    members, _ = read_semantic_dedup_state(spark, state)
+    corpus_ev = members.join(
+        F.broadcast(b1_ev.select("vec_id")), "vec_id", "left_anti"
+    )
+    replay_pairs = cell_cosine_pairs(b1_ev, b1_ev, threshold).unionByName(
+        cell_cosine_pairs(b1_ev, corpus_ev, threshold, self_join=False)
+    ).localCheckpoint(eager=True)
+    _commit_sketch_partition(
+        replay_pairs, os.path.join(state, "pairs"), 1
+    )
+    _commit_sketch_partition(
+        b1_ev.select("vec_id", "cell", "v"),
+        os.path.join(state, "members"),
+        1,
+    )
+    assert folded_pairs() == want_pairs
+
+    # read-time keeper == batch keeper over the same graph
+    ids = allv.select(F.col("vec_id").alias("doc_id"))
+    _, spairs = read_semantic_dedup_state(spark, state)
+    got_keep = {
+        (r.doc_id, r.keep_id, r.is_kept)
+        for r in near_dedup_keep(
+            ids, pairs=spairs.select("doc_a", "doc_b")
+        ).collect()
+    }
+    want_keep = {
+        (r.doc_id, r.keep_id, r.is_kept)
+        for r in near_dedup_keep(
+            ids,
+            pairs=spark.createDataFrame(
+                sorted(want_pairs), "doc_a long, doc_b long"
+            ),
+        ).collect()
+    }
+    assert got_keep == want_keep
