@@ -791,6 +791,90 @@ def band_layout(bits: int, n_bands: int) -> list[tuple[int, int]]:
     return list(zip(offsets, widths))
 
 
+def _simhash_buckets(sh: DataFrame, bits: int, n_bands: int) -> DataFrame:
+    """(doc_id, simhash, band, bucket) — the contiguous bit-band
+    blocking table, shared by the batch self-join and the incremental
+    new-batch-vs-corpus pass so both block identically."""
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bucket"),
+        )
+        for b, (off, width) in enumerate(band_layout(bits, n_bands))
+    ]
+    return sh.select(
+        "doc_id",
+        F.col("simhash"),
+        F.explode(F.array(*band_entries)).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+
+
+def incremental_simhash_pairs(
+    new_sh: DataFrame,
+    corpus_sh: DataFrame,
+    bits: int = 24,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs TOUCHING a new batch: within-batch pairs
+    plus batch × corpus pairs, over precomputed (doc_id, simhash)
+    frames — the simhash sibling of :func:`incremental_pairs_from_sigs`
+    (the corpus is read, never re-tokenized; cost is
+    O(batch × bucket occupancy)). Callers guarantee the id sets are
+    disjoint (the streaming face anti-joins the batch ids out of the
+    corpus side). Output (doc_a < doc_b, hamming) matches
+    :func:`simhash_near_pairs` row-for-row when unioned over batches —
+    every pair touches the batch of its later-arriving member.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at hamming "
+            f"≤ {max_hamming}; need ≥ {max_hamming + 1}"
+        )
+    nb = _simhash_buckets(new_sh, bits, n_bands)
+    cb = _simhash_buckets(corpus_sh, bits, n_bands)
+
+    def verify(raw):
+        return (
+            raw.distinct()
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+        )
+
+    within = nb.alias("a").join(
+        nb.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
+    )
+    cross = nb.alias("a").join(
+        cb.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket")),
+    ).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        # hamming is symmetric; keep the hashes with their endpoints
+        # only for the xor, so order does not matter
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
+    )
+    return verify(within.unionByName(cross))
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -819,18 +903,7 @@ def simhash_near_pairs(
     # shows two full parquet scans) — at scale that doubles the
     # heaviest stage for a table of (doc_id, int64) rows
     s = simhash(docs, text_col, bits).persist()
-    band_entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), off)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bucket"),
-        )
-        for b, (off, width) in enumerate(band_layout(bits, n_bands))
-    ]
-    buckets = s.select(
-        "doc_id", F.col("simhash"), F.explode(F.array(*band_entries)).alias("bb")
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    buckets = _simhash_buckets(s, bits, n_bands)
     pairs = (
         buckets.alias("a")
         .join(

@@ -343,6 +343,102 @@ def streaming_near_dedup(
     )
 
 
+def streaming_simhash_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    bits: int = 24,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+):
+    """Streaming SimHash near-dup detection with MAINTAINED state —
+    the simhash sibling of :func:`streaming_near_dedup`, same state
+    contract (per-batch immutable partitions under
+    ``hashes/batch=<id>/`` + ``pairs/batch=<id>/``, staged-rename
+    commits, batch-id anti-join for replay safety, union of per-batch
+    pairs == batch :func:`~mod_reservoir_spark.pipeline.dedup.
+    simhash_near_pairs` over everything ingested). The maintained
+    state is ONE int64 per document — at 100 TB the corpus side of
+    the bucket join is a 16-byte-row table, the cheapest of the
+    dedup-family states."""
+    import os
+    import shutil
+
+    from mod_reservoir_spark.pipeline.dedup import (
+        incremental_simhash_pairs,
+        simhash,
+    )
+
+    sh_root = os.path.join(state_dir, "hashes")
+    pairs_root = os.path.join(state_dir, "pairs")
+    empty_sh = spark.createDataFrame([], "doc_id long, simhash long")
+
+    def read_sh():
+        if not os.path.isdir(sh_root) or not any(
+            e.startswith("batch=") for e in os.listdir(sh_root)
+        ):
+            return empty_sh
+        return spark.read.parquet(sh_root).select("doc_id", "simhash")
+
+    def commit(df, root, batch_id):
+        staging = os.path.join(root, f".staging-{batch_id}")
+        final = os.path.join(root, f"batch={batch_id}")
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+    def process(batch_df, batch_id):
+        batch_df = batch_df.filter(F.col("doc_id").isNotNull())
+        new_sh = simhash(batch_df, bits=bits).persist()
+        corpus = (
+            read_sh()
+            .join(
+                F.broadcast(new_sh.select("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+            .persist()
+        )
+        try:
+            pairs = incremental_simhash_pairs(
+                new_sh, corpus, bits=bits, max_hamming=max_hamming,
+                n_bands=n_bands,
+            )
+            commit(pairs, pairs_root, batch_id)
+            commit(new_sh, sh_root, batch_id)
+        finally:
+            new_sh.unpersist()
+            corpus.unpersist()
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_simhash_dedup_state(spark: SparkSession, state_dir: str):
+    """(hashes, pairs) folded over every committed batch partition —
+    hashes is the accumulated (doc_id, simhash) table, pairs the full
+    near-dup pair graph (feed ``near_dedup_keep(ids, pairs=...)``)."""
+    import os
+
+    hashes = spark.read.parquet(os.path.join(state_dir, "hashes")).select(
+        "doc_id", "simhash"
+    )
+    pairs = spark.read.parquet(os.path.join(state_dir, "pairs")).select(
+        "doc_a", "doc_b", "hamming"
+    )
+    return hashes, pairs
+
+
 def read_near_dedup_state(spark: SparkSession, state_dir: str):
     """(signatures, pairs) DataFrames of the accumulated streaming
     near-dedup state — unions of the per-batch partitions. Empty typed

@@ -870,3 +870,78 @@ def test_streaming_semantic_dedup_equivalence_and_replay(spark, tmp_path):
         ).collect()
     }
     assert got_keep == want_keep
+
+
+def test_streaming_simhash_dedup_equals_batch(spark, tmp_path):
+    """The folded per-batch simhash pair partitions equal batch
+    simhash_near_pairs over everything ingested (same bit-band
+    blocking, xor-verified); a replayed batch changes nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.pipeline.dedup import (
+        incremental_simhash_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+    from mod_reservoir_spark.streaming.windowed import (
+        read_simhash_dedup_state,
+        streaming_simhash_dedup,
+    )
+
+    docs_all = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs_all.collect()), key=lambda t: t[0]
+    )
+    third = len(rows) // 3
+    batches = [rows[:third], rows[third: 2 * third], rows[2 * third:]]
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "sh_state")
+    q = streaming_simhash_dedup(
+        spark, str(indir), str(tmp_path / "ckpt"), state,
+        bits=24, max_hamming=3,
+    )
+    try:
+        for bi, batch in enumerate(batches):
+            with open(indir / f"b{bi}.jsonl", "w") as f:
+                for i, t in batch:
+                    f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(
+            docs_all, bits=24, max_hamming=3
+        ).collect()
+    }
+
+    def folded():
+        _, pairs = read_simhash_dedup_state(spark, state)
+        return {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
+
+    assert folded() == want
+    assert want  # real corpus has near-identical docs at hamming<=3
+
+    # REPLAY batch 1 through the same incremental path
+    b1 = spark.createDataFrame(batches[1], "doc_id long, text string")
+    new_sh = simhash(b1, bits=24)
+    hashes, _ = read_simhash_dedup_state(spark, state)
+    corpus = hashes.join(
+        F.broadcast(new_sh.select("doc_id")), "doc_id", "left_anti"
+    )
+    replay = incremental_simhash_pairs(
+        new_sh, corpus, bits=24, max_hamming=3
+    ).localCheckpoint(eager=True)
+    from mod_reservoir_spark.streaming.windowed import (
+        _commit_sketch_partition,
+    )
+
+    _commit_sketch_partition(replay, os.path.join(state, "pairs"), 1)
+    assert folded() == want
