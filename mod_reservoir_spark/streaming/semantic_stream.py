@@ -136,6 +136,24 @@ def streaming_semantic_dedup(
     )
 
 
+def compact_semantic_dedup_state(
+    spark: SparkSession, state_dir: str
+) -> dict:
+    """Compact the streaming-SemDeDup state (members + pairs) into one
+    ``batch=-1`` partition per table: keep-latest (cell, v) per
+    vec_id, drop pairs staler than either member's current content —
+    the :func:`~mod_reservoir_spark.streaming.windowed.
+    compact_near_dedup_state` semantics for the embedding family. Run
+    while the stream is stopped; idempotent."""
+    from mod_reservoir_spark.streaming.windowed import (
+        _compact_id_pairs_state,
+    )
+
+    return _compact_id_pairs_state(
+        spark, state_dir, "members", "vec_id", ["cell", "v"], []
+    )
+
+
 def read_semantic_dedup_state(
     spark: SparkSession, state_dir: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -583,6 +583,108 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> dict:
     return stats
 
 
+def _compact_id_pairs_state(
+    spark: SparkSession,
+    state_dir: str,
+    id_table: str,
+    id_key: str,
+    id_vals: list[str],
+    pair_vals: list[str],
+) -> dict:
+    """Generic compactor for the (id-table, pairs) streaming-dedup
+    state shape — the :func:`compact_near_dedup_state` algorithm
+    (keep-latest per id, drop pairs staler than either member's
+    current content, ``batch=-1`` consolidated partition with the same
+    crash-recoverable rename dance) parameterized over table/column
+    names, so the simhash and semantic faces compact identically.
+    Run while the stream is STOPPED."""
+    import os
+    import shutil
+
+    stats = {}
+    n_batches = 0
+    latest_id_batch = None
+    for table, key_cols, val_cols in (
+        (id_table, [id_key], id_vals),
+        ("pairs", ["doc_a", "doc_b"], pair_vals),
+    ):
+        root = os.path.join(state_dir, table)
+        staging = os.path.join(root, ".staging-compact")
+        old_compact = os.path.join(root, ".old-compact")
+        final = os.path.join(root, f"batch={COMPACTED_BATCH}")
+        if not os.path.isdir(root):
+            stats[table] = 0
+            continue
+        if os.path.isdir(old_compact) and not os.path.isdir(final):
+            os.rename(old_compact, final)
+        for leftover in (staging, old_compact):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+        parts = sorted(
+            e for e in os.listdir(root) if e.startswith("batch=")
+        )
+        n_batches = max(n_batches, len(parts))
+        if not parts:
+            stats[table] = 0
+            continue
+        df = spark.read.parquet(root)
+        latest = (
+            df.groupBy(*key_cols)
+            .agg(F.max(F.struct(F.col("batch"), *val_cols)).alias("_m"))
+            .select(
+                *key_cols,
+                F.col("_m.batch").alias("_batch"),
+                *[f"_m.{c}" for c in val_cols],
+            )
+        )
+        if table == id_table:
+            latest_id_batch = latest.select(
+                id_key, F.col("_batch").alias("_id_batch")
+            ).localCheckpoint(eager=True)
+        else:
+            for side in ("doc_a", "doc_b"):
+                latest = (
+                    latest.join(
+                        latest_id_batch.select(
+                            F.col(id_key).alias(side), "_id_batch"
+                        ),
+                        side,
+                        "left",
+                    )
+                    .filter(
+                        F.col("_id_batch").isNull()
+                        | (F.col("_batch") >= F.col("_id_batch"))
+                    )
+                    .drop("_id_batch")
+                )
+        out = latest.drop("_batch")
+        out.write.mode("overwrite").parquet(staging)
+        n_rows = spark.read.parquet(staging).count()
+        if os.path.isdir(final):
+            os.rename(final, old_compact)
+        os.rename(staging, final)
+        if os.path.isdir(old_compact):
+            shutil.rmtree(old_compact)
+        for p in parts:
+            if p != f"batch={COMPACTED_BATCH}":
+                shutil.rmtree(os.path.join(root, p))
+        stats[table] = n_rows
+    stats["batches"] = n_batches
+    return stats
+
+
+def compact_simhash_dedup_state(
+    spark: SparkSession, state_dir: str
+) -> dict:
+    """Compact the streaming-simhash state (hashes + pairs) into one
+    ``batch=-1`` partition per table: keep-latest hash per doc_id,
+    drop pairs staler than either member's current content. Run while
+    the stream is stopped; idempotent."""
+    return _compact_id_pairs_state(
+        spark, state_dir, "hashes", "doc_id", ["simhash"], ["hamming"]
+    )
+
+
 def _commit_sketch_partition(df, root: str, batch_id: int) -> None:
     """Stage + atomically rename one per-batch register partition; a
     replayed batch rewrites ITS OWN partition with identical rows (the

@@ -945,3 +945,84 @@ def test_streaming_simhash_dedup_equals_batch(spark, tmp_path):
 
     _commit_sketch_partition(replay, os.path.join(state, "pairs"), 1)
     assert folded() == want
+
+
+def test_compact_simhash_and_semantic_states(spark, tmp_path):
+    """Both new dedup-state compactors: per-batch partitions fold into
+    one batch=-1 partition, a doc re-ingested under the same id keeps
+    only its latest row, pairs certifying the OLD content are dropped,
+    and a second compaction is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.streaming.semantic_stream import (
+        compact_semantic_dedup_state,
+        read_semantic_dedup_state,
+    )
+    from mod_reservoir_spark.streaming.windowed import (
+        _commit_sketch_partition,
+        compact_simhash_dedup_state,
+        read_simhash_dedup_state,
+    )
+
+    # --- simhash state: docs 1,2 in batch 0 with a pair; doc 2
+    # re-ingested (new content) in batch 1 -> its hash updates and the
+    # old pair must drop; doc 3 joins in batch 1 pairing with 1
+    sh_state = str(tmp_path / "sh")
+    h0 = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1011)], "doc_id long, simhash long"
+    )
+    p0 = spark.createDataFrame(
+        [(1, 2, 1)], "doc_a long, doc_b long, hamming long"
+    )
+    h1 = spark.createDataFrame(
+        [(2, 0b111100), (3, 0b1010)], "doc_id long, simhash long"
+    )
+    p1 = spark.createDataFrame(
+        [(1, 3, 0)], "doc_a long, doc_b long, hamming long"
+    )
+    _commit_sketch_partition(h0, os.path.join(sh_state, "hashes"), 0)
+    _commit_sketch_partition(p0, os.path.join(sh_state, "pairs"), 0)
+    _commit_sketch_partition(h1, os.path.join(sh_state, "hashes"), 1)
+    _commit_sketch_partition(p1, os.path.join(sh_state, "pairs"), 1)
+
+    stats = compact_simhash_dedup_state(spark, sh_state)
+    assert stats == {"hashes": 3, "pairs": 1, "batches": 2}
+    hashes, pairs = read_simhash_dedup_state(spark, sh_state)
+    assert {tuple(r) for r in hashes.collect()} == {
+        (1, 0b1010), (2, 0b111100), (3, 0b1010)
+    }
+    # the (1,2) pair certified doc 2's OLD content -> dropped
+    assert {tuple(r) for r in pairs.collect()} == {(1, 3, 0)}
+    assert os.listdir(os.path.join(sh_state, "hashes")) == ["batch=-1"]
+    # idempotent
+    assert compact_simhash_dedup_state(spark, sh_state) == {
+        "hashes": 3, "pairs": 1, "batches": 1,
+    }
+    assert {tuple(r) for r in read_simhash_dedup_state(
+        spark, sh_state)[1].collect()} == {(1, 3, 0)}
+
+    # --- semantic state: same shape with (cell, v) members and
+    # value-less pairs
+    sem_state = str(tmp_path / "sem")
+    m0 = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.01])],
+        "vec_id long, cell int, v array<double>",
+    )
+    q0 = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    m1 = spark.createDataFrame(
+        [(2, 1, [0.0, 1.0])], "vec_id long, cell int, v array<double>"
+    )
+    q1 = spark.createDataFrame([], "doc_a long, doc_b long")
+    _commit_sketch_partition(m0, os.path.join(sem_state, "members"), 0)
+    _commit_sketch_partition(q0, os.path.join(sem_state, "pairs"), 0)
+    _commit_sketch_partition(m1, os.path.join(sem_state, "members"), 1)
+    _commit_sketch_partition(q1, os.path.join(sem_state, "pairs"), 1)
+
+    stats = compact_semantic_dedup_state(spark, sem_state)
+    assert stats == {"members": 2, "pairs": 0, "batches": 2}
+    members, pairs = read_semantic_dedup_state(spark, sem_state)
+    got = {(r.vec_id, r.cell, tuple(r.v)) for r in members.collect()}
+    assert got == {(1, 0, (1.0, 0.0)), (2, 1, (0.0, 1.0))}
+    assert pairs.count() == 0  # the (1,2) pair certified old content
