@@ -162,10 +162,21 @@ def read_semantic_dedup_state(
     ``pairs`` is the full near-duplicate pair graph — feed it to
     ``near_dedup_keep(ids, pairs=...)`` for the batch-identical CC
     keeper, or to ``semantic_dedup``'s keep policies."""
-    members = spark.read.parquet(
-        os.path.join(state_dir, "members")
-    ).select("vec_id", "cell", "v")
-    pairs = spark.read.parquet(os.path.join(state_dir, "pairs")).select(
-        "doc_a", "doc_b"
+    def read_or_empty(root, schema, cols):
+        if not os.path.isdir(root) or not any(
+            e.startswith("batch=") for e in os.listdir(root)
+        ):
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(root).select(*cols)
+
+    members = read_or_empty(
+        os.path.join(state_dir, "members"),
+        "vec_id long, cell int, v array<double>",
+        ["vec_id", "cell", "v"],
+    )
+    pairs = read_or_empty(
+        os.path.join(state_dir, "pairs"),
+        "doc_a long, doc_b long",
+        ["doc_a", "doc_b"],
     )
     return members, pairs

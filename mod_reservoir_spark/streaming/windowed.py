@@ -427,14 +427,27 @@ def streaming_simhash_dedup(
 def read_simhash_dedup_state(spark: SparkSession, state_dir: str):
     """(hashes, pairs) folded over every committed batch partition —
     hashes is the accumulated (doc_id, simhash) table, pairs the full
-    near-dup pair graph (feed ``near_dedup_keep(ids, pairs=...)``)."""
+    near-dup pair graph (feed ``near_dedup_keep(ids, pairs=...)``).
+    Empty typed frames for tables with no committed partition yet, so
+    pollers never crash on a starting stream."""
     import os
 
-    hashes = spark.read.parquet(os.path.join(state_dir, "hashes")).select(
-        "doc_id", "simhash"
+    def read_or_empty(root, schema, cols):
+        if not os.path.isdir(root) or not any(
+            e.startswith("batch=") for e in os.listdir(root)
+        ):
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(root).select(*cols)
+
+    hashes = read_or_empty(
+        os.path.join(state_dir, "hashes"),
+        "doc_id long, simhash long",
+        ["doc_id", "simhash"],
     )
-    pairs = spark.read.parquet(os.path.join(state_dir, "pairs")).select(
-        "doc_a", "doc_b", "hamming"
+    pairs = read_or_empty(
+        os.path.join(state_dir, "pairs"),
+        "doc_a long, doc_b long, hamming long",
+        ["doc_a", "doc_b", "hamming"],
     )
     return hashes, pairs
 

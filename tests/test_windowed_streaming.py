@@ -1026,3 +1026,22 @@ def test_compact_simhash_and_semantic_states(spark, tmp_path):
     got = {(r.vec_id, r.cell, tuple(r.v)) for r in members.collect()}
     assert got == {(1, 0, (1.0, 0.0)), (2, 1, (0.0, 1.0))}
     assert pairs.count() == 0  # the (1,2) pair certified old content
+
+
+def test_new_state_readers_empty_before_first_commit(spark, tmp_path):
+    """Pollers on a starting stream get empty typed frames, not a
+    crash (the read_near_dedup_state contract, extended to the simhash
+    and semantic readers)."""
+    from mod_reservoir_spark.streaming.semantic_stream import (
+        read_semantic_dedup_state,
+    )
+    from mod_reservoir_spark.streaming.windowed import (
+        read_simhash_dedup_state,
+    )
+
+    h, p = read_simhash_dedup_state(spark, str(tmp_path / "nope"))
+    assert h.count() == 0 and p.count() == 0
+    assert h.columns == ["doc_id", "simhash"]
+    m, q = read_semantic_dedup_state(spark, str(tmp_path / "nope2"))
+    assert m.count() == 0 and q.count() == 0
+    assert m.columns == ["vec_id", "cell", "v"]
