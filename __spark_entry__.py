@@ -657,11 +657,17 @@ def q_pq_codes(spark, sf_dir):
     centroid encoding — the m-byte form a 100 TB vector corpus ships
     in. The oracle unrolls seed selection, round-6 L2 assignment, the
     per-dimension mean update (empty cells keep their seed) and the
-    re-encode entirely from the embeddings view."""
+    re-encode entirely from the embeddings view. Emitted as exploded
+    scalar (vec_id, sub, code) rows — the kmeans_train convention —
+    because the driver's canonicalizer cannot hash array cells."""
     emb = _t(spark, sf_dir, "embeddings")
     cb, _hist = pqm.pq_train(emb, m=PQ_M, ksub=PQ_KSUB, iterations=1)
-    return pqm.pq_encode(emb, cb).selectExpr(
-        "vec_id", "transform(codes, c -> cast(c as bigint)) as codes"
+    return pqm.pq_encode(emb, cb).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select(
+        "vec_id",
+        F.col("sub").cast("long").alias("sub"),
+        F.col("code").cast("long").alias("code"),
     )
 
 
@@ -4322,7 +4328,8 @@ def _pq_oracles(m: int = PQ_M, dsub: int = 8, k: int = 5) -> dict[str, str]:
     return {
         "pq_codes": f"""
             WITH {chain}
-            SELECT vec_id, codes FROM pq_codes
+            SELECT vec_id, sub::BIGINT AS sub, cid::BIGINT AS code
+            FROM a1
         """,
         "pq_adc_topk": f"""
             WITH {chain},

@@ -86,6 +86,23 @@ def test_event_queries_timestamp_encoding_agnostic(spark, name, tmp_path):
         assert table_hash(srows, scols, stags) == want, label
 
 
+def test_contract_rows_scalar_only(spark):
+    """The driver's canonicalizer pandas-sorts object columns and dies
+    on unhashable cells (r7: pq_codes ERR'd on an array<bigint>
+    column). Pin that every contract row — live AND retired — emits
+    only atomic column types, so no future rotation trips this."""
+    from pyspark.sql import types as T
+
+    atomic = (T.AtomicType,)
+    bad = []
+    for name, fn in _pool_q().items():
+        schema = fn(spark, SF).schema
+        for f in schema.fields:
+            if not isinstance(f.dataType, atomic):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-scalar contract columns: {bad}"
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_oracle_sample(spark, name):
     con = duckdb.connect()
