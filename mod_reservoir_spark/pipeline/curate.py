@@ -12,20 +12,20 @@ must attribute each document to the FIRST stage that dropped it. The
 composition encodes that contract once and equivalence-tests it against
 the hand-chained operators.
 
-Scale shape: by default no action runs between stages — Spark sees one
-DAG, so column pruning and predicate pushdown apply across the whole
-funnel; each stage only adds the joins its own operator already needs
-(all of them individually plan-audited in SCALE.md). The honest cost
-of the pure-lazy form is SUBTREE MULTIPLICATION: every stage output
-referenced twice (survivors feed the next stage AND the ledger) is
-recomputed per reference because Catalyst does not share non-identical
-subtrees — the default sf0.001 plan re-scans the corpus 37 times.
-Fine when the funnel's one action is cheap relative to planning; at
-real scale pass ``materialize=True`` to eagerly localCheckpoint each
-stage boundary — every stage then computes exactly once and the plan
-reads checkpointed blocks instead of re-deriving (measured in
-SCALE.md; ledger pinned identical either way). The funnel histogram is
-one extra combinable aggregation over the ledger.
+Scale shape: the funnel MATERIALIZES each stage boundary by default
+(eager localCheckpoint). The pure-lazy alternative (``materialize=
+False``) hands Spark one DAG — column pruning and predicate pushdown
+apply across the whole funnel — but its honest cost is SUBTREE
+MULTIPLICATION: every stage output referenced twice (survivors feed
+the next stage AND the ledger) is recomputed per reference because
+Catalyst does not share non-identical subtrees, and the lazy sf0.001
+plan re-scans the corpus 37 times. At 100 TB that multiplication is
+the difference between feasible and not (SCALE.md), so the default is
+the plan that computes every stage exactly once and reads
+checkpointed blocks; ledger pinned row-identical either way. Pass
+``materialize=False`` only for tiny corpora where full laziness (no
+jobs until the one action) matters more than re-scan count. The
+funnel histogram is one extra combinable aggregation over the ledger.
 """
 
 from __future__ import annotations
@@ -44,10 +44,11 @@ from mod_reservoir_spark.pipeline.text import (
 
 # funnel order is the attribution order: a document dropped by several
 # rules reports the FIRST stage in this list that rejected it
-# ("perplexity" only participates when curate() is given lm_tables)
+# ("url_dup" only participates when curate() is given url_col;
+# "perplexity" only when it is given lm_tables)
 STAGES = (
-    "quality", "perplexity", "exact_dup", "near_dup", "contaminated",
-    "near_contaminated",
+    "url_dup", "quality", "perplexity", "exact_dup", "near_dup",
+    "contaminated", "near_contaminated",
 )
 
 
@@ -64,7 +65,8 @@ def curate(
     lm_tables: tuple[DataFrame, DataFrame] | None = None,
     max_nll_e6: int | None = None,
     lm_strata: tuple[str, ...] = (),
-    materialize: bool = False,
+    materialize: bool = True,
+    url_col: str | None = None,
 ) -> DataFrame:
     """Run the full curation funnel and return the per-document LEDGER:
     one row per input document with
@@ -113,13 +115,26 @@ def curate(
     its own stratum's model — per-language gating, the full CCNet
     recipe; the stratum columns must exist on ``docs``.
 
-    ``materialize=True`` eagerly localCheckpoints every stage boundary
-    that the plan otherwise recomputes (module docstring: the pure-lazy
-    form multiplies shared subtrees — 37 corpus scans at sf0.001).
-    Values are pinned identical; the call itself then runs the stage
-    jobs (it is no longer fully lazy), and checkpoint blocks live until
-    the returned frame is garbage-collected. Use it when the corpus is
-    large or the funnel output is consumed more than once.
+    ``materialize`` (DEFAULT True) eagerly localCheckpoints every
+    stage boundary that the plan otherwise recomputes (module
+    docstring: the pure-lazy form multiplies shared subtrees — 37
+    corpus scans at sf0.001, infeasible at 100 TB). Values are pinned
+    identical; the call runs the stage jobs up front (it is not fully
+    lazy), and checkpoint blocks live until the returned frame is
+    garbage-collected. Pass ``materialize=False`` only for tiny
+    corpora where deferring all work to the single action matters
+    more than re-scan count.
+
+    ``url_col`` (e.g. ``"url"``, naming a column on ``docs``) turns
+    on the crawl-first URL-level stage 0: documents sharing a
+    canonical URL (:func:`~mod_reservoir_spark.pipeline.text.
+    url_dedup` — tracking params / www / port / fragment variants
+    collapse) keep only the min-id copy, and the dropped rows report
+    ``drop_stage='url_dup'`` in the ledger — the cheapest dedup pass
+    a web pipeline runs before anything content-based. Documents with
+    a NULL url keep themselves. When None the stage is absent from
+    the plan entirely, so the ``curate_funnel`` contract row is
+    unchanged.
 
     ``hasher`` feeds the near-dup stage's shingle hash (VERDICT r6
     "Next #6"): ``md5`` is the cross-engine contract hash (the driver
@@ -160,16 +175,34 @@ def curate(
     )
     base = m(docs.select("doc_id", F.col(text_col).alias("_text")))
 
-    # quality over the (checkpointed) base projection — same values as
-    # over docs (the filter reads only doc_id + text) without another
-    # trip to the source
+    # optional crawl-first URL-level stage 0
+    if url_col is not None:
+        from mod_reservoir_spark.pipeline.text import url_dedup
+
+        u = m(
+            url_dedup(docs.select("doc_id", url_col), url_col).select(
+                "doc_id", F.col("is_kept").alias("_u_keep")
+            )
+        )
+        u_surv = m(
+            base.join(u.filter("_u_keep = 1"), "doc_id").select(
+                "doc_id", "_text"
+            )
+        )
+    else:
+        u = None
+        u_surv = base
+
+    # quality over the (checkpointed) URL-survivor projection — same
+    # values as over docs (the filter reads only doc_id + text)
+    # without another trip to the source
     q = m(
-        quality_filter(base, "_text", **(quality_kwargs or {})).select(
+        quality_filter(u_surv, "_text", **(quality_kwargs or {})).select(
             "doc_id", "reject_reasons", F.col("keep").alias("_q_keep")
         )
     )
     q_surv = m(
-        base.join(q.filter("_q_keep = 1"), "doc_id").select(
+        u_surv.join(q.filter("_q_keep = 1"), "doc_id").select(
             "doc_id", "_text"
         )
     )
@@ -291,7 +324,13 @@ def curate(
         .join(c, "doc_id", "left")
         .join(nc, "doc_id", "left")
     )
-    drop_stage = F.when(F.col("_q_keep") == 0, F.lit("quality"))
+    drop_stage = F.when(F.lit(False), F.lit(""))
+    if u is not None:
+        ledger = ledger.join(u, "doc_id", "left")
+        drop_stage = drop_stage.when(
+            F.col("_u_keep") == 0, F.lit("url_dup")
+        )
+    drop_stage = drop_stage.when(F.col("_q_keep") == 0, F.lit("quality"))
     if px is not None:
         ledger = ledger.join(
             px.select("doc_id", "_p_keep"), "doc_id", "left"

@@ -997,13 +997,20 @@ def canonical_url_expr(col) -> Column:
         lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
     )
     qs = F.array_join(F.sort_array(params), "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
+    # inputs that are not http(s) (ftp:, mailto:, scheme-relative,
+    # malformed) pass through RAW: every regexp_extract above returns
+    # '' on them, which would otherwise collapse ALL such rows into the
+    # single constant key '://' and url_dedup would silently drop
+    # unrelated documents. NULL input stays NULL (the when condition is
+    # NULL → otherwise branch → concat over NULLs → NULL).
+    return F.when(scheme == "", c).otherwise(canon)
 
 
 def url_dedup(
@@ -1015,20 +1022,24 @@ def url_dedup(
     per canonical URL via the map-side-combinable min-struct
     ownership (the line_dedup shape — never a Window, a hot URL's
     copies stay distributed). Output: (id, canonical_url, keeper,
-    is_kept)."""
+    is_kept). Rows whose canonical key is NULL (NULL url) keep
+    themselves: the left join never matches a NULL key, and the
+    keeper coalesces to the row's own id."""
     with_canon = pages.select(
         F.col(id_col), canonical_url_expr(url_col).alias("canonical_url")
     )
-    owners = with_canon.groupBy("canonical_url").agg(
+    owners = with_canon.filter(
+        F.col("canonical_url").isNotNull()
+    ).groupBy("canonical_url").agg(
         F.min(F.col(id_col)).alias("keeper")
     )
     return (
-        with_canon.join(owners, "canonical_url")
+        with_canon.join(owners, "canonical_url", "left")
         .select(
             id_col,
             "canonical_url",
-            "keeper",
-            (F.col(id_col) == F.col("keeper"))
+            F.coalesce("keeper", F.col(id_col)).alias("keeper"),
+            (F.col(id_col) == F.coalesce("keeper", F.col(id_col)))
             .cast("int")
             .alias("is_kept"),
         )

@@ -2224,6 +2224,14 @@ def test_canonical_url_and_url_dedup_oracle(spark):
         (6, "https://example.com/other/"),
         (7, "http://sub.example.com/a/b?a=1&z=2"),
         (8, "https://example.com/a/b?a=2&z=2"),  # different value
+        # non-http(s) inputs pass through RAW (ADVICE r7: they used to
+        # all collapse into the constant key '://' and get dropped)
+        (9, "ftp://files.example.com/x"),
+        (10, "mailto:alice@example.com"),
+        (11, "mailto:bob@example.com"),
+        (12, "//cdn.example.com/lib.js"),
+        (13, None),  # NULL url keeps itself
+        (14, "ftp://files.example.com/x"),  # exact raw dup of 9
     ]
     pages = spark.createDataFrame(urls, "doc_id long, url string")
 
@@ -2239,6 +2247,14 @@ def test_canonical_url_and_url_dedup_oracle(spark):
     assert got[3][2] == 1
     assert got[5][0] == got[6][0] == "https://example.com/other"
     assert got[7][2] == 1 and got[8][2] == 1
+    # raw passthrough: distinct non-http urls never collapse...
+    assert got[9][0] == "ftp://files.example.com/x"
+    assert got[10][2] == 1 and got[11][2] == 1 and got[12][2] == 1
+    # ...but byte-identical ones still dedup
+    assert got[14][:2] == ("ftp://files.example.com/x", 9)
+    assert got[14][2] == 0
+    # NULL url: NULL canonical key, keeps itself
+    assert got[13] == (None, 13, 1)
 
     # full-step DuckDB replica over the same rows
     con = duckdb.connect()
@@ -2262,25 +2278,29 @@ def test_canonical_url_and_url_dedup_oracle(spark):
       FROM s),
     c AS (
       SELECT doc_id,
-        scheme || '://' ||
-        CASE WHEN scheme = 'http'
-             THEN regexp_replace(hostport, ':80$', '')
-             ELSE regexp_replace(hostport, ':443$', '') END ||
-        path ||
-        CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+        CASE WHEN scheme IS NULL OR scheme = '' THEN url
+             ELSE scheme || '://' ||
+                  CASE WHEN scheme = 'http'
+                       THEN regexp_replace(hostport, ':80$', '')
+                       ELSE regexp_replace(hostport, ':443$', '') END ||
+                  path ||
+                  CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+        END AS canonical_url
       FROM (
         SELECT *, COALESCE(array_to_string(list_sort(list_filter(
                  str_split(query, '&'),
                  x -> x <> '' AND NOT regexp_matches(x,
                    '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_eid)=')
                )), '&'), '') AS qs
-        FROM p)),
+        FROM p
+      ) JOIN pages USING (doc_id)),
     o AS (SELECT canonical_url, min(doc_id) AS keeper
-          FROM c GROUP BY 1)
-    SELECT c.doc_id, c.canonical_url, o.keeper,
-           (CASE WHEN c.doc_id = o.keeper THEN 1 ELSE 0 END)::INTEGER
-             AS is_kept
-    FROM c JOIN o USING (canonical_url)
+          FROM c WHERE canonical_url IS NOT NULL GROUP BY 1)
+    SELECT c.doc_id, c.canonical_url,
+           COALESCE(o.keeper, c.doc_id) AS keeper,
+           (CASE WHEN c.doc_id = COALESCE(o.keeper, c.doc_id)
+                 THEN 1 ELSE 0 END)::INTEGER AS is_kept
+    FROM c LEFT JOIN o ON c.canonical_url = o.canonical_url
     """
     _hash_vs_oracle(url_dedup(pages), con, sql)
 
