@@ -119,17 +119,26 @@ def main() -> None:
         ) as f:
             json.dump(sidecar, f, indent=1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        # queries FIRST, headline metric LAST: the driver keeps only
+        # the final ~2000 chars of stdout (r7: BENCH_r07 lost the
+        # headline fields from the front of the line), and tail
+        # truncation must never eat metric/value/sf
+        "queries": timings,
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+    }
+    # full artifact beside bench.py, immune to any stdout cap
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        ),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":
