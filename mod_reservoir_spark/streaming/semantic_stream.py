@@ -72,13 +72,24 @@ def streaming_semantic_dedup(
         [], "vec_id long, cell int, v array<double>"
     )
 
-    def read_members():
+    def read_members(before_batch):
         if not os.path.isdir(members_root) or not any(
             e.startswith("batch=") for e in os.listdir(members_root)
         ):
             return empty_members
-        return spark.read.parquet(members_root).select(
-            "vec_id", "cell", "v"
+        # only partitions committed BEFORE this batch id: for a new
+        # batch that is all of them; for an at-least-once REPLAY of an
+        # older batch it excludes later arrivals, so the rewritten
+        # pairs partition is row-identical to the original run
+        # (ADVICE r7 — without the filter a replay gained orientation
+        # duplicates of cross pairs owned by later partitions; the
+        # folded SET was stable, row-level idempotence was not).
+        # Compacted batch=-1 partitions predate any live id by
+        # construction (compaction runs on a stopped stream).
+        return (
+            spark.read.parquet(members_root)
+            .filter(F.col("batch") < before_batch)
+            .select("vec_id", "cell", "v")
         )
 
     def process(batch_df, batch_id):
@@ -97,7 +108,7 @@ def streaming_semantic_dedup(
             .persist()
         )
         corpus_ev = (
-            read_members()
+            read_members(batch_id)
             .join(
                 F.broadcast(batch_ev.select("vec_id")),
                 "vec_id",

@@ -284,12 +284,21 @@ def streaming_near_dedup(
         [], "doc_id long, hsh array<bigint>, sig array<bigint>"
     )
 
-    def read_sigs():
+    def read_sigs(before_batch):
         if not os.path.isdir(sig_root) or not any(
             e.startswith("batch=") for e in os.listdir(sig_root)
         ):
             return empty_sigs
-        return spark.read.parquet(sig_root).select("doc_id", "hsh", "sig")
+        # batch < current id: no-op for new batches; an at-least-once
+        # REPLAY of an older batch sees exactly the corpus the
+        # original run saw, so its rewritten pairs partition is
+        # row-identical (ADVICE r7 — set-level stability held before,
+        # row-level idempotence did not)
+        return (
+            spark.read.parquet(sig_root)
+            .filter(F.col("batch") < before_batch)
+            .select("doc_id", "hsh", "sig")
+        )
 
     def commit(df, root, batch_id):
         staging = os.path.join(root, f".staging-{batch_id}")
@@ -308,7 +317,7 @@ def streaming_near_dedup(
         # checkpoint not) recomputes against the SAME corpus as the
         # original run; new-batch ids broadcast
         corpus = (
-            read_sigs()
+            read_sigs(batch_id)
             .join(
                 F.broadcast(new_sigs.select("doc_id")),
                 "doc_id",
@@ -374,12 +383,20 @@ def streaming_simhash_dedup(
     pairs_root = os.path.join(state_dir, "pairs")
     empty_sh = spark.createDataFrame([], "doc_id long, simhash long")
 
-    def read_sh():
+    def read_sh(before_batch):
         if not os.path.isdir(sh_root) or not any(
             e.startswith("batch=") for e in os.listdir(sh_root)
         ):
             return empty_sh
-        return spark.read.parquet(sh_root).select("doc_id", "simhash")
+        # batch < current id: a no-op for new batches, and an at-
+        # least-once REPLAY of an older batch sees exactly the corpus
+        # the original run saw — its rewritten pairs partition is
+        # row-identical, not just set-stable (ADVICE r7)
+        return (
+            spark.read.parquet(sh_root)
+            .filter(F.col("batch") < before_batch)
+            .select("doc_id", "simhash")
+        )
 
     def commit(df, root, batch_id):
         staging = os.path.join(root, f".staging-{batch_id}")
@@ -393,7 +410,7 @@ def streaming_simhash_dedup(
         batch_df = batch_df.filter(F.col("doc_id").isNotNull())
         new_sh = simhash(batch_df, bits=bits).persist()
         corpus = (
-            read_sh()
+            read_sh(batch_id)
             .join(
                 F.broadcast(new_sh.select("doc_id")),
                 "doc_id",
@@ -563,6 +580,11 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> dict:
             latest_sig_batch = latest.select(
                 "doc_id", F.col("_batch").alias("_sig_batch")
             ).localCheckpoint(eager=True)
+        elif latest_sig_batch is None:
+            # pairs-with-no-signature-partitions (crash between the
+            # first batch's two commits): no signature state means no
+            # pair is stale — skip the filter rather than crash
+            pass
         else:
             # drop pairs staler than either member's current content
             for side in ("doc_a", "doc_b"):
@@ -654,6 +676,14 @@ def _compact_id_pairs_state(
             latest_id_batch = latest.select(
                 id_key, F.col("_batch").alias("_id_batch")
             ).localCheckpoint(eager=True)
+        elif latest_id_batch is None:
+            # pairs committed but the id table has no partitions yet —
+            # reachable when a crash lands between the two commits of
+            # the FIRST batch (process() writes pairs before ids). No
+            # id state means no pair can be stale; the left-join
+            # staleness filter would keep everything, so skip it
+            # instead of dereferencing None (ADVICE r7).
+            pass
         else:
             for side in ("doc_a", "doc_b"):
                 latest = (

@@ -821,11 +821,24 @@ def test_streaming_semantic_dedup_equivalence_and_replay(spark, tmp_path):
     assert folded_pairs() == want_pairs
 
     # REPLAY batch 1: recompute its members/pairs exactly as process()
-    # would and rewrite partition 1 — the fold must not change
+    # would — corpus = state partitions with batch < 1 (the ADVICE-r7
+    # fix: older replays must not see later arrivals), minus the
+    # batch's own ids — and rewrite partition 1. The rewritten
+    # partition must be ROW-IDENTICAL to the original (not merely
+    # set-stable after folding), and the fold unchanged.
     from mod_reservoir_spark.streaming.windowed import (
         _commit_sketch_partition,
     )
 
+    def part1_rows():
+        return sorted(
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(
+                os.path.join(state, "pairs", "batch=1")
+            ).collect()
+        )
+
+    original_part1 = part1_rows()
     b1 = spark.createDataFrame(
         batches[1], "vec_id long, embedding array<double>"
     )
@@ -834,7 +847,11 @@ def test_streaming_semantic_dedup_equivalence_and_replay(spark, tmp_path):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).join(b1_cells, "vec_id")
-    members, _ = read_semantic_dedup_state(spark, state)
+    members = (
+        spark.read.parquet(os.path.join(state, "members"))
+        .filter(F.col("batch") < 1)
+        .select("vec_id", "cell", "v")
+    )
     corpus_ev = members.join(
         F.broadcast(b1_ev.select("vec_id")), "vec_id", "left_anti"
     )
@@ -849,6 +866,7 @@ def test_streaming_semantic_dedup_equivalence_and_replay(spark, tmp_path):
         os.path.join(state, "members"),
         1,
     )
+    assert part1_rows() == original_part1
     assert folded_pairs() == want_pairs
 
     # read-time keeper == batch keeper over the same graph
@@ -1026,6 +1044,37 @@ def test_compact_simhash_and_semantic_states(spark, tmp_path):
     got = {(r.vec_id, r.cell, tuple(r.v)) for r in members.collect()}
     assert got == {(1, 0, (1.0, 0.0)), (2, 1, (0.0, 1.0))}
     assert pairs.count() == 0  # the (1,2) pair certified old content
+
+
+def test_compact_pairs_only_state(spark, tmp_path):
+    """A crash between the FIRST batch's two commits (process() writes
+    pairs before the id table) leaves pairs partitions with NO id
+    partitions; compaction must fold the pairs instead of raising
+    AttributeError on the missing id state (ADVICE r7)."""
+    import os
+
+    from mod_reservoir_spark.streaming.windowed import (
+        _commit_sketch_partition,
+        compact_simhash_dedup_state,
+        read_simhash_dedup_state,
+    )
+
+    state = str(tmp_path / "crash")
+    p0 = spark.createDataFrame(
+        [(1, 2, 1)], "doc_a long, doc_b long, hamming long"
+    )
+    _commit_sketch_partition(p0, os.path.join(state, "pairs"), 0)
+    # no hashes table at all
+    stats = compact_simhash_dedup_state(spark, state)
+    assert stats == {"hashes": 0, "pairs": 1, "batches": 1}
+    _, pairs = read_simhash_dedup_state(spark, state)
+    assert {tuple(r) for r in pairs.collect()} == {(1, 2, 1)}
+    # hashes dir exists but holds zero batch partitions — same path
+    state2 = str(tmp_path / "crash2")
+    os.makedirs(os.path.join(state2, "hashes"))
+    _commit_sketch_partition(p0, os.path.join(state2, "pairs"), 0)
+    stats2 = compact_simhash_dedup_state(spark, state2)
+    assert stats2["pairs"] == 1
 
 
 def test_new_state_readers_empty_before_first_commit(spark, tmp_path):
