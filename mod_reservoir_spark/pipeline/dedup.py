@@ -999,9 +999,15 @@ def near_dedup_keep(
     # policy wants the NUMERIC min, so reduce per component explicitly
     if keep_by is not None:
         score = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+        # NaN sorts ABOVE every real double in Spark, so a degenerate
+        # member (e.g. zero-norm embedding → NaN centroid distance)
+        # would always win the keeper election (ADVICE r7); floor NaN
+        # to -inf so it can never beat a finite-scored duplicate
         scores = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            score.cast("double").alias("_score"),
+            F.nanvl(
+                score.cast("double"), F.lit(float("-inf"))
+            ).alias("_score"),
         )
         # max(struct(score, -id)) = highest score, then LOWEST id —
         # combinable, unlike a per-component sort

@@ -346,6 +346,7 @@ def pq_topk(
     """
     from .similarity import MAX_BROADCAST_QUERIES
 
+    _check_rescore(rescore)
     if max_broadcast_queries is None:
         max_broadcast_queries = MAX_BROADCAST_QUERIES
     q_rows = None
@@ -368,9 +369,37 @@ def pq_topk(
         scored = _adc_scored_broadcast(
             codes, q_rows, codebooks, id_col, codes_col
         )
+    scored = _nan_floor(scored)
     if rescore is False:
         return _topk(scored, k)
     return _rescore(scored, queries, rescore, k, shortlist, id_col, vec_col)
+
+
+def _check_rescore(rescore) -> None:
+    """``rescore`` is False or the float-embeddings DataFrame. The
+    bool|DataFrame hint invites ``rescore=True``, which used to flow
+    True into :func:`_rescore` as the embeddings frame and die with an
+    AttributeError deep in the join (ADVICE r7) — fail loudly at the
+    boundary instead."""
+    if rescore is True:
+        raise ValueError(
+            "rescore=True is not a mode: pass the float embeddings "
+            "DataFrame to re-rank against (or False for pure-codes "
+            "serving)"
+        )
+
+
+def _nan_floor(scored: DataFrame) -> DataFrame:
+    """Spark orders NaN ABOVE every real double, so a NaN ADC score
+    (zero-norm query, all-zero reconstruction) would outrank all real
+    candidates in the top-k window (ADVICE r7). Floor NaN to -inf:
+    degenerate candidates sort LAST, real scores are untouched."""
+    return scored.withColumn(
+        "score",
+        F.when(F.isnan("score"), F.lit(float("-inf"))).otherwise(
+            F.col("score")
+        ),
+    )
 
 
 def _adc_scored_broadcast(
@@ -497,7 +526,7 @@ def _rescore(
             F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6).alias("score"),
         )
     )
-    return _topk(exact, k)
+    return _topk(_nan_floor(exact), k)
 
 
 def pq_index(
@@ -613,6 +642,7 @@ def ivf_pq_topk(
 
     from .similarity import MAX_BROADCAST_QUERIES
 
+    _check_rescore(rescore)
     if max_broadcast_queries is None:
         max_broadcast_queries = MAX_BROADCAST_QUERIES
 
@@ -746,6 +776,7 @@ def ivf_pq_topk(
         scored = cand.mapInPandas(
             score, schema="query_id long, neighbor_id long, score double"
         )
+    scored = _nan_floor(scored)
     if rescore is False:
         return _topk(scored, k)
     return _rescore(scored, queries, rescore, k, shortlist, id_col, vec_col)
