@@ -141,3 +141,70 @@ def cluster_to_marcxml(cluster: dict) -> str | None:
         return None
     create_marc_data_field(combined, "999", "1", "0").extend(identifiers)
     return json_to_marcxml(combined)
+
+
+# ---------------------------------------------------------------------------
+# OAI-PMH schema validation (reference parity: the reference validates
+# every OAI verb response against the official OAI-PMH.xsd in
+# server/src/test/.../MainVerticleTest.java). No lxml in this
+# container, so validation runs on the JVM Spark already carries
+# (javax.xml.validation), against the schemas vendored under
+# mod_reservoir_spark/resources/.
+
+_OAI_SCHEMA_CACHE: dict[int, object] = {}
+
+
+def _resource(name: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources",
+        name,
+    )
+
+
+def _oai_schema(spark):
+    """Compiled javax.xml.validation.Schema over the vendored OAI-PMH
+    2.0 + MARC21slim XSDs (both: the OAI <metadata> wildcard is
+    processContents='strict', so embedded MARCXML needs its own schema
+    in the same validator). Cached per JVM."""
+    key = id(spark._jvm)
+    schema = _OAI_SCHEMA_CACHE.get(key)
+    if schema is None:
+        jvm = spark._jvm
+        factory = jvm.javax.xml.validation.SchemaFactory.newInstance(
+            "http://www.w3.org/2001/XMLSchema"
+        )
+        sources = spark.sparkContext._gateway.new_array(
+            jvm.javax.xml.transform.Source, 2
+        )
+        # MARC first: no cross-imports, order only matters for
+        # readability
+        sources[0] = jvm.javax.xml.transform.stream.StreamSource(
+            jvm.java.io.File(_resource("MARC21slim.xsd"))
+        )
+        sources[1] = jvm.javax.xml.transform.stream.StreamSource(
+            jvm.java.io.File(_resource("OAI-PMH.xsd"))
+        )
+        schema = factory.newSchema(sources)
+        _OAI_SCHEMA_CACHE[key] = schema
+    return schema
+
+
+def validate_oai_xml(spark, xml: str) -> None:
+    """Schema-validate one rendered OAI-PMH envelope (any verb,
+    deleted headers, error envelopes, resumption-token pages, embedded
+    MARCXML metadata). Raises ``ValueError`` carrying the SAX message
+    on the first violation; returns None when valid."""
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark._jvm
+    validator = _oai_schema(spark).newValidator()
+    src = jvm.javax.xml.transform.stream.StreamSource(
+        jvm.java.io.StringReader(xml)
+    )
+    try:
+        validator.validate(src)
+    except Py4JJavaError as e:
+        raise ValueError(f"OAI-PMH schema violation: {e.java_exception}")

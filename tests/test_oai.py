@@ -228,3 +228,155 @@ def test_harvest_stop_flag(spark, warehouse, tmp_path):
     assert len(calls) == 2
     assert "resumptionToken" in calls[1]
     assert counters["totalRequests"] == 2
+
+
+# ---------------------------------------------------------------------------
+# OAI-PMH XSD validation (VERDICT r7 Next #4): every rendered verb,
+# deleted headers, error envelopes and resumption pages validate
+# against the vendored OAI-PMH 2.0 + MARC21slim schemas via the JVM's
+# javax.xml.validation; deliberately-malformed envelopes must FAIL, so
+# the validator provably has teeth.
+
+_LEADER = "00000nam a2200000 a 4500"
+
+
+def _marcxml():
+    from mod_reservoir_spark.functions.xmlutil import json_to_marcxml
+
+    return json_to_marcxml(
+        {
+            "leader": _LEADER,
+            "fields": [
+                {"001": "X1"},
+                {"245": {"ind1": "0", "ind2": "0",
+                         "subfields": [{"a": "A title"}]}},
+            ],
+        }
+    )
+
+
+def _page(n=2, deleted_last=True, token="dG9rZW4="):
+    recs = [
+        {
+            "identifier": f"oai:c{i}",
+            "datestamp": "2024-03-04T05:06:07Z",
+            "deleted": False,
+            "metadata": _marcxml(),
+        }
+        for i in range(n)
+    ]
+    if deleted_last:
+        recs.append(
+            {
+                "identifier": "oai:gone",
+                "datestamp": "2024-03-04",
+                "deleted": True,
+                "metadata": None,
+            }
+        )
+    return {"records": recs, "resumptionToken": token}
+
+
+def test_oai_xsd_all_verbs_valid(spark):
+    from mod_reservoir_spark.functions.xmlutil import validate_oai_xml
+    from mod_reservoir_spark.operators.oai import (
+        identify,
+        render_list_records_xml,
+    )
+
+    rd = "2024-03-04T05:06:07Z"
+    # ListRecords with metadata, a deleted header and a token page
+    validate_oai_xml(
+        spark, render_list_records_xml(_page(), response_date=rd)
+    )
+    # final page: no resumption token
+    validate_oai_xml(
+        spark,
+        render_list_records_xml(_page(token=None), response_date=rd),
+    )
+    # ListIdentifiers: bare headers, incl. a deleted one
+    validate_oai_xml(
+        spark,
+        render_list_records_xml(
+            _page(), verb="ListIdentifiers", response_date=rd
+        ),
+    )
+    # GetRecord: single record envelope
+    one = {"records": _page(n=1, deleted_last=False)["records"],
+           "resumptionToken": None}
+    validate_oai_xml(
+        spark,
+        render_list_records_xml(one, verb="GetRecord", response_date=rd),
+    )
+    # noRecordsMatch error envelope
+    validate_oai_xml(
+        spark,
+        render_list_records_xml(
+            {"records": [], "resumptionToken": None}, response_date=rd
+        ),
+    )
+    # Identify
+    validate_oai_xml(spark, identify(response_date=rd))
+
+
+def test_oai_xsd_rejects_malformed(spark):
+    """The negative half: wrong element order, a missing required
+    attribute, and a bogus error code must all FAIL validation —
+    string-level assertions would pass every one of these."""
+    import pytest
+
+    from mod_reservoir_spark.functions.xmlutil import validate_oai_xml
+    from mod_reservoir_spark.operators.oai import (
+        identify,
+        render_list_records_xml,
+    )
+
+    rd = "2024-03-04T05:06:07Z"
+    ok = render_list_records_xml(_page(), response_date=rd)
+    # datestamp before identifier (headerType is a SEQUENCE)
+    swapped = ok.replace(
+        "        <identifier>oai:c0</identifier>\n"
+        "        <datestamp>2024-03-04T05:06:07Z</datestamp>\n",
+        "        <datestamp>2024-03-04T05:06:07Z</datestamp>\n"
+        "        <identifier>oai:c0</identifier>\n",
+        1,
+    )
+    assert swapped != ok
+    with pytest.raises(ValueError, match="schema violation"):
+        validate_oai_xml(spark, swapped)
+    # error without the required code attribute
+    bad_err = render_list_records_xml(
+        {"records": [], "resumptionToken": None}, response_date=rd
+    ).replace(' code="noRecordsMatch"', "")
+    with pytest.raises(ValueError, match="schema violation"):
+        validate_oai_xml(spark, bad_err)
+    # error code outside the spec enumeration
+    bogus = render_list_records_xml(
+        {"records": [], "resumptionToken": None}, response_date=rd
+    ).replace("noRecordsMatch", "somethingElse")
+    with pytest.raises(ValueError, match="schema violation"):
+        validate_oai_xml(spark, bogus)
+    # missing responseDate (required first child)
+    no_rd = ok.replace(
+        f"  <responseDate>{rd}</responseDate>\n", "", 1
+    )
+    with pytest.raises(ValueError, match="schema violation"):
+        validate_oai_xml(spark, no_rd)
+    # Identify with deletedRecord/granularity swapped (the pre-r8
+    # render's order) is schema-INVALID — the regression this suite
+    # exists to catch
+    good_id = identify(response_date=rd)
+    swapped_id = good_id.replace(
+        "    <deletedRecord>persistent</deletedRecord>\n"
+        "    <granularity>YYYY-MM-DDThh:mm:ssZ</granularity>\n",
+        "    <granularity>YYYY-MM-DDThh:mm:ssZ</granularity>\n"
+        "    <deletedRecord>persistent</deletedRecord>\n",
+        1,
+    )
+    assert swapped_id != good_id
+    with pytest.raises(ValueError, match="schema violation"):
+        validate_oai_xml(spark, swapped_id)
+    # malformed MARC inside <metadata>: datafield missing ind1/ind2
+    bad_marc = ok.replace(' ind1="0" ind2="0"', "", 1)
+    with pytest.raises(ValueError, match="schema violation"):
+        validate_oai_xml(spark, bad_marc)
