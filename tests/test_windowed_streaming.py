@@ -1094,3 +1094,80 @@ def test_new_state_readers_empty_before_first_commit(spark, tmp_path):
     m, q = read_semantic_dedup_state(spark, str(tmp_path / "nope2"))
     assert m.count() == 0 and q.count() == 0
     assert m.columns == ["vec_id", "cell", "v"]
+
+
+def test_stream_trigram_counts_fold_and_serving(spark, tmp_path):
+    """The order-3 streaming face: folded trigram/bigram/unigram state
+    equals trigram_count_tables over everything ingested; a replayed
+    batch changes nothing; scoring against the folded triple equals
+    self-scoring."""
+    import os
+
+    from mod_reservoir_spark.pipeline.text import (
+        trigram_count_tables,
+        trigram_logprob_against,
+        trigram_logprob_scores,
+    )
+    from mod_reservoir_spark.streaming.lm_stream import (
+        read_stream_trigram_counts,
+        stream_trigram_counts,
+    )
+    from mod_reservoir_spark.streaming.windowed import (
+        _commit_sketch_partition,
+    )
+
+    docs_all = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs_all.collect()),
+        key=lambda t: t[0],
+    )
+    batches = [rows[0:20], rows[20:35], rows[35:]]
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "tri_state")
+    q = stream_trigram_counts(
+        spark, str(indir), str(tmp_path / "ckpt"), state
+    )
+    try:
+        for bi, batch in enumerate(batches):
+            with open(indir / f"b{bi}.jsonl", "w") as f:
+                for i, t in batch:
+                    f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = trigram_count_tables(docs_all)
+    want_sets = [{tuple(r) for r in t.collect()} for t in want]
+
+    def check_state():
+        got = read_stream_trigram_counts(spark, state)
+        for g, w in zip(got, want_sets):
+            assert {tuple(r) for r in g.collect()} == w
+
+    check_state()
+
+    # REPLAY batch 1: identical rows, fold unchanged
+    replay_df = spark.createDataFrame(
+        batches[1], "doc_id long, text string"
+    )
+    rt, rb, ru = trigram_count_tables(replay_df)
+    _commit_sketch_partition(rt, os.path.join(state, "trigrams"), 1)
+    _commit_sketch_partition(rb, os.path.join(state, "bigrams"), 1)
+    _commit_sketch_partition(ru, os.path.join(state, "unigrams"), 1)
+    check_state()
+
+    # SERVING: against the folded triple == self-scoring
+    got = read_stream_trigram_counts(spark, state)
+    against = {
+        r.doc_id: (r.n_trigrams, r.mean_nll_e6)
+        for r in trigram_logprob_against(docs_all, *got).collect()
+    }
+    self_scored = {
+        r.doc_id: (r.n_trigrams, r.mean_nll_e6)
+        for r in trigram_logprob_scores(docs_all).collect()
+    }
+    assert against == self_scored
