@@ -9,6 +9,10 @@ append-only + atomic-rename contract as streaming_near_dedup):
 - ``fingerprints/batch=<id>/`` — (fingerprint, doc_id) of each batch's
   NEW exact keepers: later batches drop any document whose fingerprint
   is already owned (first-seen wins).
+- ``urls/batch=<id>/`` — (canonical_url, doc_id) of each batch's NEW
+  canonical-URL owners (only when ``url_col`` is given): the
+  crawl-first stage 0, same first-seen-wins contract, applied BEFORE
+  quality ever reads the text.
 - ``signatures/batch=<id>/``  — (doc_id, hsh, sig) of each batch's
   exact survivors (INCLUDING near-dropped and contaminated ones: the
   batch funnel's pair graph contains them, so the streaming funnel's
@@ -44,11 +48,11 @@ tests/test_curate_stream.py:
 Only the keeper's identity within its component varies with order —
 exactly the freedom the batch funnel resolves by min-id instead.
 
-Replay safety: state reads filter out the replaying batch's own
-partition (``batch != batch_id`` on the hive partition column), so a
-crash between state commit and stream checkpoint replays against the
-SAME corpus as the original run; partition writes stage + rename
-atomically.
+Replay safety: state reads keep only partitions committed BEFORE the
+current batch (``batch < batch_id`` on the hive partition column —
+a no-op for new batches), so a crash between state commit and stream
+checkpoint replays against the SAME corpus as the original run even
+for an older batch; partition writes stage + rename atomically.
 """
 
 from __future__ import annotations
@@ -72,6 +76,7 @@ from mod_reservoir_spark.pipeline.text import (
 from mod_reservoir_spark.streaming.windowed import DOC_SCHEMA
 
 _FP_SCHEMA = "fingerprint string, doc_id long"
+_URL_SCHEMA = "canonical_url string, doc_id long"
 _SIG_SCHEMA = "doc_id long, hsh array<bigint>, sig array<bigint>"
 _LEDGER_SCHEMA = (
     "doc_id long, drop_stage string, reject_reasons string, text string"
@@ -97,7 +102,12 @@ def _read_state(
         return spark.createDataFrame([], schema)
     df = spark.read.parquet(root)
     if exclude_batch is not None:
-        df = df.filter(F.col("batch") != exclude_batch)
+        # batch < current id (not merely != ): a no-op for new batches,
+        # and an at-least-once replay of an OLDER batch sees exactly
+        # the state the original run saw — its rewritten partitions are
+        # row-identical (the ADVICE-r7 fix, applied uniformly across
+        # the streaming faces)
+        df = df.filter(F.col("batch") < exclude_batch)
     return df.select(*cols)
 
 
@@ -119,6 +129,7 @@ def streaming_curate(
     max_nll_e6: int | None = None,
     lm_strata: tuple[str, ...] = (),
     schema=None,
+    url_col: str | None = None,
 ):
     """Start the streaming funnel over JSONL documents in ``input_dir``
     (schema ``{doc_id, text}``). Returns the StreamingQuery; read the
@@ -137,8 +148,16 @@ def streaming_curate(
     streaming/lm_stream.py and restart the curate stream on a folded
     snapshot (a moving reference inside one stream would break the
     replay contract: a redelivered batch would re-score under
-    different counts)."""
+    different counts).
+    ``url_col`` mirrors batch curate()'s crawl-first stage 0: a
+    ``urls/batch=<id>`` state table of first-seen canonical-URL owners
+    (the fingerprint pattern one stage earlier — batch-min inside a
+    batch, first-seen wins across batches); later documents sharing an
+    owned canonical URL drop as ``url_dup`` before quality ever reads
+    their text. NULL / non-canonicalizable-to-NULL urls keep
+    themselves. Pass a ``schema`` carrying the url column."""
     fp_root = os.path.join(state_dir, "fingerprints")
+    url_root = os.path.join(state_dir, "urls")
     sig_root = os.path.join(state_dir, "signatures")
     ledger_root = os.path.join(state_dir, "ledger")
     ref_bigrams = ref_unigrams = None
@@ -183,10 +202,64 @@ def streaming_curate(
             batch.unpersist()
 
     def _process_batch(batch: DataFrame, batch_id: int) -> None:
-        q = quality_filter(batch, **(quality_kwargs or {})).select(
+        # optional crawl-first URL stage 0 (mirrors batch curate():
+        # drop before quality; first-seen canonical owner wins)
+        new_owners = None
+        if url_col is not None:
+            from mod_reservoir_spark.pipeline.text import (
+                canonical_url_expr,
+            )
+
+            state_urls = _read_state(
+                spark, url_root, _URL_SCHEMA, batch_id
+            )
+            with_cu = batch.select(
+                "doc_id", canonical_url_expr(url_col).alias("_cu")
+            ).filter(F.col("_cu").isNotNull())
+            batch_min_u = with_cu.groupBy("_cu").agg(
+                F.min("doc_id").alias("_ukid")
+            )
+            flagged_u = (
+                with_cu.join(batch_min_u, "_cu")
+                .join(
+                    state_urls.select(
+                        F.col("canonical_url").alias("_cu"),
+                        F.lit(True).alias("_uowned"),
+                    ),
+                    "_cu",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    "_cu",
+                    (
+                        (F.col("doc_id") == F.col("_ukid"))
+                        & F.col("_uowned").isNull()
+                    ).alias("_u_keep"),
+                )
+                .persist()
+            )
+            # NULL-canonical rows never appear in flagged_u → keep
+            u = batch.select("doc_id").join(
+                flagged_u.select("doc_id", "_u_keep"), "doc_id", "left"
+            ).select(
+                "doc_id",
+                F.coalesce("_u_keep", F.lit(True)).alias("_u_keep"),
+            )
+            u_surv = batch.join(u.filter("_u_keep"), "doc_id").drop(
+                "_u_keep"
+            )
+            new_owners = flagged_u.filter("_u_keep").select(
+                F.col("_cu").alias("canonical_url"), "doc_id"
+            )
+        else:
+            u = None
+            u_surv = batch
+
+        q = quality_filter(u_surv, **(quality_kwargs or {})).select(
             "doc_id", "reject_reasons", F.col("keep").alias("_q_keep")
         )
-        q_surv = batch.join(q.filter("_q_keep = 1"), "doc_id").select(
+        q_surv = u_surv.join(q.filter("_q_keep = 1"), "doc_id").select(
             "doc_id", "text"
         )
 
@@ -248,6 +321,8 @@ def streaming_curate(
             spark, sig_root, _SIG_SCHEMA, batch_id
         ).persist()
         handles = [new_sigs, corpus_sigs, flagged]
+        if url_col is not None:
+            handles.append(flagged_u)
         try:
             pairs = incremental_pairs_from_sigs(
                 new_sigs,
@@ -361,7 +436,15 @@ def streaming_curate(
                 .join(c, "doc_id", "left")
                 .join(nc, "doc_id", "left")
             )
-            drop_stage = F.when(F.col("_q_keep") == 0, F.lit("quality"))
+            drop_stage = F.when(F.lit(False), F.lit(""))
+            if u is not None:
+                ledger = ledger.join(u, "doc_id", "left")
+                drop_stage = drop_stage.when(
+                    ~F.col("_u_keep"), F.lit("url_dup")
+                )
+            drop_stage = drop_stage.when(
+                F.col("_q_keep") == 0, F.lit("quality")
+            )
             if px is not None:
                 ledger = ledger.join(
                     px.select("doc_id", "_p_keep"), "doc_id", "left"
@@ -388,6 +471,8 @@ def streaming_curate(
                 out_text.alias("text"),
             )
             _commit(ledger_rows, ledger_root, batch_id)
+            if new_owners is not None:
+                _commit(new_owners, url_root, batch_id)
             _commit(
                 e_surv.select(
                     F.col("_fp").alias("fingerprint"), "doc_id"
@@ -440,6 +525,7 @@ def compact_curate_state(spark: SparkSession, state_dir: str) -> dict:
     stats = {}
     for table, key_cols, schema in (
         ("fingerprints", ["fingerprint"], _FP_SCHEMA),
+        ("urls", ["canonical_url"], _URL_SCHEMA),
         ("signatures", ["doc_id"], _SIG_SCHEMA),
         ("ledger", ["doc_id"], _LEDGER_SCHEMA),
     ):

@@ -515,3 +515,84 @@ def test_streaming_curate_per_language_gate_equals_batch(spark, tmp_path):
     assert got == want
     assert got[1] == "perplexity" and got[3] == "perplexity"
     assert got[0] is None and got[2] is None
+
+
+def test_streaming_curate_url_stage_equals_batch(spark, tmp_path):
+    """url_col= in the STREAMING funnel: cross-batch canonical-URL
+    ownership (first-seen wins) — after id-ordered batches the
+    accumulated ledger equals batch curate(url_col=...) over
+    everything ingested, url_dup attribution included; NULL urls keep
+    themselves; a tracking-tagged variant arriving in a LATER batch
+    drops against the earlier owner without its text ever reaching
+    quality."""
+    from mod_reservoir_spark.pipeline.curate import curate
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    ub1 = [
+        (0, _filler("a") + " original body", "https://ex.com/a?x=1"),
+        (1, _filler("b") + " other page", "https://other.com/p"),
+        (2, "tiny", "https://ex.com/tiny"),  # quality, unique URL
+        (3, _filler("c") + " null url doc", None),
+    ]
+    ub2 = [
+        # same canonical as 0 via www + tracking param — cross-batch
+        (4, _filler("d") + " same page refetched",
+         "https://www.ex.com/a?utm_source=t&x=1"),
+        (5, _filler("e") + " mailto passthrough", "mailto:a@ex.com"),
+    ]
+    ub3 = [
+        # same canonical as 1, arriving two batches later
+        (6, _filler("g") + " third fetch", "https://other.com/p#frag"),
+        (7, _filler("h") + " unique closing page", "https://ex.com/z"),
+    ]
+
+    def w(indir, name, rows):
+        with open(os.path.join(indir, name), "w") as f:
+            for i, t, u in rows:
+                f.write(
+                    json.dumps({"doc_id": i, "text": t, "url": u}) + "\n"
+                )
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_curate(
+        spark,
+        str(indir),
+        str(tmp_path / "ckpt"),
+        state,
+        threshold_ppm=500000,
+        schema="doc_id long, text string, url string",
+        url_col="url",
+    )
+    try:
+        for name, rows in (
+            ("b1.jsonl", ub1), ("b2.jsonl", ub2), ("b3.jsonl", ub3)
+        ):
+            w(str(indir), name, rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ledger, _fps, _sigs = read_curate_state(spark, state)
+    got = {r.doc_id: (r.drop_stage, r.text) for r in ledger.collect()}
+
+    all_rows = ub1 + ub2 + ub3
+    docs = spark.createDataFrame(
+        all_rows, "doc_id long, text string, url string"
+    )
+    want = {
+        r.doc_id: (r.drop_stage, r.text)
+        for r in curate(docs, url_col="url").collect()
+    }
+    assert got == want
+    assert got[4][0] == "url_dup" and got[6][0] == "url_dup"
+    assert got[0][0] is None and got[1][0] is None
+    assert got[3][0] is None and got[5][0] is None  # NULL + mailto keep
+    assert got[2][0] == "quality"
+    # url state: one owner row per canonical key, first-seen ids only
+    owners = spark.read.parquet(os.path.join(state, "urls"))
+    assert sorted(r.doc_id for r in owners.collect()) == [0, 1, 2, 5, 7]
