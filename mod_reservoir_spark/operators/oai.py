@@ -319,6 +319,169 @@ def identify(
     )
 
 
+class OaiError(Exception):
+    """Protocol-level OAI error (reference OaiException.java:3-31):
+    carries the spec error code rendered into the error envelope."""
+
+    def __init__(self, code: str, message: str):
+        super().__init__(message)
+        self.code = code
+        self.message = message
+
+    @classmethod
+    def bad_verb(cls, msg: str) -> "OaiError":
+        return cls("badVerb", msg)
+
+    @classmethod
+    def bad_argument(cls, msg: str) -> "OaiError":
+        return cls("badArgument", msg)
+
+    @classmethod
+    def bad_resumption_token(cls, msg: str) -> "OaiError":
+        return cls("badResumptionToken", msg)
+
+    @classmethod
+    def id_does_not_exist(cls, msg: str) -> "OaiError":
+        return cls("idDoesNotExist", msg)
+
+    @classmethod
+    def cannot_disseminate_format(cls, msg: str) -> "OaiError":
+        return cls("cannotDisseminateFormat", msg)
+
+
+_VALID_VERBS = (
+    "Identify", "ListMetadataFormats", "ListSets", "GetRecord",
+    "ListIdentifiers", "ListRecords",
+)
+
+
+def render_error_xml(
+    code: str,
+    message: str,
+    verb: str | None = None,
+    base_url: str = "http://localhost",
+    response_date: str | None = None,
+) -> str:
+    """Error envelope (reference OaiService.java:77-95). One
+    deliberate deviation from the reference, cited: the reference
+    echoes whatever verb string arrived into the request element's
+    verb attribute even on badVerb — but the schema's verbType is an
+    ENUMERATION, so echoing an unknown verb makes the reference's own
+    badVerb envelope schema-invalid. Per spec 3.6 ('in cases where the
+    request that generated this response did not result in a legal
+    verb, the verb attribute must be omitted') the attribute is
+    omitted here for badVerb/badArgument and for any non-enumerated
+    verb string; all error envelopes validate against the vendored
+    XSD."""
+    attr = ""
+    if (
+        verb in _VALID_VERBS
+        and code not in ("badVerb", "badArgument")
+    ):
+        attr = f" verb={_attr(verb)}"
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">\n'
+        f"  <responseDate>{_response_date(response_date)}"
+        "</responseDate>\n"
+        f"  <request{attr}>{encode_xml_text(base_url)}</request>\n"
+        f'  <error code="{code}">{encode_xml_text(message)}</error>\n'
+        "</OAI-PMH>\n"
+    )
+
+
+def handle_oai_request(
+    meta,
+    assignments,
+    records,
+    match_values,
+    params: dict,
+    base_url: str = "http://localhost",
+    known_sets: list[str] | None = None,
+    limit: int = 1000,
+    transformer=None,
+    response_date: str | None = None,
+) -> str:
+    """The reference's GET /reservoir/oai verb dispatch as one pure
+    function over the warehouse frames (OaiService.java:95-175 getCheck
+    + get): validates verb/metadataPrefix/identifier/set, routes to
+    Identify / ListRecords / ListIdentifiers / GetRecord, and renders
+    ANY protocol failure as the matching error envelope instead of
+    raising — badVerb (missing/unknown verb),
+    cannotDisseminateFormat (metadataPrefix other than marcxml),
+    badArgument (missing identifier, unknown set),
+    badResumptionToken (undecodable token), idDoesNotExist. Every
+    returned envelope — success or error — validates against the
+    vendored OAI-PMH.xsd (pinned in tests/test_oai.py)."""
+    try:
+        verb = params.get("verb")
+        if verb is None:
+            raise OaiError.bad_verb("missing verb")
+        mp = params.get("metadataPrefix")
+        if mp is not None and mp != "marcxml":
+            raise OaiError.cannot_disseminate_format(
+                'only metadataPrefix "marcxml" supported'
+            )
+        if verb == "Identify":
+            return identify(base_url, response_date=response_date)
+        if verb in ("ListRecords", "ListIdentifiers"):
+            token = params.get("resumptionToken")
+            set_id = params.get("set")
+            if token is not None:
+                try:
+                    set_id = decode_resumption_token(token)["set"] or set_id
+                except Exception:
+                    raise OaiError.bad_resumption_token(token)
+            if known_sets is not None and set_id not in known_sets:
+                raise OaiError.bad_argument(
+                    f'set "{set_id}" not found'
+                )
+            res = list_records(
+                meta,
+                assignments,
+                records,
+                match_values,
+                set_id,
+                from_arg=params.get("from"),
+                until_arg=params.get("until"),
+                token=token,
+                limit=limit,
+                identifiers_only=verb == "ListIdentifiers",
+                transformer=transformer,
+            )
+            return render_list_records_xml(
+                res, verb=verb, base_url=base_url,
+                response_date=response_date,
+            )
+        if verb == "GetRecord":
+            identifier = params.get("identifier")
+            if identifier is None:
+                raise OaiError.bad_argument("missing identifier")
+            set_id = params.get("set")
+            if known_sets is not None and set_id not in known_sets:
+                raise OaiError.bad_argument(
+                    f'set "{set_id}" not found'
+                )
+            rec = get_record(
+                meta, assignments, records, match_values, set_id,
+                identifier,
+            )
+            if rec is None:
+                raise OaiError.id_does_not_exist(identifier)
+            return render_list_records_xml(
+                {"records": [rec], "resumptionToken": None},
+                verb="GetRecord",
+                base_url=base_url,
+                response_date=response_date,
+            )
+        raise OaiError.bad_verb(verb)
+    except OaiError as e:
+        return render_error_xml(
+            e.code, e.message, params.get("verb"), base_url,
+            response_date,
+        )
+
+
 def dump_records(
     meta: DataFrame,
     assignments: DataFrame,

@@ -380,3 +380,80 @@ def test_oai_xsd_rejects_malformed(spark):
     bad_marc = ok.replace(' ind1="0" ind2="0"', "", 1)
     with pytest.raises(ValueError, match="schema violation"):
         validate_oai_xml(spark, bad_marc)
+
+
+def test_oai_dispatch_all_verbs_and_errors_schema_valid(spark, warehouse):
+    """handle_oai_request: the reference's verb dispatch
+    (OaiService.java:95-175) as one function — every outcome, success
+    or protocol error, renders an envelope that validates against the
+    vendored OAI-PMH.xsd."""
+    import json as _json
+
+    from mod_reservoir_spark.functions.xmlutil import validate_oai_xml
+    from mod_reservoir_spark.operators.oai import handle_oai_request
+    from mod_reservoir_spark.streaming.ingest import ingest_batch
+
+    def pay(cid, title):
+        return _json.dumps(
+            {"marc": {"leader": "00000nam a2200000 a 4500",
+                      "fields": [{"001": cid},
+                                 {"245": {"ind1": "0", "ind2": "0",
+                                          "subfields": [{"a": title}]}}]}}
+        )
+
+    cfg = {"id": "t", "method": "jsonpath",
+           "params": _json.dumps({"expr": "$.marc.fields[*].245"}),
+           "update": "ingest"}
+    inc = spark.createDataFrame(
+        [("A1", "S1", 1, pay("A1", "alpha"), None),
+         ("B1", "S1", 1, pay("B1", "beta"), None)],
+        "local_id string, source_id string, source_version int, "
+        "payload string, delete boolean",
+    )
+    ingest_batch(warehouse, inc, [cfg])
+    frames = (
+        warehouse.read("cluster_meta"),
+        warehouse.read("cluster_assignments"),
+        warehouse.read("global_records"),
+        warehouse.read("record_match_values"),
+    )
+    rd = "2024-03-04T05:06:07Z"
+
+    def run(params, **kw):
+        xml = handle_oai_request(
+            *frames, params, known_sets=["t"], response_date=rd, **kw
+        )
+        validate_oai_xml(spark, xml)
+        return xml
+
+    assert "<Identify>" in run({"verb": "Identify"})
+    lr = run({"verb": "ListRecords", "set": "t"})
+    assert lr.count("<record>") == 2 and "MARC21" in lr
+    li = run({"verb": "ListIdentifiers", "set": "t"})
+    assert "<header>" in li and "<record>" not in li
+    ident = lr.split("<identifier>")[1].split("</identifier>")[0]
+    gr = run({"verb": "GetRecord", "set": "t", "identifier": ident})
+    assert gr.count("<record>") == 1
+    # paging: limit=1 -> resumptionToken page round-trips
+    p1 = run({"verb": "ListRecords", "set": "t"}, limit=1)
+    tok = p1.split("<resumptionToken>")[1].split("</resumptionToken>")[0]
+    p2 = run({"verb": "ListRecords", "resumptionToken": tok}, limit=10)
+    assert p2.count("<record>") == 1
+
+    # protocol errors — each one the matching code, each schema-valid
+    cases = [
+        ({}, "badVerb"),
+        ({"verb": "Frobnicate"}, "badVerb"),
+        ({"verb": "ListRecords", "set": "t",
+          "metadataPrefix": "oai_dc"}, "cannotDisseminateFormat"),
+        ({"verb": "ListRecords", "set": "nope"}, "badArgument"),
+        ({"verb": "GetRecord", "set": "t"}, "badArgument"),
+        ({"verb": "GetRecord", "set": "t",
+          "identifier": "oai:00000000-0000-0000-0000-000000000000"},
+         "idDoesNotExist"),
+        ({"verb": "ListRecords", "set": "t",
+          "resumptionToken": "!!garbage!!"}, "badResumptionToken"),
+    ]
+    for params, code in cases:
+        xml = run(params)
+        assert f'<error code="{code}"' in xml, (params, xml)
