@@ -407,3 +407,50 @@ def test_ivf_assign_routed_plan_no_shuffle(spark):
     p = plan(ivf_assign(emb, n_centroids=16, two_level=True))
     assert "Exchange" not in p
     assert "MapInPandas" in p or "ArrowEvalPython" in p
+
+
+def test_trigram_scorer_plan(docs):
+    """Order-3 scorer: no Window, no CartesianProduct/NestedLoop except
+    the broadcast singleton total, and the count-table joins are
+    hash/sort-merge equi-joins (SCALE.md r8: one row per hot trigram
+    per task, never one per occurrence)."""
+    from mod_reservoir_spark.pipeline.text import trigram_logprob_scores
+
+    p = plan(trigram_logprob_scores(docs), mode="simple")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    # the only nested-loop is the broadcast scalar total
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_url_dedup_plan(docs):
+    """URL dedup: canonicalization is pure column expressions (no
+    Python, no Window); ownership is one combinable aggregation plus
+    one equi-join."""
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.pipeline.text import url_dedup
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+    )
+    p = plan(url_dedup(pages))
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_curate_default_plan_is_scan_free(spark, docs):
+    """The DEFAULT funnel plan reads checkpointed blocks — zero
+    re-derivations of the parquet source (the r8 default flip; the
+    37-scan lazy plan is opt-in only)."""
+    from mod_reservoir_spark.pipeline.curate import curate
+
+    led = curate(
+        docs.limit(50),
+        near_kwargs=dict(shingle_n=2, threshold_ppm=500000),
+    )
+    p = plan(led, mode="simple")
+    assert "Scan parquet" not in p
