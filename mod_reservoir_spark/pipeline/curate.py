@@ -62,7 +62,7 @@ def curate(
     scrub: bool = True,
     benchmark_near_ppm: int | None = None,
     hasher: str = "md5",
-    lm_tables: tuple[DataFrame, DataFrame] | None = None,
+    lm_tables: tuple[DataFrame, ...] | None = None,
     max_nll_e6: int | None = None,
     lm_strata: tuple[str, ...] = (),
     materialize: bool = True,
@@ -98,11 +98,15 @@ def curate(
     n-gram check misses.
 
     ``lm_tables`` (with ``max_nll_e6``) adds the CCNet perplexity
-    stage between quality and dedup: quality survivors are scored with
-    :func:`~mod_reservoir_spark.pipeline.text.bigram_logprob_against`
+    stage between quality and dedup: quality survivors are scored
     under the given REFERENCE count tables (a clean-corpus LM — built
-    by ``lm_count_tables`` or folded from the streaming state in
-    streaming/lm_stream.py) and documents whose mean NLL exceeds
+    by ``lm_count_tables`` / ``trigram_count_tables`` or folded from
+    the streaming state in streaming/lm_stream.py). A 2-tuple
+    (bigrams, unigrams) gates with
+    :func:`~mod_reservoir_spark.pipeline.text.bigram_logprob_against`;
+    a 3-tuple (trigrams, bigrams, unigrams) with the sharper order-3
+    :func:`~mod_reservoir_spark.pipeline.text.
+    trigram_logprob_against`. Documents whose mean NLL exceeds
     ``max_nll_e6`` drop as ``perplexity``. Both or neither: the stage
     needs an explicit threshold (an absolute NLL cut against a FIXED
     reference model is reproducible across batches, unlike a
@@ -207,28 +211,34 @@ def curate(
         )
     )
 
-    # optional CCNet perplexity gate among quality survivors
+    # optional CCNet perplexity gate among quality survivors: a
+    # 2-tuple (bigrams, unigrams) scores with the JM bigram, a
+    # 3-tuple (trigrams, bigrams, unigrams — trigram_count_tables'
+    # shape) with the order-3 interpolated backoff (r8)
     if lm_tables is not None:
         if max_nll_e6 is None:
             raise ValueError("lm_tables needs an explicit max_nll_e6")
         from mod_reservoir_spark.pipeline.text import (
             bigram_logprob_against,
+            trigram_logprob_against,
         )
 
-        ref_bigrams, ref_unigrams = lm_tables
         gate_in = q_surv.select("doc_id", F.col("_text").alias("text"))
         if lm_strata:
             # strata live on the ORIGINAL docs frame; re-attach by key
             gate_in = gate_in.join(
                 docs.select("doc_id", *lm_strata).distinct(), "doc_id"
             )
+        if len(lm_tables) == 3:
+            scored = trigram_logprob_against(
+                gate_in, *lm_tables, strata=lm_strata
+            )
+        else:
+            scored = bigram_logprob_against(
+                gate_in, *lm_tables, strata=lm_strata
+            )
         px = m(
-            bigram_logprob_against(
-                gate_in,
-                ref_bigrams,
-                ref_unigrams,
-                strata=lm_strata,
-            ).select(
+            scored.select(
                 "doc_id",
                 "mean_nll_e6",
                 (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),

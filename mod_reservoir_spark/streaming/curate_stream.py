@@ -160,13 +160,15 @@ def streaming_curate(
     url_root = os.path.join(state_dir, "urls")
     sig_root = os.path.join(state_dir, "signatures")
     ledger_root = os.path.join(state_dir, "ledger")
-    ref_bigrams = ref_unigrams = None
+    ref_tables = None
     if lm_tables is not None:
         if max_nll_e6 is None:
             raise ValueError("lm_tables needs an explicit max_nll_e6")
         # frozen for the stream's lifetime (replay contract — see
-        # docstring); persisted because every batch joins against them
-        ref_bigrams, ref_unigrams = (t.persist() for t in lm_tables)
+        # docstring); persisted because every batch joins against
+        # them. 2-tuple = JM bigram gate, 3-tuple = order-3
+        # interpolated backoff (mirrors batch curate(), r8).
+        ref_tables = tuple(t.persist() for t in lm_tables)
     bench_ng = None
     bench_sigs = None
     if benchmark is not None:
@@ -265,9 +267,10 @@ def streaming_curate(
 
         # optional CCNet perplexity gate (mirrors batch curate():
         # per-doc score under the FROZEN reference tables)
-        if ref_bigrams is not None:
+        if ref_tables is not None:
             from mod_reservoir_spark.pipeline.text import (
                 bigram_logprob_against,
+                trigram_logprob_against,
             )
 
             gate_in = q_surv
@@ -276,8 +279,13 @@ def streaming_curate(
                     batch.select("doc_id", *lm_strata).distinct(),
                     "doc_id",
                 )
-            px = bigram_logprob_against(
-                gate_in, ref_bigrams, ref_unigrams, strata=lm_strata
+            scorer = (
+                trigram_logprob_against
+                if len(ref_tables) == 3
+                else bigram_logprob_against
+            )
+            px = scorer(
+                gate_in, *ref_tables, strata=lm_strata
             ).select(
                 "doc_id",
                 (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),

@@ -402,3 +402,32 @@ def test_curate_url_stage_attribution(spark, bench_docs):
     assert {r.doc_id: r.drop_stage for r in base.collect()} == {
         1: None, 2: None, 3: "quality", 4: None, 5: None, 6: None,
     }
+
+
+def test_curate_trigram_gate(spark, corpus):
+    """A 3-tuple lm_tables switches the perplexity gate to the order-3
+    scorer: drop set equals the hand-computed trigram-NLL cut among
+    quality survivors, attribution and downstream stages unchanged."""
+    from mod_reservoir_spark.pipeline.text import (
+        trigram_count_tables,
+        trigram_logprob_against,
+    )
+
+    tables = trigram_count_tables(corpus)
+    scores = {
+        r.doc_id: r.mean_nll_e6
+        for r in trigram_logprob_against(corpus, *tables).collect()
+    }
+    default = curate(corpus, near_kwargs=dict(NEAR))
+    d = {r.doc_id: r.drop_stage for r in default.collect()}
+    q_surv = [i for i, s in d.items() if s != "quality"]
+    cut = sorted(scores[i] for i in q_surv)[len(q_surv) // 2]
+    led = curate(
+        corpus, near_kwargs=dict(NEAR), lm_tables=tables, max_nll_e6=cut
+    ).cache()
+    g = {r.doc_id: r.drop_stage for r in led.collect()}
+    expect_px = {i for i in q_surv if scores[i] > cut}
+    assert {i for i, s in g.items() if s == "perplexity"} == expect_px
+    assert {i for i, s in g.items() if s == "quality"} == {
+        i for i, s in d.items() if s == "quality"
+    }
