@@ -752,6 +752,7 @@ def trigram_logprob_against(
     lam2_ppm: int = 300000,
     oov_ppm: int = 1,
     strata: tuple[str, ...] = (),
+    _per_doc: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean NLL under an order-3 Jelinek-Mercer
     interpolated-backoff model over GIVEN count tables — one Markov
@@ -782,27 +783,46 @@ def trigram_logprob_against(
 
     Output: (doc_id, n_trigrams, mean_nll_e6); docs with < 3 tokens
     report 0 trigrams and 0 score.
+
+    ``_per_doc``: internal — the self-scoring wrapper passes its
+    already-checkpointed per-doc partials so the corpus is not
+    re-tokenized (the curate() materialize lesson: Catalyst shares no
+    non-identical subtrees, so a shared frame must be materialized,
+    not re-declared).
     """
-    per_doc = _trigram_positions(docs, text_col)
+    per_doc = (
+        _per_doc
+        if _per_doc is not None
+        else _trigram_positions(docs, text_col)
+    )
     if strata:
         per_doc = per_doc.join(
             docs.select("doc_id", *strata).distinct(), "doc_id"
         )
     skeys = list(strata)
+    # Context totals are FOLDED into their count tables before the
+    # per-doc joins (vocab-sized join each), so the big per-doc frame
+    # shuffles 3 times — (w1,w2,w3), (w2,w3), (w3) — instead of 5.
+    # Values are identical: whenever a count row is missing its folded
+    # context is NULL too, and that case already scored 0 under the
+    # zero-context guard (lam·coalesce(count,0)/ctx is 0 for any ctx
+    # when the count is 0, and the otherwise-branch is the same 0.0).
     contexts2 = trigrams.groupBy(*skeys, "w1", "w2").agg(
         F.sum("ct").cast("long").alias("c2")
     )
+    tri_with_ctx = trigrams.join(contexts2, skeys + ["w1", "w2"])
     # the bigram-order backoff needs c(w2 w3) and c(w2 ·): rename the
     # bigram table's (w1, w2) to this scorer's (w2, w3) position names
-    bi_as_23 = bigrams.select(
+    contexts1 = bigrams.groupBy(*skeys, "w1").agg(
+        F.sum("cb").cast("long").alias("c1")
+    )
+    bi_with_ctx = bigrams.join(contexts1, skeys + ["w1"]).select(
         *skeys,
         F.col("w1").alias("w2"),
         F.col("w2").alias("w3"),
         "cb",
+        "c1",
     )
-    contexts1 = bigrams.groupBy(*skeys, "w1").agg(
-        F.sum("cb").cast("long").alias("c1")
-    ).select(*skeys, F.col("w1").alias("w2"), "c1")
     l3 = lam3_ppm / 1000000.0
     l2 = lam2_ppm / 1000000.0
     tri_term = F.when(
@@ -819,10 +839,8 @@ def trigram_logprob_against(
     ).otherwise(F.lit(oov_ppm / 1000000.0))
     p = tri_term + bi_term + uni_term
     scored = (
-        per_doc.join(trigrams, skeys + ["w1", "w2", "w3"], "left")
-        .join(contexts2, skeys + ["w1", "w2"], "left")
-        .join(bi_as_23, skeys + ["w2", "w3"], "left")
-        .join(contexts1, skeys + ["w2"], "left")
+        per_doc.join(tri_with_ctx, skeys + ["w1", "w2", "w3"], "left")
+        .join(bi_with_ctx, skeys + ["w2", "w3"], "left")
         .join(
             unigrams.withColumnRenamed("term", "w3"),
             skeys + ["w3"],
@@ -876,7 +894,18 @@ def trigram_logprob_scores(
 ) -> DataFrame:
     """Self-scoring form of :func:`trigram_logprob_against` (tables
     estimated on the corpus itself) — the contract-row shape, like
-    :func:`bigram_logprob_scores` one order down."""
+    :func:`bigram_logprob_scores` one order down.
+
+    The per-doc partials deliberately stay LAZY (recomputed by the
+    table build and the scorer): an eager localCheckpoint of the
+    near-corpus-sized partials frame was measured SLOWER at every
+    scale (sf0.1 4.3→7.1 s, sf10 126→272 s — the block-store
+    round-trip of ~rows×positions rows costs more than re-running the
+    narrow tokenize+explode, which pipelines inside each consumer's
+    shuffle map stage). The curate() materialize lesson does not
+    transfer: there the re-derived subtree was the WHOLE multi-stage
+    funnel, here it is one narrow projection. Measured in SCALE.md
+    round 8."""
     trigrams, bigrams, unigrams = trigram_count_tables(docs, text_col)
     return trigram_logprob_against(
         docs, trigrams, bigrams, unigrams, text_col, lam3_ppm, lam2_ppm
