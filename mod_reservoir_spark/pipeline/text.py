@@ -637,9 +637,17 @@ def bigram_logprob_against(
             docs.select("doc_id", *strata).distinct(), "doc_id"
         )
     skeys = list(strata)
+    # context totals FOLD into the bigram table before the per-doc
+    # join (vocab-sized), so the big per-doc frame shuffles twice —
+    # (w1,w2) and (w2) — instead of three times. Value-identical: a
+    # missing bigram row scores 0 under the zero-context guard whether
+    # or not c(w1 ·) exists (lam·coalesce(cb,0)/c1 is 0, the otherwise
+    # branch is the same 0.0) — the r8 trigram-folding argument one
+    # order down, hash-pinned by the live contract rows.
     contexts = bigrams.groupBy(*skeys, "w1").agg(
         F.sum("cb").cast("long").alias("c1")
     )
+    bi_with_ctx = bigrams.join(contexts, skeys + ["w1"])
     lam = lam_ppm / 1000000.0
     bigram_term = F.when(
         F.coalesce(F.col("c1"), F.lit(0)) > 0,
@@ -650,8 +658,8 @@ def bigram_logprob_against(
         F.lit(1.0 - lam) * F.col("ctf") / F.col("_total"),
     ).otherwise(F.lit(oov_ppm / 1000000.0))
     p = bigram_term + unigram_term
-    scored = per_doc.join(bigrams, skeys + ["w1", "w2"], "left").join(
-        contexts, skeys + ["w1"], "left"
+    scored = per_doc.join(
+        bi_with_ctx, skeys + ["w1", "w2"], "left"
     ).join(
         unigrams.withColumnRenamed("term", "w2"), skeys + ["w2"], "left"
     )
