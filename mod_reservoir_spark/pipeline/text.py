@@ -948,25 +948,33 @@ def perplexity_buckets(
     stratified_sample` shape, with the same skewed-stratum mitigation
     available (pre-bucket a dominant language).
 
-    ``scorer``: ``"unigram"`` (default, the contract row's model) or
+    ``scorer``: ``"unigram"`` (default, the contract row's model),
     ``"bigram"`` — rank by :func:`bigram_logprob_scores` instead, so
     the banding also penalizes scrambled word ORDER (closer to the
-    KenLM model CCNet actually ranks with). Band semantics and scale
-    shape are scorer-independent.
+    KenLM model CCNet actually ranks with) — or ``"trigram"`` (r8,
+    :func:`trigram_logprob_scores`, the sharpest self-ranking). Band
+    semantics and scale shape are scorer-independent.
 
     ``lm_tables`` (optionally with ``table_strata``, e.g.
     ``("lang",)``): rank by NLL under a REFERENCE model instead of the
     corpus's own counts — the full CCNet recipe: per-language models
     trained on a clean corpus (``lm_count_tables(clean, strata=...)``
     or the lm_stream fold) score the crawl, and the banding is done
-    per language. Implies the bigram scorer; ``scorer`` is ignored.
+    per language. A 2-tuple implies the bigram scorer, a 3-tuple
+    (``trigram_count_tables``' shape) the order-3 one; ``scorer`` is
+    ignored.
 
     Output: (doc_id, strata, mean_nll_e6, pos_ppm, bucket).
     """
     from pyspark.sql import Window
 
     if lm_tables is not None:
-        scores = bigram_logprob_against(
+        against = (
+            trigram_logprob_against
+            if len(lm_tables) == 3
+            else bigram_logprob_against
+        )
+        scores = against(
             docs, *lm_tables, text_col=text_col,
             strata=tuple(table_strata or ()),
         )
@@ -974,6 +982,8 @@ def perplexity_buckets(
         scores = unigram_logprob_scores(docs, text_col)
     elif scorer == "bigram":
         scores = bigram_logprob_scores(docs, text_col)
+    elif scorer == "trigram":
+        scores = trigram_logprob_scores(docs, text_col)
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
     scores = scores.select("doc_id", "mean_nll_e6")

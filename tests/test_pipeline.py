@@ -2670,3 +2670,48 @@ def test_trigram_strata_equals_per_stratum(spark):
             }
         )
     assert strat == per
+
+
+def test_perplexity_buckets_trigram_scorer(spark):
+    """scorer='trigram' (and the 3-tuple lm_tables form) rank by the
+    order-3 NLL: band assignment matches re-deriving the ranking from
+    trigram_logprob_scores directly; the 3-tuple reference form agrees
+    with self-scoring on the same corpus."""
+    from mod_reservoir_spark.pipeline.text import (
+        perplexity_buckets,
+        trigram_count_tables,
+        trigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    got = {
+        r.doc_id: (r.mean_nll_e6, r.bucket)
+        for r in perplexity_buckets(docs, scorer="trigram").collect()
+    }
+    scores = {
+        r.doc_id: r.mean_nll_e6
+        for r in trigram_logprob_scores(docs).collect()
+    }
+    assert {i: s for i, (s, _) in got.items()} == scores
+    # band edges: recompute per-lang rank positions
+    langs = {r.doc_id: r.lang for r in docs.collect()}
+    for lang in set(langs.values()):
+        ids = sorted(
+            (i for i in scores if langs[i] == lang),
+            key=lambda i: (scores[i], i),
+        )
+        n = max(len(ids) - 1, 1)
+        for pos, i in enumerate(ids):
+            ppm_pos = pos * 1000000 // n
+            want = ("head" if ppm_pos < 333334
+                    else "middle" if ppm_pos < 666667 else "tail")
+            assert got[i][1] == want, (lang, i)
+    # 3-tuple reference form == self-scoring banding on the same corpus
+    tables = trigram_count_tables(docs)
+    ref = {
+        r.doc_id: (r.mean_nll_e6, r.bucket)
+        for r in perplexity_buckets(docs, lm_tables=tables).collect()
+    }
+    assert ref == got
