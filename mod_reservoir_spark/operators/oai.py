@@ -319,6 +319,76 @@ def identify(
     )
 
 
+def list_metadata_formats(
+    base_url: str = "http://localhost",
+    response_date: str | None = None,
+) -> str:
+    """ListMetadataFormats envelope. The reference answers this verb
+    with badVerb (OaiService.java:107-118 has no case for it) even
+    though it is protocol-required; here it renders the one format the
+    engine disseminates — marcxml — per spec 4.4. Schema-valid."""
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">\n'
+        f"  <responseDate>{_response_date(response_date)}"
+        "</responseDate>\n"
+        f'  <request verb="ListMetadataFormats">'
+        f"{encode_xml_text(base_url)}</request>\n"
+        "  <ListMetadataFormats>\n"
+        "    <metadataFormat>\n"
+        "      <metadataPrefix>marcxml</metadataPrefix>\n"
+        "      <schema>http://www.loc.gov/standards/marcxml/schema/"
+        "MARC21slim.xsd</schema>\n"
+        "      <metadataNamespace>http://www.loc.gov/MARC21/slim"
+        "</metadataNamespace>\n"
+        "    </metadataFormat>\n"
+        "  </ListMetadataFormats>\n"
+        "</OAI-PMH>\n"
+    )
+
+
+def list_sets(
+    set_ids: list[str],
+    base_url: str = "http://localhost",
+    response_date: str | None = None,
+) -> str:
+    """ListSets envelope: the match-key configs ARE the repository's
+    set hierarchy (each OAI set `?set=<id>` selects one pool — the
+    reference's `set` query param maps to match_key_config_id,
+    OaiService.java:152-163). Empty config list → the spec's
+    noSetHierarchy error. The reference answers this verb with badVerb
+    (no switch case); rendering the real hierarchy is spec 4.6.
+    Schema-valid either way."""
+    if not set_ids:
+        return render_error_xml(
+            "noSetHierarchy",
+            "this repository has no set hierarchy",
+            "ListSets",
+            base_url,
+            response_date,
+        )
+    s = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">\n',
+        f"  <responseDate>{_response_date(response_date)}"
+        "</responseDate>\n",
+        f'  <request verb="ListSets">{encode_xml_text(base_url)}'
+        "</request>\n",
+        "  <ListSets>\n",
+    ]
+    for sid in sorted(set_ids):
+        s.append("    <set>\n")
+        s.append(
+            f"      <setSpec>{encode_xml_text(sid)}</setSpec>\n"
+        )
+        s.append(
+            f"      <setName>{encode_xml_text(sid)}</setName>\n"
+        )
+        s.append("    </set>\n")
+    s.append("  </ListSets>\n</OAI-PMH>\n")
+    return "".join(s)
+
+
 class OaiError(Exception):
     """Protocol-level OAI error (reference OaiException.java:3-31):
     carries the spec error code rendered into the error envelope."""
@@ -410,9 +480,13 @@ def handle_oai_request(
     raising — badVerb (missing/unknown verb),
     cannotDisseminateFormat (metadataPrefix other than marcxml),
     badArgument (missing identifier, unknown set),
-    badResumptionToken (undecodable token), idDoesNotExist. Every
-    returned envelope — success or error — validates against the
-    vendored OAI-PMH.xsd (pinned in tests/test_oai.py)."""
+    badResumptionToken (undecodable token), idDoesNotExist,
+    noSetHierarchy (ListSets with no configs). Two verbs go BEYOND
+    the reference, which answers them badVerb: ListMetadataFormats
+    (renders marcxml, spec 4.4) and ListSets (renders the match-key
+    configs as the set hierarchy, spec 4.6). Every returned
+    envelope — success or error — validates against the vendored
+    OAI-PMH.xsd (pinned in tests/test_oai.py)."""
     try:
         verb = params.get("verb")
         if verb is None:
@@ -424,6 +498,12 @@ def handle_oai_request(
             )
         if verb == "Identify":
             return identify(base_url, response_date=response_date)
+        if verb == "ListMetadataFormats":
+            return list_metadata_formats(base_url, response_date)
+        if verb == "ListSets":
+            return list_sets(
+                known_sets or [], base_url, response_date
+            )
         if verb in ("ListRecords", "ListIdentifiers"):
             token = params.get("resumptionToken")
             set_id = params.get("set")

@@ -457,3 +457,42 @@ def test_oai_dispatch_all_verbs_and_errors_schema_valid(spark, warehouse):
     for params, code in cases:
         xml = run(params)
         assert f'<error code="{code}"' in xml, (params, xml)
+
+
+def test_oai_list_metadata_formats_and_sets(spark):
+    """The two verbs the reference answers badVerb on, rendered
+    spec-true and schema-valid: ListMetadataFormats lists marcxml;
+    ListSets renders the match-key configs as the set hierarchy, or
+    the noSetHierarchy error when there are none."""
+    from mod_reservoir_spark.functions.xmlutil import validate_oai_xml
+    from mod_reservoir_spark.operators.oai import (
+        handle_oai_request,
+        list_metadata_formats,
+        list_sets,
+    )
+
+    rd = "2024-03-04T05:06:07Z"
+    mf = list_metadata_formats(response_date=rd)
+    validate_oai_xml(spark, mf)
+    assert "<metadataPrefix>marcxml</metadataPrefix>" in mf
+
+    ls = list_sets(["issn", "isbn"], response_date=rd)
+    validate_oai_xml(spark, ls)
+    assert ls.index("<setSpec>isbn</setSpec>") < ls.index(
+        "<setSpec>issn</setSpec>"
+    )
+    empty = list_sets([], response_date=rd)
+    validate_oai_xml(spark, empty)
+    assert '<error code="noSetHierarchy"' in empty
+
+    # dispatched (frames are untouched by these two verbs)
+    for params, frag in (
+        ({"verb": "ListMetadataFormats"}, "marcxml"),
+        ({"verb": "ListSets"}, "<setSpec>t</setSpec>"),
+    ):
+        xml = handle_oai_request(
+            None, None, None, None, params, known_sets=["t"],
+            response_date=rd,
+        )
+        validate_oai_xml(spark, xml)
+        assert frag in xml
