@@ -322,3 +322,64 @@ def test_bigram_jm_arithmetic_matches_python_reference(spark):
             assert abs(got[i][1] - want[i][1]) <= 1, (i, got[i], want[i])
 
     run()
+
+
+def test_trigram_logprob_matches_python_reference(spark):
+    """Property: the order-3 interpolated-backoff scorer equals a
+    direct Python implementation over randomized small corpora (the
+    bigram family's pin one order up) — including docs shorter than 3
+    tokens, repeated trigrams, and shared contexts across docs."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from mod_reservoir_spark.pipeline.text import trigram_logprob_scores
+
+    word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def check(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_trigrams, r.mean_nll_e6)
+            for r in trigram_logprob_scores(docs).collect()
+        }
+        toks = {i: t.split() if t else [] for i, t in enumerate(texts)}
+        ct: dict = {}
+        cb: dict = {}
+        ctf: dict = {}
+        for ts in toks.values():
+            for j in range(len(ts) - 2):
+                ct[tuple(ts[j:j + 3])] = ct.get(tuple(ts[j:j + 3]), 0) + 1
+            for j in range(len(ts) - 1):
+                cb[tuple(ts[j:j + 2])] = cb.get(tuple(ts[j:j + 2]), 0) + 1
+            for w in ts:
+                ctf[w] = ctf.get(w, 0) + 1
+        c2 = {}
+        for (w1, w2, _w3), n in ct.items():
+            c2[(w1, w2)] = c2.get((w1, w2), 0) + n
+        c1 = {}
+        for (w1, _w2), n in cb.items():
+            c1[w1] = c1.get(w1, 0) + n
+        T = sum(ctf.values())
+        l3, l2 = 0.6, 0.3
+        for i, ts in toks.items():
+            tris = [tuple(ts[j:j + 3]) for j in range(len(ts) - 2)]
+            if not tris:
+                assert got[i] == (0, 0)
+                continue
+            nll = 0.0
+            for tg in tris:
+                w1, w2, w3 = tg
+                p = (l3 * ct[tg] / c2[(w1, w2)]
+                     + l2 * cb[(w2, w3)] / c1[w2]
+                     + (1.0 - l3 - l2) * ctf[w3] / T)
+                nll += -math.log(p)
+            want = round(nll / len(tris) * 1e6)
+            assert got[i] == (len(tris), want), (i, ts)
+
+    check()
