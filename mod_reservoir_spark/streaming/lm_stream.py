@@ -171,3 +171,24 @@ def compact_lm_counts(spark: SparkSession, state_dir: str,
     unigrams.write.mode("overwrite").parquet(
         os.path.join(serving_path, "unigrams")
     )
+
+
+def compact_trigram_counts(spark: SparkSession, state_dir: str,
+                           serving_path: str) -> None:
+    """Order-3 sibling of :func:`compact_lm_counts`: fold the
+    accumulated ``trigrams/`` + ``bigrams/`` + ``unigrams/`` batch
+    partitions into single serving tables — idempotent, the same rows
+    the read-time fold produces, directly loadable as curate()'s
+    3-tuple ``lm_tables``."""
+    trigrams, bigrams, unigrams = read_stream_trigram_counts(
+        spark, state_dir
+    )
+    trigrams.write.mode("overwrite").parquet(
+        os.path.join(serving_path, "trigrams")
+    )
+    bigrams.write.mode("overwrite").parquet(
+        os.path.join(serving_path, "bigrams")
+    )
+    unigrams.write.mode("overwrite").parquet(
+        os.path.join(serving_path, "unigrams")
+    )

@@ -1171,3 +1171,14 @@ def test_stream_trigram_counts_fold_and_serving(spark, tmp_path):
         for r in trigram_logprob_scores(docs_all).collect()
     }
     assert against == self_scored
+
+    # COMPACTION: single serving tables, same rows
+    from mod_reservoir_spark.streaming.lm_stream import (
+        compact_trigram_counts,
+    )
+
+    serving = str(tmp_path / "tri_serving")
+    compact_trigram_counts(spark, state, serving)
+    for name, want in zip(("trigrams", "bigrams", "unigrams"), want_sets):
+        folded = spark.read.parquet(os.path.join(serving, name))
+        assert {tuple(r) for r in folded.collect()} == want
