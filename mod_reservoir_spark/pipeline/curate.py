@@ -220,6 +220,7 @@ def curate(
             raise ValueError("lm_tables needs an explicit max_nll_e6")
         from mod_reservoir_spark.pipeline.text import (
             bigram_logprob_against,
+            ngram_logprob_against,
             trigram_logprob_against,
         )
 
@@ -229,13 +230,19 @@ def curate(
             gate_in = gate_in.join(
                 docs.select("doc_id", *lm_strata).distinct(), "doc_id"
             )
-        if len(lm_tables) == 3:
+        if len(lm_tables) == 2:
+            scored = bigram_logprob_against(
+                gate_in, *lm_tables, strata=lm_strata
+            )
+        elif len(lm_tables) == 3:
             scored = trigram_logprob_against(
                 gate_in, *lm_tables, strata=lm_strata
             )
         else:
-            scored = bigram_logprob_against(
-                gate_in, *lm_tables, strata=lm_strata
+            # 4+ tables: ngram_count_tables' shape, up to the 5-gram
+            # KenLM form of the CCNet recipe (r8)
+            scored = ngram_logprob_against(
+                gate_in, list(lm_tables), strata=lm_strata
             )
         px = m(
             scored.select(

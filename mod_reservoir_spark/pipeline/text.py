@@ -920,6 +920,229 @@ def trigram_logprob_scores(
     )
 
 
+def _ngram_positions(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, w1..wk, tf) — per-document k-gram-occurrence partials,
+    the :func:`_bigram_positions` shifted-slices discipline at any
+    order (never element_at lambdas over the tokenization)."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    width = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.slice(toks, 1, width)
+    acc = F.transform(grams, lambda a: F.struct(a.alias("w1")))
+
+    def _extend(j):
+        # closure factory: a default-arg lambda would grow a THIRD
+        # pyspark lambda variable (pyspark binds one per parameter)
+        return lambda p, c: F.struct(
+            *[p[f"w{i}"].alias(f"w{i}") for i in range(1, j)],
+            c.alias(f"w{j}"),
+        )
+
+    for j in range(2, k + 1):
+        acc = F.zip_with(acc, F.slice(toks, j, width), _extend(j))
+    cols = [f"w{i}" for i in range(1, k + 1)]
+    return (
+        docs.select("doc_id", F.explode(acc).alias("g"))
+        .select("doc_id", *[f"g.{c}" for c in cols])
+        .groupBy("doc_id", *cols)
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def ngram_count_tables(
+    docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    strata: tuple[str, ...] = (),
+) -> list[DataFrame]:
+    """The order-N LM count tables, highest order first:
+    ``[N-grams (w1..wN, c), ..., bigrams (w1, w2, c), unigrams
+    (term, ctf)]`` — the same additive/streaming-fold/strata contract
+    as :func:`lm_count_tables` at every order (counts over a corpus =
+    key-wise sum over its parts). order=2 and order=3 produce exactly
+    the tables ``lm_count_tables`` / ``trigram_count_tables`` build
+    (count-column names normalized to ``c``; unigrams keep
+    ``term``/``ctf``)."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    keys = None
+    if strata:
+        keys = docs.select("doc_id", *strata).distinct()
+    tables: list[DataFrame] = []
+    for k in range(order, 1, -1):
+        base = _ngram_positions(docs, text_col, k)
+        if keys is not None:
+            base = base.join(keys, "doc_id")
+        cols = [f"w{i}" for i in range(1, k + 1)]
+        tables.append(
+            base.groupBy(*strata, *cols).agg(
+                F.sum("tf").cast("long").alias("c")
+            )
+        )
+    term_doc = _term_doc_counts(docs, text_col)
+    if keys is not None:
+        term_doc = term_doc.join(keys, "doc_id")
+    tables.append(
+        term_doc.groupBy(*strata, "term").agg(
+            F.sum("tf").cast("long").alias("ctf")
+        )
+    )
+    return tables
+
+
+# default interpolation weights (ppm) per order for the conditional
+# terms, highest order first; the unigram weight is the remainder.
+# order 2/3 match the bigram/trigram scorers' defaults exactly.
+_NGRAM_DEFAULT_LAMBDAS = {
+    2: (800000,),
+    3: (600000, 300000),
+    4: (500000, 250000, 150000),
+    5: (400000, 250000, 150000, 100000),
+}
+
+
+def ngram_logprob_against(
+    docs: DataFrame,
+    tables: list[DataFrame],
+    text_col: str = "text",
+    lambdas_ppm: tuple[int, ...] | None = None,
+    oov_ppm: int = 1,
+    strata: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document mean NLL under an order-N Jelinek-Mercer
+    interpolated-backoff model — the generalization the bigram and
+    trigram scorers are instances of, reaching the 5-gram shape of
+    CCNet's KenLM filter (Wenzek et al. 2020):
+
+    p(wN | w1..wN-1) = sum over j=N..2 of
+        l_j * c_j(last j words) / c_j(last j words minus wN, ·)
+      + (1 - sum l_j) * c(wN) / T
+
+    ``tables``: :func:`ngram_count_tables` order (highest first,
+    unigrams last); N = len(tables). ``lambdas_ppm``: one weight per
+    conditional order, highest first (defaults for N ≤ 5 in
+    ``_NGRAM_DEFAULT_LAMBDAS``; order 2/3 defaults make this function
+    BIT-IDENTICAL to :func:`bigram_logprob_against` /
+    :func:`trigram_logprob_against` — pinned by exact-equality tests).
+    Same OOV contract: a zero-context conditional term contributes 0,
+    an unseen unigram gets the ``oov_ppm``/1e6 floor.
+
+    Scale shape (the trigram scorer's, generalized): every context
+    total FOLDS into its count table before the per-doc joins
+    (vocab-sized joins), so the per-doc N-gram frame shuffles N times
+    — once per order plus the unigram attach — never once per
+    occurrence; one broadcast scalar total; no Window, no Python.
+
+    Output: (doc_id, n_ngrams, mean_nll_e6); docs shorter than N
+    tokens report zeros.
+    """
+    n = len(tables)
+    if n < 2:
+        raise ValueError("tables must hold at least bigrams + unigrams")
+    if lambdas_ppm is None:
+        if n not in _NGRAM_DEFAULT_LAMBDAS:
+            raise ValueError(
+                f"no default lambdas for order {n}; pass lambdas_ppm"
+            )
+        lambdas_ppm = _NGRAM_DEFAULT_LAMBDAS[n]
+    if len(lambdas_ppm) != n - 1:
+        raise ValueError(
+            "lambdas_ppm needs one weight per conditional order "
+            f"({n - 1}), got {len(lambdas_ppm)}"
+        )
+    skeys = list(strata)
+    per_doc = _ngram_positions(docs, text_col, n)
+    if strata:
+        per_doc = per_doc.join(
+            docs.select("doc_id", *strata).distinct(), "doc_id"
+        )
+    unigrams = tables[-1]
+    scored = per_doc
+    terms = []
+    uni_weight = 1.0
+    for idx, lam_ppm in enumerate(lambdas_ppm):
+        j = n - idx  # this conditional term's order
+        lam = lam_ppm / 1000000.0
+        uni_weight -= lam
+        tbl = tables[idx]
+        # context total c(first j-1 words, ·) folded into the table
+        ctx_cols = [f"w{i}" for i in range(1, j)]
+        ctx = tbl.groupBy(*skeys, *ctx_cols).agg(
+            F.sum("c").cast("long").alias(f"_ctx{j}")
+        )
+        with_ctx = tbl.join(ctx, skeys + ctx_cols).select(
+            *skeys,
+            # the j-gram at scoring position (wN-j+1 .. wN): rename the
+            # table's positional columns to the per-doc frame's names
+            *[
+                F.col(f"w{i}").alias(f"w{n - j + i}")
+                for i in range(1, j + 1)
+            ],
+            F.col("c").alias(f"_c{j}"),
+            f"_ctx{j}",
+        )
+        join_cols = [f"w{i}" for i in range(n - j + 1, n + 1)]
+        scored = scored.join(with_ctx, skeys + join_cols, "left")
+        terms.append(
+            F.when(
+                F.coalesce(F.col(f"_ctx{j}"), F.lit(0)) > 0,
+                F.lit(lam)
+                * F.coalesce(F.col(f"_c{j}"), F.lit(0))
+                / F.col(f"_ctx{j}"),
+            ).otherwise(F.lit(0.0))
+        )
+    scored = scored.join(
+        unigrams.withColumnRenamed("term", f"w{n}"),
+        skeys + [f"w{n}"],
+        "left",
+    )
+    terms.append(
+        F.when(
+            F.coalesce(F.col("ctf"), F.lit(0)) > 0,
+            F.lit(uni_weight) * F.col("ctf") / F.col("_total"),
+        ).otherwise(F.lit(oov_ppm / 1000000.0))
+    )
+    if strata:
+        totals = unigrams.groupBy(*skeys).agg(
+            F.sum("ctf").cast("long").alias("_total")
+        )
+        scored = scored.join(F.broadcast(totals), skeys, "left")
+    else:
+        totals = unigrams.select(
+            F.sum("ctf").cast("long").alias("_total")
+        )
+        scored = scored.crossJoin(F.broadcast(totals))
+    p = terms[0]
+    for t in terms[1:]:
+        p = p + t
+    out = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_ngrams"),
+            F.sum(F.col("tf") * -F.log(p)).alias("_nll_sum"),
+        )
+        .withColumn(
+            "mean_nll_e6",
+            F.round(
+                F.col("_nll_sum") / F.col("n_ngrams") * 1000000
+            ).cast("long"),
+        )
+        .select("doc_id", "n_ngrams", "mean_nll_e6")
+    )
+    return (
+        docs.select("doc_id")
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_ngrams"),
+            F.coalesce("mean_nll_e6", F.lit(0))
+            .cast("long")
+            .alias("mean_nll_e6"),
+        )
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     text_col: str = "text",
@@ -969,15 +1192,21 @@ def perplexity_buckets(
     from pyspark.sql import Window
 
     if lm_tables is not None:
-        against = (
-            trigram_logprob_against
-            if len(lm_tables) == 3
-            else bigram_logprob_against
-        )
-        scores = against(
-            docs, *lm_tables, text_col=text_col,
-            strata=tuple(table_strata or ()),
-        )
+        if len(lm_tables) == 2:
+            scores = bigram_logprob_against(
+                docs, *lm_tables, text_col=text_col,
+                strata=tuple(table_strata or ()),
+            )
+        elif len(lm_tables) == 3:
+            scores = trigram_logprob_against(
+                docs, *lm_tables, text_col=text_col,
+                strata=tuple(table_strata or ()),
+            )
+        else:
+            scores = ngram_logprob_against(
+                docs, list(lm_tables), text_col=text_col,
+                strata=tuple(table_strata or ()),
+            )
     elif scorer == "unigram":
         scores = unigram_logprob_scores(docs, text_col)
     elif scorer == "bigram":

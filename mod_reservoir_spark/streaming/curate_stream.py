@@ -270,6 +270,7 @@ def streaming_curate(
         if ref_tables is not None:
             from mod_reservoir_spark.pipeline.text import (
                 bigram_logprob_against,
+                ngram_logprob_against,
                 trigram_logprob_against,
             )
 
@@ -279,14 +280,19 @@ def streaming_curate(
                     batch.select("doc_id", *lm_strata).distinct(),
                     "doc_id",
                 )
-            scorer = (
-                trigram_logprob_against
-                if len(ref_tables) == 3
-                else bigram_logprob_against
-            )
-            px = scorer(
-                gate_in, *ref_tables, strata=lm_strata
-            ).select(
+            if len(ref_tables) == 2:
+                scored = bigram_logprob_against(
+                    gate_in, *ref_tables, strata=lm_strata
+                )
+            elif len(ref_tables) == 3:
+                scored = trigram_logprob_against(
+                    gate_in, *ref_tables, strata=lm_strata
+                )
+            else:
+                scored = ngram_logprob_against(
+                    gate_in, list(ref_tables), strata=lm_strata
+                )
+            px = scored.select(
                 "doc_id",
                 (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),
             )

@@ -431,3 +431,31 @@ def test_curate_trigram_gate(spark, corpus):
     assert {i for i, s in g.items() if s == "quality"} == {
         i for i, s in d.items() if s == "quality"
     }
+
+
+def test_curate_5gram_gate(spark, corpus):
+    """A 5-tuple lm_tables (ngram_count_tables(5)) switches the gate
+    to the order-5 scorer — the full KenLM shape of the CCNet recipe:
+    drop set equals the hand-computed 5-gram-NLL cut among quality
+    survivors."""
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_logprob_against,
+    )
+
+    tables = ngram_count_tables(corpus, 5)
+    scores = {
+        r.doc_id: r.mean_nll_e6
+        for r in ngram_logprob_against(corpus, tables).collect()
+    }
+    default = curate(corpus, near_kwargs=dict(NEAR))
+    d = {r.doc_id: r.drop_stage for r in default.collect()}
+    q_surv = [i for i, s in d.items() if s != "quality"]
+    cut = sorted(scores[i] for i in q_surv)[len(q_surv) // 2]
+    led = curate(
+        corpus, near_kwargs=dict(NEAR), lm_tables=tuple(tables),
+        max_nll_e6=cut,
+    )
+    g = {r.doc_id: r.drop_stage for r in led.collect()}
+    expect_px = {i for i in q_surv if scores[i] > cut}
+    assert {i for i, s in g.items() if s == "perplexity"} == expect_px

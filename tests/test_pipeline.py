@@ -2715,3 +2715,94 @@ def test_perplexity_buckets_trigram_scorer(spark):
         for r in perplexity_buckets(docs, lm_tables=tables).collect()
     }
     assert ref == got
+
+
+def test_ngram_logprob_equals_bigram_and_trigram(spark):
+    """The generic order-N scorer at N=2/3 with default lambdas is
+    BIT-identical to the dedicated bigram/trigram scorers on the real
+    documents table — the generalization is pinned to its instances."""
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_scores,
+        ngram_count_tables,
+        ngram_logprob_against,
+        trigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    for order, ded in (
+        (2, bigram_logprob_scores),
+        (3, trigram_logprob_scores),
+    ):
+        tables = ngram_count_tables(docs, order)
+        got = {
+            r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+            for r in ngram_logprob_against(docs, tables).collect()
+        }
+        want = {
+            r.doc_id: (r[1], r.mean_nll_e6) for r in ded(docs).collect()
+        }
+        assert got == want, f"order {order}"
+
+
+def test_ngram_logprob_5gram_python_reference(spark):
+    """Order-5 (the CCNet KenLM shape) against a direct Python
+    implementation on a hand-sized corpus, including short docs and
+    every backoff level firing."""
+    import math
+
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_logprob_against,
+    )
+
+    texts = [
+        "a b c d e a b c d e",
+        "a b c d x",
+        "b c d e a",
+        "x y",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    tables = ngram_count_tables(docs, 5)
+    got = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in ngram_logprob_against(docs, tables).collect()
+    }
+    toks = {i: t.split() if t else [] for i, t in enumerate(texts)}
+    counts = [dict() for _ in range(6)]  # counts[k][tuple] for k=1..5
+    for ts in toks.values():
+        for k in range(1, 6):
+            for j in range(len(ts) - k + 1):
+                g = tuple(ts[j:j + k])
+                counts[k][g] = counts[k].get(g, 0) + 1
+    T = sum(counts[1].values())
+    lams = (0.4, 0.25, 0.15, 0.1)  # orders 5,4,3,2; unigram = 0.1
+    for i, ts in toks.items():
+        grams = [tuple(ts[j:j + 5]) for j in range(len(ts) - 4)]
+        if not grams:
+            assert got[i] == (0, 0), i
+            continue
+        nll = 0.0
+        for g in grams:
+            p = 0.0
+            for idx, lam in enumerate(lams):
+                k = 5 - idx
+                sub = g[5 - k:]
+                ctx = counts[k - 1].get(sub[:-1], 0) if k > 1 else None
+                # context total for order k = sum of k-gram counts
+                # sharing the k-1 prefix — equals the (k-1)-gram count
+                # EXCEPT at document tails; recompute honestly:
+                ctx = sum(
+                    n for gg, n in counts[k].items()
+                    if gg[:-1] == sub[:-1]
+                )
+                if ctx > 0:
+                    p += lam * counts[k].get(sub, 0) / ctx
+            p += (1.0 - sum(lams)) * counts[1][(g[-1],)] / T
+            nll += -math.log(p)
+        want = round(nll / len(grams) * 1e6)
+        assert got[i] == (len(grams), want), (i, got[i], want)
