@@ -173,6 +173,70 @@ def compact_lm_counts(spark: SparkSession, state_dir: str,
     )
 
 
+def stream_ngram_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    order: int,
+    text_col: str = "text",
+    schema=None,
+    strata: tuple[str, ...] = (),
+):
+    """Order-N face of :func:`stream_lm_counts`: per-batch
+    :func:`~mod_reservoir_spark.pipeline.text.ngram_count_tables`
+    committed under ``grams{N}/ .. grams2/ unigrams/``; counts are
+    additive at every order, so the fold is one groupBy-sum per table
+    and the folded list is exactly the one-shot tables over everything
+    ingested — directly servable by ``ngram_logprob_against`` (and by
+    the funnel gates as the N-tuple ``lm_tables``)."""
+    from mod_reservoir_spark.pipeline.text import ngram_count_tables
+
+    roots = [
+        os.path.join(state_dir, f"grams{k}")
+        for k in range(order, 1, -1)
+    ] + [os.path.join(state_dir, "unigrams")]
+
+    def process(batch_df, batch_id):
+        tables = ngram_count_tables(batch_df, order, text_col, strata)
+        for tbl, root in zip(tables, roots):
+            _commit_sketch_partition(tbl, root, batch_id)
+
+    docs = (
+        spark.readStream.schema(schema or DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_stream_ngram_counts(
+    spark: SparkSession, state_dir: str, order: int
+) -> list[DataFrame]:
+    """Folded ``[N-grams, ..., bigrams, unigrams]`` over every
+    committed batch partition — the exact shapes
+    ``ngram_count_tables`` returns."""
+    out: list[DataFrame] = []
+    for k in range(order, 1, -1):
+        raw = spark.read.parquet(os.path.join(state_dir, f"grams{k}"))
+        keys = [c for c in raw.columns if c not in ("c", "batch")]
+        out.append(
+            raw.groupBy(*keys).agg(F.sum("c").cast("long").alias("c"))
+        )
+    raw_u = spark.read.parquet(os.path.join(state_dir, "unigrams"))
+    ukeys = [c for c in raw_u.columns if c not in ("ctf", "batch")]
+    out.append(
+        raw_u.groupBy(*ukeys).agg(
+            F.sum("ctf").cast("long").alias("ctf")
+        )
+    )
+    return out
+
+
 def compact_trigram_counts(spark: SparkSession, state_dir: str,
                            serving_path: str) -> None:
     """Order-3 sibling of :func:`compact_lm_counts`: fold the

@@ -1182,3 +1182,57 @@ def test_stream_trigram_counts_fold_and_serving(spark, tmp_path):
     for name, want in zip(("trigrams", "bigrams", "unigrams"), want_sets):
         folded = spark.read.parquet(os.path.join(serving, name))
         assert {tuple(r) for r in folded.collect()} == want
+
+
+def test_stream_ngram_counts_fold_and_serving(spark, tmp_path):
+    """The order-N streaming face at N=4: folded tables equal
+    ngram_count_tables over everything ingested; serving against the
+    fold equals self-scoring."""
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_logprob_against,
+    )
+    from mod_reservoir_spark.streaming.lm_stream import (
+        read_stream_ngram_counts,
+        stream_ngram_counts,
+    )
+
+    docs_all = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs_all.collect()),
+        key=lambda t: t[0],
+    )
+    batches = [rows[0:25], rows[25:]]
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "ng_state")
+    q = stream_ngram_counts(
+        spark, str(indir), str(tmp_path / "ckpt"), state, order=4
+    )
+    try:
+        for bi, batch in enumerate(batches):
+            with open(indir / f"b{bi}.jsonl", "w") as f:
+                for i, t in batch:
+                    f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = ngram_count_tables(docs_all, 4)
+    got = read_stream_ngram_counts(spark, state, 4)
+    for g, w in zip(got, want):
+        assert {tuple(r) for r in g.collect()} == {
+            tuple(r) for r in w.collect()
+        }
+    against = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in ngram_logprob_against(docs_all, got).collect()
+    }
+    self_scored = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in ngram_logprob_against(docs_all, want).collect()
+    }
+    assert against == self_scored
