@@ -211,17 +211,22 @@ def curate(
         )
     )
 
-    # optional CCNet perplexity gate among quality survivors: a
-    # 2-tuple (bigrams, unigrams) scores with the JM bigram, a
-    # 3-tuple (trigrams, bigrams, unigrams — trigram_count_tables'
-    # shape) with the order-3 interpolated backoff (r8)
+    # optional CCNet perplexity gate among quality survivors: any
+    # ngram_count_tables shape (2-tuple = JM bigram up to the 5-gram
+    # KenLM form) scores through the order-N scorer, whose order-2/3
+    # defaults are bit-identical to the dedicated bigram/trigram
+    # scorers (exact-equality pinned). short_docs="backoff" + the
+    # explicit n_ngrams > 0 keep-condition close the r8 bypass: a doc
+    # shorter than the LM order used to score (n_ngrams=0,
+    # mean_nll_e6=0) and pass ANY threshold whenever a caller lowered
+    # quality's min_tokens below the order; now it backs off to the
+    # highest order it supports (KenLM never exempts short docs) and
+    # only genuinely empty docs hit n_ngrams=0 — which drop.
     if lm_tables is not None:
         if max_nll_e6 is None:
             raise ValueError("lm_tables needs an explicit max_nll_e6")
         from mod_reservoir_spark.pipeline.text import (
-            bigram_logprob_against,
             ngram_logprob_against,
-            trigram_logprob_against,
         )
 
         gate_in = q_surv.select("doc_id", F.col("_text").alias("text"))
@@ -230,25 +235,20 @@ def curate(
             gate_in = gate_in.join(
                 docs.select("doc_id", *lm_strata).distinct(), "doc_id"
             )
-        if len(lm_tables) == 2:
-            scored = bigram_logprob_against(
-                gate_in, *lm_tables, strata=lm_strata
-            )
-        elif len(lm_tables) == 3:
-            scored = trigram_logprob_against(
-                gate_in, *lm_tables, strata=lm_strata
-            )
-        else:
-            # 4+ tables: ngram_count_tables' shape, up to the 5-gram
-            # KenLM form of the CCNet recipe (r8)
-            scored = ngram_logprob_against(
-                gate_in, list(lm_tables), strata=lm_strata
-            )
+        scored = ngram_logprob_against(
+            gate_in,
+            list(lm_tables),
+            strata=lm_strata,
+            short_docs="backoff",
+        )
         px = m(
             scored.select(
                 "doc_id",
                 "mean_nll_e6",
-                (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),
+                (
+                    (F.col("n_ngrams") > 0)
+                    & (F.col("mean_nll_e6") <= max_nll_e6)
+                ).alias("_p_keep"),
             )
         )
         p_surv = m(

@@ -760,7 +760,6 @@ def trigram_logprob_against(
     lam2_ppm: int = 300000,
     oov_ppm: int = 1,
     strata: tuple[str, ...] = (),
-    _per_doc: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean NLL under an order-3 Jelinek-Mercer
     interpolated-backoff model over GIVEN count tables — one Markov
@@ -790,19 +789,16 @@ def trigram_logprob_against(
     one row per occurrence. No window, no Python, no driver data.
 
     Output: (doc_id, n_trigrams, mean_nll_e6); docs with < 3 tokens
-    report 0 trigrams and 0 score.
-
-    ``_per_doc``: internal — the self-scoring wrapper passes its
-    already-checkpointed per-doc partials so the corpus is not
-    re-tokenized (the curate() materialize lesson: Catalyst shares no
-    non-identical subtrees, so a shared frame must be materialized,
-    not re-declared).
+    report 0 trigrams and 0 score (callers gating on a max-NLL
+    threshold must exclude n_trigrams=0 rows — or score through
+    :func:`ngram_logprob_against` with ``short_docs="backoff"``, which
+    is bit-identical at order 3 for full-length docs and backs short
+    docs off to the highest order they support). The per-doc partials
+    are deliberately recomputed lazily rather than checkpointed: the
+    frame is two narrow projections off the source and the r8 A/B
+    measured eager checkpointing WORSE at both sf1 and sf10.
     """
-    per_doc = (
-        _per_doc
-        if _per_doc is not None
-        else _trigram_positions(docs, text_col)
-    )
+    per_doc = _trigram_positions(docs, text_col)
     if strata:
         per_doc = per_doc.join(
             docs.select("doc_id", *strata).distinct(), "doc_id"
@@ -920,10 +916,21 @@ def trigram_logprob_scores(
     )
 
 
-def _ngram_positions(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+def _ngram_positions(
+    docs: DataFrame, text_col: str, k: int, pad_short: bool = False
+) -> DataFrame:
     """(doc_id, w1..wk, tf) — per-document k-gram-occurrence partials,
     the :func:`_bigram_positions` shifted-slices discipline at any
-    order (never element_at lambdas over the tokenization)."""
+    order (never element_at lambdas over the tokenization).
+
+    ``pad_short``: docs with 1 ≤ t < k tokens, which the full-window
+    path drops entirely, additionally emit ONE right-aligned window —
+    w(k-t+1)..wk = the doc's tokens, w1..w(k-t) = NULL. Downstream
+    order-j count joins (keys w(k-j+1)..wk) miss on the NULL keys for
+    j > t and score 0 under the existing zero-context guard, while the
+    orders the doc does support (j ≤ t, all-non-NULL keys) and the
+    unigram term attach normally — KenLM-style backoff to the highest
+    supported order with no second scoring plan."""
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     width = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     grams = F.slice(toks, 1, width)
@@ -940,12 +947,30 @@ def _ngram_positions(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     for j in range(2, k + 1):
         acc = F.zip_with(acc, F.slice(toks, j, width), _extend(j))
     cols = [f"w{i}" for i in range(1, k + 1)]
-    return (
+    full = (
         docs.select("doc_id", F.explode(acc).alias("g"))
         .select("doc_id", *[f"g.{c}" for c in cols])
         .groupBy("doc_id", *cols)
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    if not pad_short:
+        return full
+    padded = F.concat(
+        F.slice(
+            F.array_repeat(F.lit(None).cast("string"), k - 1),
+            1,
+            F.lit(k) - F.size(toks),
+        ),
+        toks,
+    )
+    short = docs.where(
+        (F.size(toks) >= 1) & (F.size(toks) < k)
+    ).select(
+        "doc_id",
+        *[F.element_at(padded, i).alias(f"w{i}") for i in range(1, k + 1)],
+        F.lit(1).cast("long").alias("tf"),
+    )
+    return full.unionByName(short)
 
 
 def ngram_count_tables(
@@ -1007,6 +1032,7 @@ def ngram_logprob_against(
     lambdas_ppm: tuple[int, ...] | None = None,
     oov_ppm: int = 1,
     strata: tuple[str, ...] = (),
+    short_docs: str = "zero",
 ) -> DataFrame:
     """Per-document mean NLL under an order-N Jelinek-Mercer
     interpolated-backoff model — the generalization the bigram and
@@ -1032,12 +1058,26 @@ def ngram_logprob_against(
     — once per order plus the unigram attach — never once per
     occurrence; one broadcast scalar total; no Window, no Python.
 
-    Output: (doc_id, n_ngrams, mean_nll_e6); docs shorter than N
-    tokens report zeros.
+    Output: (doc_id, n_ngrams, mean_nll_e6). ``short_docs`` picks the
+    contract for docs with 1 ≤ t < N tokens:
+
+    - ``"zero"`` (default, the historical behavior): they score
+      (n_ngrams=0, mean_nll_e6=0) — callers gating on a max-NLL
+      threshold MUST exclude n_ngrams=0 rows themselves or such docs
+      pass any threshold (VERDICT r8 "What's wrong" #1).
+    - ``"backoff"``: they contribute one right-aligned window scored
+      under the same model with the structurally-unavailable orders
+      j > t contributing 0 — exactly the existing unseen-context
+      contract, so a t-token doc backs off to the highest order it
+      supports (the KenLM behavior the CCNet recipe relies on) and
+      reports n_ngrams=1 with a finite NLL. Only 0-token docs still
+      report zeros.
     """
     n = len(tables)
     if n < 2:
         raise ValueError("tables must hold at least bigrams + unigrams")
+    if short_docs not in ("zero", "backoff"):
+        raise ValueError(f"short_docs must be zero|backoff, got {short_docs}")
     if lambdas_ppm is None:
         if n not in _NGRAM_DEFAULT_LAMBDAS:
             raise ValueError(
@@ -1049,8 +1089,42 @@ def ngram_logprob_against(
             "lambdas_ppm needs one weight per conditional order "
             f"({n - 1}), got {len(lambdas_ppm)}"
         )
+    # a non-positive weight or a sum ≥ 1e6 drives the unigram
+    # remainder ≤ 0, so p can hit ≤ 0 and -log(p) silently emits
+    # NaN/inf NLLs — reject here instead (ADVICE r8 #2)
+    for lam_ppm in lambdas_ppm:
+        if lam_ppm <= 0:
+            raise ValueError(f"lambdas_ppm must be positive, got {lam_ppm}")
+    if sum(lambdas_ppm) >= 1000000:
+        raise ValueError(
+            "sum(lambdas_ppm) must leave unigram mass (< 1000000), "
+            f"got {sum(lambdas_ppm)}"
+        )
     skeys = list(strata)
-    per_doc = _ngram_positions(docs, text_col, n)
+    # tolerate the dedicated builders' count-column names (lm_count_
+    # tables' cb, trigram_count_tables' ct/cb): each conditional table
+    # is strata + positional w* keys + exactly one count column —
+    # normalize it to ngram_count_tables' `c` so all three table
+    # families score through this one function
+    fixed = []
+    for t in tables[:-1]:
+        extra = [
+            col
+            for col in t.columns
+            if col not in skeys
+            and not (col.startswith("w") and col[1:].isdigit())
+        ]
+        if len(extra) != 1:
+            raise ValueError(
+                f"conditional table needs one count column, got {extra}"
+            )
+        fixed.append(
+            t if extra[0] == "c" else t.withColumnRenamed(extra[0], "c")
+        )
+    tables = fixed + [tables[-1]]
+    per_doc = _ngram_positions(
+        docs, text_col, n, pad_short=(short_docs == "backoff")
+    )
     if strata:
         per_doc = per_doc.join(
             docs.select("doc_id", *strata).distinct(), "doc_id"

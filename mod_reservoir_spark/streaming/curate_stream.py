@@ -269,9 +269,7 @@ def streaming_curate(
         # per-doc score under the FROZEN reference tables)
         if ref_tables is not None:
             from mod_reservoir_spark.pipeline.text import (
-                bigram_logprob_against,
                 ngram_logprob_against,
-                trigram_logprob_against,
             )
 
             gate_in = q_surv
@@ -280,21 +278,21 @@ def streaming_curate(
                     batch.select("doc_id", *lm_strata).distinct(),
                     "doc_id",
                 )
-            if len(ref_tables) == 2:
-                scored = bigram_logprob_against(
-                    gate_in, *ref_tables, strata=lm_strata
-                )
-            elif len(ref_tables) == 3:
-                scored = trigram_logprob_against(
-                    gate_in, *ref_tables, strata=lm_strata
-                )
-            else:
-                scored = ngram_logprob_against(
-                    gate_in, list(ref_tables), strata=lm_strata
-                )
+            # order-N scorer with short-doc backoff + the explicit
+            # n_ngrams > 0 keep-condition — byte-for-byte the batch
+            # curate() gate (fold-equals-batch depends on it)
+            scored = ngram_logprob_against(
+                gate_in,
+                list(ref_tables),
+                strata=lm_strata,
+                short_docs="backoff",
+            )
             px = scored.select(
                 "doc_id",
-                (F.col("mean_nll_e6") <= max_nll_e6).alias("_p_keep"),
+                (
+                    (F.col("n_ngrams") > 0)
+                    & (F.col("mean_nll_e6") <= max_nll_e6)
+                ).alias("_p_keep"),
             )
             p_surv = q_surv.join(px.filter("_p_keep"), "doc_id").select(
                 "doc_id", "text"

@@ -459,3 +459,52 @@ def test_curate_5gram_gate(spark, corpus):
     g = {r.doc_id: r.drop_stage for r in led.collect()}
     expect_px = {i for i in q_surv if scores[i] > cut}
     assert {i for i, s in g.items() if s == "perplexity"} == expect_px
+
+
+def test_curate_perplexity_gate_short_docs(spark):
+    """The r8 bypass is closed at the funnel: with quality's
+    min_tokens BELOW the LM order, a doc shorter than the order no
+    longer scores (n_ngrams=0, mean_nll_e6=0) and sails through any
+    threshold — it backs off to the highest order it supports, so an
+    OOV short doc drops as 'perplexity' (worst band, ~13.8e6) while an
+    in-vocab short doc is genuinely scored and survives; a 0-token doc
+    (n_ngrams=0 even under backoff) drops explicitly instead of
+    passing. The CCNet recipe (KenLM) never exempts short docs."""
+    from mod_reservoir_spark.pipeline.text import trigram_count_tables
+
+    ref = spark.createDataFrame(
+        [
+            (100, "the glacier moraine retreats slowly each year"),
+            (101, "the glacier moraine advances slowly each winter"),
+        ],
+        "doc_id long, text string",
+    )
+    tables = trigram_count_tables(ref)  # order 3
+    corpus = spark.createDataFrame(
+        [
+            (0, "the glacier moraine retreats slowly each year"),
+            (1, "glacier moraine"),   # 2 tokens < order, in-vocab
+            (2, "zzq qxx"),           # 2 tokens < order, fully OOV
+            (3, ""),                  # 0 tokens: n_ngrams=0 even now
+        ],
+        "doc_id long, text string",
+    )
+    lax = dict(
+        min_tokens=0,
+        max_dup_line_ppm=1000000,
+        max_top_bigram_ppm=1000000,
+        min_distinct_ppm=0,
+        max_punct_ppm=1000000,
+    )
+    led = curate(
+        corpus,
+        near_kwargs=dict(NEAR),
+        quality_kwargs=lax,
+        lm_tables=tables,
+        max_nll_e6=13_000_000,
+    )
+    got = {r.doc_id: r.drop_stage for r in led.collect()}
+    assert got[0] is None
+    assert got[1] is None, "in-vocab short doc must be scored, not dropped"
+    assert got[2] == "perplexity", "OOV short doc must not bypass the gate"
+    assert got[3] == "perplexity", "0-token doc drops explicitly"

@@ -2806,3 +2806,154 @@ def test_ngram_logprob_5gram_python_reference(spark):
             nll += -math.log(p)
         want = round(nll / len(grams) * 1e6)
         assert got[i] == (len(grams), want), (i, got[i], want)
+
+
+def test_ngram_logprob_short_doc_backoff(spark):
+    """short_docs="backoff" closes the r8 short-doc bypass: a doc with
+    1 <= t < N tokens contributes ONE right-aligned window where the
+    structurally-unavailable orders j > t score 0 (the unseen-context
+    contract) and the orders it supports attach normally — so it backs
+    off to the highest order it has (KenLM never exempts short docs)
+    and reports a finite NLL instead of (0, 0). Full-length docs are
+    BIT-identical to the default "zero" mode, and only 0-token docs
+    still report zeros."""
+    import math
+
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_logprob_against,
+    )
+
+    texts = [
+        "a b c d e a b c d e",   # full length
+        "a b c d x",             # exactly N
+        "b c d e",               # t=4 < N
+        "c d e",                 # t=3
+        "x y",                   # t=2, in-vocab
+        "zzz qqq",               # t=2, fully OOV
+        "e",                     # t=1: unigram only
+        "",                      # 0 tokens: still zeros
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # REFERENCE tables from docs 0-4 only, so doc 5 is genuinely OOV
+    # (the production shape: frozen clean-corpus model, incoming docs)
+    tables = ngram_count_tables(docs.filter("doc_id <= 4"), 5)
+    zero = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in ngram_logprob_against(docs, tables).collect()
+    }
+    got = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in ngram_logprob_against(
+            docs, tables, short_docs="backoff"
+        ).collect()
+    }
+    toks = {i: t.split() if t else [] for i, t in enumerate(texts)}
+    # full-length docs: bit-identical to "zero" mode
+    for i, ts in toks.items():
+        if len(ts) >= 5:
+            assert got[i] == zero[i], i
+    # 0-token doc: still zeros
+    assert got[7] == (0, 0)
+    # short docs: n_ngrams=1 and the exact padded-window value
+    # (counts from the REFERENCE docs 0-4 only, matching the tables)
+    counts = [dict() for _ in range(6)]
+    for i, ts in toks.items():
+        if i > 4:
+            continue
+        for k in range(1, 6):
+            for j in range(len(ts) - k + 1):
+                g = tuple(ts[j : j + k])
+                counts[k][g] = counts[k].get(g, 0) + 1
+    T = sum(counts[1].values())
+    lams = (0.4, 0.25, 0.15, 0.1)  # orders 5,4,3,2; unigram 0.1
+    for i, ts in toks.items():
+        t = len(ts)
+        if not (1 <= t < 5):
+            continue
+        p = 0.0
+        for idx, lam in enumerate(lams):
+            k = 5 - idx
+            if k > t:
+                continue  # padded NULL keys: join miss -> 0
+            sub = tuple(ts[t - k :])
+            ctx = sum(
+                n for gg, n in counts[k].items() if gg[:-1] == sub[:-1]
+            )
+            if ctx > 0:
+                p += lam * counts[k].get(sub, 0) / ctx
+        uni = counts[1].get((ts[-1],), 0)
+        p += (1.0 - sum(lams)) * uni / T if uni > 0 else 1e-6
+        want = round(-math.log(p) * 1e6)
+        assert got[i] == (1, want), (i, got[i], want)
+    # the regression the fix exists for: the OOV short doc used to
+    # score (0, 0) and pass ANY threshold; now it's the worst band
+    assert zero[5] == (0, 0)
+    assert got[5][1] > 13_000_000
+
+
+def test_ngram_logprob_lambda_validation(spark):
+    """Non-positive weights or sum(lambdas_ppm) >= 1e6 would drive the
+    unigram remainder <= 0 and -log(p) into NaN/inf — rejected up
+    front (ADVICE r8)."""
+    import pytest as _pytest
+
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_logprob_against,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    )
+    tables = ngram_count_tables(docs, 2)
+    for bad in ((1000000,), (0,), (-5,)):
+        with _pytest.raises(ValueError):
+            ngram_logprob_against(docs, tables, lambdas_ppm=bad)
+    with _pytest.raises(ValueError):
+        ngram_logprob_against(docs, tables, short_docs="nope")
+    t3 = ngram_count_tables(docs, 3)
+    with _pytest.raises(ValueError):
+        ngram_logprob_against(docs, t3, lambdas_ppm=(600000, 400000))
+
+
+def test_ngram_logprob_accepts_dedicated_table_names(spark):
+    """The order-N scorer normalizes the dedicated builders' count
+    columns (lm_count_tables' cb, trigram_count_tables' ct/cb) to
+    ngram_count_tables' `c`, so all three table families score through
+    one function — pinned bit-identical to the dedicated scorers on
+    the real documents table (this is what lets curate() route every
+    gate order through ngram_logprob_against)."""
+    from mod_reservoir_spark.pipeline.text import (
+        bigram_logprob_against,
+        lm_count_tables,
+        ngram_logprob_against,
+        trigram_count_tables,
+        trigram_logprob_against,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    lm2 = lm_count_tables(docs)
+    got2 = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in ngram_logprob_against(docs, list(lm2)).collect()
+    }
+    want2 = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_e6)
+        for r in bigram_logprob_against(docs, *lm2).collect()
+    }
+    assert got2 == want2
+    lm3 = trigram_count_tables(docs)
+    got3 = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in ngram_logprob_against(docs, list(lm3)).collect()
+    }
+    want3 = {
+        r.doc_id: (r.n_trigrams, r.mean_nll_e6)
+        for r in trigram_logprob_against(docs, *lm3).collect()
+    }
+    assert got3 == want3
