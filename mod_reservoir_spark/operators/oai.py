@@ -512,6 +512,12 @@ def handle_oai_request(
                     set_id = decode_resumption_token(token)["set"] or set_id
                 except Exception:
                     raise OaiError.bad_resumption_token(token)
+            # a missing set is badArgument REGARDLESS of known_sets —
+            # the reference answers 'set ... not found' rather than
+            # silently filtering on a NULL pool and rendering
+            # noRecordsMatch (OaiService.java getCheck; ADVICE r8 #1)
+            if set_id is None:
+                raise OaiError.bad_argument("missing set")
             if known_sets is not None and set_id not in known_sets:
                 raise OaiError.bad_argument(
                     f'set "{set_id}" not found'
@@ -538,6 +544,8 @@ def handle_oai_request(
             if identifier is None:
                 raise OaiError.bad_argument("missing identifier")
             set_id = params.get("set")
+            if set_id is None:
+                raise OaiError.bad_argument("missing set")
             if known_sets is not None and set_id not in known_sets:
                 raise OaiError.bad_argument(
                     f'set "{set_id}" not found'

@@ -447,6 +447,12 @@ def test_oai_dispatch_all_verbs_and_errors_schema_valid(spark, warehouse):
         ({"verb": "ListRecords", "set": "t",
           "metadataPrefix": "oai_dc"}, "cannotDisseminateFormat"),
         ({"verb": "ListRecords", "set": "nope"}, "badArgument"),
+        # missing set is badArgument even with known_sets=None — the
+        # default-args path used to filter on a NULL pool and render
+        # noRecordsMatch instead (ADVICE r8 #1)
+        ({"verb": "ListRecords"}, "badArgument"),
+        ({"verb": "ListIdentifiers"}, "badArgument"),
+        ({"verb": "GetRecord", "identifier": "oai:x"}, "badArgument"),
         ({"verb": "GetRecord", "set": "t"}, "badArgument"),
         ({"verb": "GetRecord", "set": "t",
           "identifier": "oai:00000000-0000-0000-0000-000000000000"},
@@ -457,6 +463,16 @@ def test_oai_dispatch_all_verbs_and_errors_schema_valid(spark, warehouse):
     for params, code in cases:
         xml = run(params)
         assert f'<error code="{code}"' in xml, (params, xml)
+
+    # the exact ADVICE r8 #1 shape: known_sets=None AND no set param
+    # must still be badArgument, not a silent noRecordsMatch
+    for verb in ("ListRecords", "ListIdentifiers"):
+        xml = handle_oai_request(
+            *frames, {"verb": verb}, response_date=rd
+        )
+        validate_oai_xml(spark, xml)
+        assert '<error code="badArgument"' in xml, xml
+        assert "noRecordsMatch" not in xml
 
 
 def test_oai_list_metadata_formats_and_sets(spark):
@@ -496,3 +512,38 @@ def test_oai_list_metadata_formats_and_sets(spark):
         )
         validate_oai_xml(spark, xml)
         assert frag in xml
+
+
+def test_oai_xsd_rejects_impossible_datestamps(spark):
+    """UTCdatetimeType bounds every field range (ADVICE r8 #4): an
+    envelope carrying 2026-13-40T25:61:61Z — locally VALID under the
+    old loose \\d{2} pattern — must fail exactly as it would against
+    the official schema's xs:date/xs:dateTime union, while both legal
+    granularities (date-only and Zulu seconds) still pass."""
+    import pytest
+
+    from mod_reservoir_spark.functions.xmlutil import validate_oai_xml
+    from mod_reservoir_spark.operators.oai import render_list_records_xml
+
+    rd = "2024-03-04T05:06:07Z"
+    ok = render_list_records_xml(_page(), response_date=rd)
+    validate_oai_xml(spark, ok)
+    stamp = "<datestamp>2024-03-04T05:06:07Z</datestamp>"
+    assert stamp in ok
+    for bad in (
+        "2026-13-40T25:61:61Z",  # every field out of range
+        "2024-00-04T05:06:07Z",  # month 00
+        "2024-03-32T05:06:07Z",  # day 32
+        "2024-03-04T24:06:07Z",  # hour 24
+        "2024-03-04T05:60:07Z",  # minute 60
+        "2024-03-04T05:06:61Z",  # second 61
+        "2024-03-04T05:06:07",   # missing Z
+    ):
+        broken = ok.replace(stamp, f"<datestamp>{bad}</datestamp>", 1)
+        assert broken != ok
+        with pytest.raises(ValueError, match="schema violation"):
+            validate_oai_xml(spark, broken)
+    # date-only granularity remains legal (spec 3.3)
+    validate_oai_xml(
+        spark, ok.replace(stamp, "<datestamp>2024-03-04</datestamp>", 1)
+    )
