@@ -478,12 +478,11 @@ def q_minhash_incremental(spark, sf_dir):
     later calls, so repeated runs measure the true increment cost —
     new-batch signatures + bucket join — not a corpus re-shingle.
     Output values are identical either way (equivalence-tested)."""
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
     path = _SIG_TABLE_CACHE.get(sf_dir)
     if path is None:
-        path = tempfile.mkdtemp(prefix="dedup_sigs_") + "/sigs"
+        path = _scratch_dir("dedup_sigs_") + "/sigs"
         dd.signature_table(
             docs.filter(F.col("doc_id") % 2 == 0),
             num_hashes=16,
@@ -1208,11 +1207,10 @@ def q_bm25_indexed(spark, sf_dir):
     The index is written once per sf_dir and re-read on later calls
     (the minhash_incremental maintained-table precedent), so repeated
     runs measure serving, not indexing."""
-    import tempfile
 
     path = _BM25_INDEX_CACHE.get(sf_dir)
     if path is None:
-        path = tempfile.mkdtemp(prefix="bm25_idx_") + "/idx"
+        path = _scratch_dir("bm25_idx_") + "/idx"
         postings, stats = tx.build_text_index(
             _t(spark, sf_dir, "documents")
         )
@@ -1463,7 +1461,6 @@ def q_warc_roundtrip(spark, sf_dir):
     IFF every slice decompresses to the right payload."""
     import gzip
     import os
-    import tempfile
 
     from mod_reservoir_spark.sources.warc import (
         read_warc_slices,
@@ -1498,7 +1495,7 @@ def q_warc_roundtrip(spark, sf_dir):
             )
             members.append(gzip.compress(rec))
         path = os.path.join(
-            tempfile.mkdtemp(prefix="warc_fix_"), "docs.warc.gz"
+            _scratch_dir("warc_fix_"), "docs.warc.gz"
         )
         with open(path, "wb") as f:
             f.write(b"".join(members))
@@ -1548,7 +1545,6 @@ def q_bm25_stream_index(spark, sf_dir):
     fold (pure append of disjoint doc_ids + additive stats), so the
     row is deterministic however the stream chops the input."""
     import os
-    import tempfile
 
     from mod_reservoir_spark.streaming.index_stream import (
         compact_text_index,
@@ -1557,7 +1553,7 @@ def q_bm25_stream_index(spark, sf_dir):
 
     serving = _BM25_STREAM_CACHE.get(sf_dir)
     if serving is None:
-        root = tempfile.mkdtemp(prefix="bm25_stream_")
+        root = _scratch_dir("bm25_stream_")
         indir = os.path.join(root, "in")
         os.makedirs(indir)
         (
@@ -1662,6 +1658,22 @@ def q_trigram_logprob(spark, sf_dir):
     return tx.trigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_ngram_logprob(spark, sf_dir):
+    """Order-5 interpolated-backoff LM self-scoring — the advertised
+    5-gram KenLM shape of the CCNet recipe (Wenzek et al. 2020),
+    driver-checking the generic order-N scorer at an order no
+    dedicated scorer covers (VERDICT r8 Next #2; orders 2/3 are pinned
+    transitively through the bigram/trigram rows): p(w5|w1..w4) =
+    0.4·c5/x5 + 0.25·c4/x4 + 0.15·c3/x3 + 0.1·c2/x2 + 0.1·c(w5)/T over
+    5-gram positions, mean -ln p ×1e6 — pipeline/text.py
+    ngram_count_tables + ngram_logprob_against. The oracle extends the
+    trigram oracle mechanically: one (counts, folded-context) CTE pair
+    per order, the same left-associative double arithmetic. Self-
+    scoring keeps every context count ≥ 1 so plain JOINs match."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.ngram_logprob_against(docs, tx.ngram_count_tables(docs, 5))
+
+
 def q_url_dedup(spark, sf_dir):
     """Crawl-first URL-level dedup (pipeline/text.py url_dedup +
     canonical_url_expr): canonicalization (fragment/www/port strip,
@@ -1706,7 +1718,21 @@ def q_url_dedup(spark, sf_dir):
     return tx.url_dedup(pages)
 
 
+# per-sf_dir maintained-state dirs for the streaming contract rows;
+# every mkdtemp is registered for atexit removal (VERDICT r8 Next #6 —
+# the harness convention elsewhere cleans up its scratch)
 _LM_STREAM_CACHE: dict[str, str] = {}
+_CURATE_STREAM_CACHE: dict[str, str] = {}
+
+
+def _scratch_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def q_lm_stream_counts(spark, sf_dir):
@@ -1719,7 +1745,6 @@ def q_lm_stream_counts(spark, sf_dir):
     folded bigram table must EXACTLY equal lm_count_tables over the
     whole corpus — which is what the SQL oracle computes directly.
     Batch composition is irrelevant (counts are additive)."""
-    import tempfile
 
     from mod_reservoir_spark.streaming.lm_stream import (
         read_stream_lm_counts,
@@ -1732,7 +1757,7 @@ def q_lm_stream_counts(spark, sf_dir):
     if state is None:
         import os
 
-        state = tempfile.mkdtemp(prefix="lm_stream_")
+        state = _scratch_dir("lm_stream_")
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         for b in range(3):
             batch = docs.filter(F.col("doc_id") % 3 == b)
@@ -1746,6 +1771,89 @@ def q_lm_stream_counts(spark, sf_dir):
         _LM_STREAM_CACHE[sf_dir] = state
     bigrams, _unigrams = read_stream_lm_counts(spark, state)
     return bigrams.select("w1", "w2", "cb")
+
+
+def q_curate_stream(spark, sf_dir):
+    """The STREAMING curation funnel folded into the batch ledger —
+    streaming/curate_stream.py end-to-end as a driver row (VERDICT r8
+    Next #4: the flagship composition's maintained-state face was
+    pytest-only): documents split into 3 doc_id-ORDERED micro-batches
+    (ordered arrival makes first-seen-wins exactly the batch min-id
+    keeper), streamed through quality → exact dedup → near dedup (LSH
+    + incremental CC keeper) → decontamination with per-batch state
+    commits, and the accumulated ledger must equal batch ``curate()``
+    document-by-document — so the oracle IS q_curate_funnel's
+    recursive-CTE oracle, same parameters, same output shape. The
+    JSONL staging is harness-only scaffolding; production streams
+    arrive as files already."""
+    import json as _json
+    import os
+
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    state = _CURATE_STREAM_CACHE.get(sf_dir)
+    if state is None:
+        root = _scratch_dir("curate_stream_")
+        indir = os.path.join(root, "in")
+        os.makedirs(indir)
+        docs = _t(spark, sf_dir, "documents")
+        ids = sorted(
+            r.doc_id for r in docs.select("doc_id").collect()
+        )
+        cut1 = ids[len(ids) // 3]
+        cut2 = ids[2 * len(ids) // 3]
+        q = streaming_curate(
+            spark,
+            indir,
+            os.path.join(root, "ckpt"),
+            os.path.join(root, "state"),
+            benchmark=docs.filter(F.col("doc_id") % 97 == 0),
+            num_hashes=16,
+            bands=4,
+            shingle_n=2,
+            threshold_ppm=300000,
+            scrub=False,
+        )
+        try:
+            batches = (
+                docs.filter(F.col("doc_id") < cut1),
+                docs.filter(
+                    (F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)
+                ),
+                docs.filter(F.col("doc_id") >= cut2),
+            )
+            for b, part in enumerate(batches):
+                # stage outside indir, then atomically rename in: the
+                # running file source lists eagerly, and a file that
+                # appears empty mid-write is marked SEEN and never
+                # re-read (Spark's file-source contract requires
+                # atomic appearance; measured: the in-place write
+                # silently lost the whole first batch)
+                staged = os.path.join(root, f"b{b}.jsonl.tmp")
+                with open(staged, "w") as f:
+                    for r in part.select("doc_id", "text").collect():
+                        f.write(
+                            _json.dumps(
+                                {"doc_id": r.doc_id, "text": r.text}
+                            )
+                            + "\n"
+                        )
+                os.rename(
+                    staged, os.path.join(indir, f"b{b}.jsonl")
+                )
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        state = os.path.join(root, "state")
+        _CURATE_STREAM_CACHE[sf_dir] = state
+    ledger, _fps, _sigs = read_curate_state(spark, state)
+    return ledger.select(
+        "doc_id",
+        F.coalesce("drop_stage", F.lit("kept")).alias("stage"),
+    )
 
 
 def q_ivf_pq_topk(spark, sf_dir):
@@ -1852,6 +1960,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paths by the quantized/routed/PQ family — rotate out)
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        # round-9 promotions (VERDICT r8 Next #2/#4) — the two free
+        # slots: the order-5 CCNet LM shape and the streaming funnel's
+        # fold-equals-batch ledger; live count hits the 50-row cap
+        "ngram_logprob": q_ngram_logprob,
+        "curate_stream": q_curate_stream,
     }
 
 
@@ -4770,6 +4883,98 @@ def _trigram_logprob_oracle(
     """
 
 
+def _ngram_logprob_oracle(n: int = 5) -> str:
+    """q_ngram_logprob replicated at any order — the trigram oracle's
+    mechanical extension (VERDICT r8 Next #2): per-doc n-gram partials,
+    one (corpus counts, folded context) CTE pair per conditional order
+    j=n..2, the unigram vocab + total, and the SAME left-associative
+    double arithmetic as the Spark expression (term j = (lam_j_ppm /
+    1e6) * c_j / x_j summed highest order first, unigram weight the
+    sequential remainder). Self-scoring: every count and context ≥ 1,
+    so none of the scorer's zero-context guards fire and plain JOINs
+    match."""
+    lambdas = tx._NGRAM_DEFAULT_LAMBDAS[n]
+    ctes = [f"t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"]
+    # per-doc n-gram partials (the scored frame)
+    gram_cols = ", ".join(
+        f"toks[i + {j}] AS w{j + 1}" for j in range(n)
+    )
+    pd_keys = ", ".join(f"w{j}" for j in range(1, n + 1))
+    ctes.append(f"""gN AS (
+      SELECT doc_id, {gram_cols}
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {n - 2}))
+            AS i FROM t WHERE len(toks) >= {n}))""")
+    ctes.append(f"""p AS (
+      SELECT doc_id, {pd_keys}, CAST(count(*) AS BIGINT) AS tf
+      FROM gN GROUP BY ALL)""")
+    # corpus counts per conditional order j = n..2 with the context
+    # total FOLDED in by a window over the (j-1)-prefix — the Spark
+    # side's fold, and one dimension table per order instead of two.
+    # (Each order is extracted from the corpus directly: lower-order
+    # counts are NOT derivable from higher ones at document tails.)
+    for j in range(n, 1, -1):
+        jcols = ", ".join(f"toks[i + {i}] AS w{i + 1}" for i in range(j))
+        jkeys = ", ".join(f"w{i}" for i in range(1, j + 1))
+        ckeys = ", ".join(f"w{i}" for i in range(1, j))
+        ctes.append(f"""c{j} AS (
+      SELECT {jkeys}, c,
+             CAST(sum(c) OVER (PARTITION BY {ckeys}) AS BIGINT) AS x
+      FROM (
+        SELECT {jkeys}, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, {jcols}
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - {j - 2})) AS i
+                    FROM t WHERE len(toks) >= {j}))
+        GROUP BY ALL))""")
+    ctes.append(f"""vocab AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS ctf
+      FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1)""")
+    ctes.append(
+        "tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM vocab)"
+    )
+    # p(wn | w1..wn-1): conditional terms highest order first, then
+    # the sequential-remainder unigram weight — matching the Spark
+    # expression's float evaluation order exactly. Dimensions attach
+    # via LEFT JOIN deliberately: identical under self-scoring (every
+    # n-gram is its own table's member), and DuckDB cannot reorder
+    # outer joins into the CROSS_PRODUCT star its optimizer picked for
+    # the all-INNER form on this synthetic corpus's 31-token vocab
+    # (measured: the inner-join plan never finished at sf0.001; this
+    # chain runs in milliseconds).
+    terms = []
+    joins = []
+    for idx, lam_ppm in enumerate(lambdas):
+        j = n - idx
+        terms.append(f"({lam_ppm} / 1000000.0) * c{j}.c / c{j}.x")
+        on_c = " AND ".join(
+            f"c{j}.w{i} = p.w{n - j + i}" for i in range(1, j + 1)
+        )
+        joins.append(f"LEFT JOIN c{j} ON {on_c}")
+    uni_w = "(1" + "".join(f" - {l} / 1000000.0" for l in lambdas) + ")"
+    terms.append(f"{uni_w} * v.ctf / CAST(tot.total AS DOUBLE)")
+    p_expr = "\n                 + ".join(terms)
+    joins.append(f"LEFT JOIN vocab v ON v.term = p.w{n}")
+    joins.append("CROSS JOIN tot")
+    body = f"""scored AS (
+      SELECT p.doc_id,
+             CAST(sum(p.tf) AS BIGINT) AS n_ngrams,
+             CAST(round(sum(p.tf * -ln(
+                 {p_expr}
+             )) / sum(p.tf) * 1000000) AS BIGINT) AS mean_nll_e6
+      FROM p
+      {chr(10).join('      ' + jn for jn in joins)}
+      GROUP BY 1
+    )"""
+    ctes.append(body)
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT d.doc_id,
+           COALESCE(s.n_ngrams, 0) AS n_ngrams,
+           COALESCE(s.mean_nll_e6, 0) AS mean_nll_e6
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
 def _url_dedup_oracle() -> str:
     """q_url_dedup replicated: the deterministic URL construction from
     document columns, then every canonicalization step (fragment
@@ -4958,6 +5163,16 @@ def _r8_oracles() -> dict[str, str]:
     }
 
 
+def _r9_oracles() -> dict[str, str]:
+    return {
+        # the 5-gram CCNet shape — trigram oracle extended mechanically
+        "ngram_logprob": _ngram_logprob_oracle(5),
+        # the streamed 3-ordered-batch funnel must fold to the batch
+        # ledger, so its oracle IS the batch funnel's, same parameters
+        "curate_stream": _curate_funnel_oracle(16, 4, 300000),
+    }
+
+
 def _oracle_pool() -> dict[str, str]:
     """Every oracle the contract has ever carried, live or retired —
     oracle_sql()/retired_oracle_sql() select from this pool by the
@@ -4969,6 +5184,7 @@ def _oracle_pool() -> dict[str, str]:
     pool["leakage_safe_split"] = _leakage_oracle()
     pool.update(_r7_oracles())
     pool.update(_r8_oracles())
+    pool.update(_r9_oracles())
     return pool
 
 
