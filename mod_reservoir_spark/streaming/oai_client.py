@@ -128,6 +128,7 @@ def harvest(
     wait_retries: float = 10.0,
     max_pages: int | None = None,
     stop: Callable[[], bool] | None = None,
+    metadata_prefix: str = "marc21",
 ) -> dict:
     """Run the harvest loop until no resumptionToken (or stop()/
     max_pages). `fetch(params) -> bytes` abstracts the HTTP GET, so
@@ -170,7 +171,13 @@ def harvest(
                 params["until"] = state.data["until"]
             if set_spec:
                 params["set"] = set_spec
-            params["metadataPrefix"] = "marc21"
+            # "marc21" is the reference CLIENT's default
+            # (OaiPmhClientService request assembly) even though the
+            # reference SERVER accepts only "marcxml"
+            # (OaiService.java:104) — the client harvests external
+            # ILSes. Self-harvest against this engine's own serving
+            # face passes metadata_prefix="marcxml".
+            params["metadataPrefix"] = metadata_prefix
 
         data = None
         for attempt in range(number_retries + 1):

@@ -153,3 +153,127 @@ def test_web_to_training_path(spark, tmp_path):
     assert total_tokens - packed < 32 * (n_shards + 1)
     for r in seqs:
         assert len(r.tokens) == 32 == sum(r.seg_lens)
+
+
+def test_oai_self_harvest_round_trip(spark, tmp_path):
+    """The loop the reference exercises via its oaiPmhClient tests
+    (MainVerticleTest.java:3475-4435), both sides OURS: warehouse A's
+    clusters served by the engine's own OAI renderer (full verb
+    dispatch, page limit 2 → resumption-token chain), harvested by the
+    engine's own OAI client through a dict-transport fetch, re-ingested
+    into warehouse B — each A-cluster becomes one B-record keyed by the
+    OAI identifier — and after a second incremental pass (a tombstone
+    in A → deleted cluster → deleted OAI header, from= advanced by the
+    client) B's state must mirror A's live clusters exactly. Note the
+    reference's own asymmetry: its CLIENT requests metadataPrefix
+    marc21 (it harvests external ILSes) while its SERVER accepts only
+    marcxml (OaiService.java:104) — self-harvest passes marcxml."""
+    import json as _json
+
+    from mod_reservoir_spark.core.storage import Warehouse
+    from mod_reservoir_spark.operators.oai import handle_oai_request
+    from mod_reservoir_spark.streaming.ingest import ingest_batch
+    from mod_reservoir_spark.streaming.oai_client import (
+        HarvestState,
+        harvest,
+    )
+
+    wh_a = Warehouse(spark, str(tmp_path / "a"))
+    wh_b = Warehouse(spark, str(tmp_path / "b"))
+
+    def pay(cid, title):
+        return _json.dumps(
+            {"marc": {"leader": "00000nam a2200000 a 4500",
+                      "fields": [{"001": cid},
+                                 {"245": {"ind1": "0", "ind2": "0",
+                                          "subfields": [{"a": title}]}}]},
+             "inventory": {"title": [title]}}
+        )
+
+    cfg = {"id": "t", "method": "jsonpath",
+           "params": _json.dumps({"expr": "$.inventory.title[*]"}),
+           "update": "ingest"}
+    schema = ("local_id string, source_id string, source_version int, "
+              "payload string, delete boolean")
+    # A: 4 records, two sharing a title -> 3 clusters
+    ingest_batch(wh_a, spark.createDataFrame(
+        [("A1", "S", 1, pay("A1", "alpha"), None),
+         ("A2", "S", 1, pay("A2", "alpha"), None),
+         ("A3", "S", 1, pay("A3", "beta"), None),
+         ("A4", "S", 1, pay("A4", "gamma"), None)], schema), [cfg])
+
+    def fetch(params):
+        # dict transport: the serving face read FRESH per request so
+        # the second pass sees A's post-tombstone state
+        return handle_oai_request(
+            wh_a.read("cluster_meta"),
+            wh_a.read("cluster_assignments"),
+            wh_a.read("global_records"),
+            wh_a.read("record_match_values"),
+            params,
+            known_sets=["t"],
+            limit=2,  # 3 clusters -> 2 pages -> token chain exercised
+        ).encode()
+
+    # B's match config keys each harvested cluster-record by its base
+    # 001 (unique per cluster), so B state is one cluster per A-cluster
+    cfg_b = {"id": "c", "method": "jsonpath",
+             "params": _json.dumps({"expr": "$.marc.fields[*].001"}),
+             "update": "ingest"}
+    state = HarvestState(str(tmp_path / "state.json"))
+    counters = harvest(
+        spark, wh_b, [cfg_b], fetch, state, source_id="SELF",
+        set_spec="t", metadata_prefix="marcxml",
+    )
+    assert counters["totalRequests"] == 2  # the token chain, page 2 used
+    assert counters["totalRecords"] == 3
+
+    def a_live_ids():
+        # cluster_meta keeps tombstoned clusters (datestamp bump ->
+        # deleted OAI header); LIVE = has an assignment to a live record
+        assign = wh_a.read("cluster_assignments").filter(
+            "match_key_config_id = 't'"
+        )
+        recs = wh_a.read("global_records").select("global_id")
+        return {
+            r.cluster_id
+            for r in assign.join(recs, "global_id")
+            .select("cluster_id").distinct().collect()
+        }
+
+    a_clusters = a_live_ids()
+    b_recs = {
+        r.local_id: _json.loads(r.payload)
+        for r in wh_b.read("global_records").collect()
+    }
+    # identifiers round-trip: B holds exactly A's live clusters
+    assert set(b_recs) == {f"oai:{c}" for c in a_clusters}
+    # each harvested payload carries its own cluster id in the 999 $i
+    # the renderer merged in
+    for ident, payload in b_recs.items():
+        nines = [f["999"] for f in payload["marc"]["fields"] if "999" in f]
+        assert any(
+            sf.get("i") == ident.removeprefix("oai:")
+            for n in nines for sf in n["subfields"]
+        ), ident
+    # B re-clusters them 1:1
+    assert wh_b.read("cluster_meta").count() == 3
+
+    # --- incremental pass: tombstone A4 in A -> gamma cluster deleted
+    import time as _time
+
+    _time.sleep(1.1)  # datestamp granularity: the bump must be > from
+    ingest_batch(wh_a, spark.createDataFrame(
+        [("A4", "S", 1, None, True)], schema), [cfg])
+    assert len(a_live_ids()) == 2  # gamma cluster tombstoned
+
+    assert state.data["from"] is not None  # client advanced its window
+    counters = harvest(
+        spark, wh_b, [cfg_b], fetch, state, source_id="SELF",
+        set_spec="t", metadata_prefix="marcxml",
+    )
+    # the deleted header became a tombstone in B
+    assert counters["totalDeleted"] >= 1
+    b_ids = {r.local_id for r in wh_b.read("global_records").collect()}
+    assert b_ids == {f"oai:{c}" for c in a_live_ids()}
+    assert len(b_ids) == 2
