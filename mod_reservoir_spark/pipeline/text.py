@@ -947,30 +947,36 @@ def _ngram_positions(
     for j in range(2, k + 1):
         acc = F.zip_with(acc, F.slice(toks, j, width), _extend(j))
     cols = [f"w{i}" for i in range(1, k + 1)]
-    full = (
+    if pad_short:
+        # conditional gram array, NOT a union branch: short docs have
+        # width 0 (acc empty), so swapping in their single padded
+        # window keeps this ONE scan of the input — a second scan per
+        # scoring call is real money at corpus scale even though each
+        # is a narrow projection
+        padded = F.concat(
+            F.slice(
+                F.array_repeat(F.lit(None).cast("string"), k - 1),
+                1,
+                F.lit(k) - F.size(toks),
+            ),
+            toks,
+        )
+        pad_struct = F.struct(
+            *[
+                F.element_at(padded, i).alias(f"w{i}")
+                for i in range(1, k + 1)
+            ]
+        )
+        acc = F.when(
+            (F.size(toks) >= 1) & (F.size(toks) < k),
+            F.array(pad_struct),
+        ).otherwise(acc)
+    return (
         docs.select("doc_id", F.explode(acc).alias("g"))
         .select("doc_id", *[f"g.{c}" for c in cols])
         .groupBy("doc_id", *cols)
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    if not pad_short:
-        return full
-    padded = F.concat(
-        F.slice(
-            F.array_repeat(F.lit(None).cast("string"), k - 1),
-            1,
-            F.lit(k) - F.size(toks),
-        ),
-        toks,
-    )
-    short = docs.where(
-        (F.size(toks) >= 1) & (F.size(toks) < k)
-    ).select(
-        "doc_id",
-        *[F.element_at(padded, i).alias(f"w{i}") for i in range(1, k + 1)],
-        F.lit(1).cast("long").alias("tf"),
-    )
-    return full.unionByName(short)
 
 
 def ngram_count_tables(
@@ -1217,6 +1223,32 @@ def ngram_logprob_against(
     )
 
 
+def ngram_logprob_scores(
+    docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    lambdas_ppm: tuple[int, ...] | None = None,
+    strata: tuple[str, ...] = (),
+    short_docs: str = "zero",
+) -> DataFrame:
+    """Self-scoring form of :func:`ngram_logprob_against` at any order
+    (tables estimated on the corpus itself) — what
+    :func:`bigram_logprob_scores` / :func:`trigram_logprob_scores` are
+    at orders 2/3, up to the 5-gram KenLM shape. The per-doc partials
+    deliberately stay lazy (the trigram scorer's measured decision:
+    eager checkpointing of the near-corpus-sized partials frame lost
+    at every scale)."""
+    tables = ngram_count_tables(docs, order, text_col, strata=strata)
+    return ngram_logprob_against(
+        docs,
+        tables,
+        text_col,
+        lambdas_ppm,
+        strata=strata,
+        short_docs=short_docs,
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     text_col: str = "text",
@@ -1226,6 +1258,7 @@ def perplexity_buckets(
     scorer: str = "unigram",
     lm_tables: tuple[DataFrame, DataFrame] | None = None,
     table_strata: tuple[str, ...] | None = None,
+    short_docs: str = "zero",
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
     each stratum (per language, like CCNet), rank documents by the
@@ -1257,30 +1290,25 @@ def perplexity_buckets(
     corpus's own counts — the full CCNet recipe: per-language models
     trained on a clean corpus (``lm_count_tables(clean, strata=...)``
     or the lm_stream fold) score the crawl, and the banding is done
-    per language. A 2-tuple implies the bigram scorer, a 3-tuple
-    (``trigram_count_tables``' shape) the order-3 one; ``scorer`` is
-    ignored.
+    per language (any N-tuple of tables, scored through the order-N
+    scorer — bit-identical to the dedicated bigram/trigram scorers at
+    orders 2/3); ``scorer`` is ignored. ``short_docs`` (this path
+    only): ``"zero"`` keeps the historical contract — docs shorter
+    than the order score 0 and RANK INTO THE HEAD (best) BAND;
+    ``"backoff"`` scores them under the highest order they support
+    (the curate() gate's fix), so OOV short spam ranks into the tail
+    where KenLM would put it.
 
     Output: (doc_id, strata, mean_nll_e6, pos_ppm, bucket).
     """
     from pyspark.sql import Window
 
     if lm_tables is not None:
-        if len(lm_tables) == 2:
-            scores = bigram_logprob_against(
-                docs, *lm_tables, text_col=text_col,
-                strata=tuple(table_strata or ()),
-            )
-        elif len(lm_tables) == 3:
-            scores = trigram_logprob_against(
-                docs, *lm_tables, text_col=text_col,
-                strata=tuple(table_strata or ()),
-            )
-        else:
-            scores = ngram_logprob_against(
-                docs, list(lm_tables), text_col=text_col,
-                strata=tuple(table_strata or ()),
-            )
+        scores = ngram_logprob_against(
+            docs, list(lm_tables), text_col=text_col,
+            strata=tuple(table_strata or ()),
+            short_docs=short_docs,
+        )
     elif scorer == "unigram":
         scores = unigram_logprob_scores(docs, text_col)
     elif scorer == "bigram":

@@ -2957,3 +2957,58 @@ def test_ngram_logprob_accepts_dedicated_table_names(spark):
         for r in trigram_logprob_against(docs, *lm3).collect()
     }
     assert got3 == want3
+
+
+def test_ngram_logprob_scores_and_buckets_backoff(spark):
+    """ngram_logprob_scores is the any-order self-scoring face (equal
+    to trigram_logprob_scores at order 3), and perplexity_buckets'
+    reference-model path exposes the same short-doc contract as the
+    curate gate: under "zero" a doc shorter than the order scores 0
+    and ranks into the HEAD (best) band — the footgun — while
+    "backoff" scores it under the highest order it supports, sending
+    OOV short spam to the tail where KenLM would put it."""
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_logprob_scores,
+        perplexity_buckets,
+        trigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    got = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in ngram_logprob_scores(docs, 3).collect()
+    }
+    want = {
+        r.doc_id: (r[1], r.mean_nll_e6)
+        for r in trigram_logprob_scores(docs).collect()
+    }
+    assert got == want
+
+    ref = spark.createDataFrame(
+        [(100, "the glacier moraine retreats slowly each year"),
+         (101, "the glacier moraine advances slowly each winter")],
+        "doc_id long, text string",
+    )
+    tables = ngram_count_tables(ref, 5)
+    crawl = spark.createDataFrame(
+        [(0, "the glacier moraine retreats slowly each year", "en"),
+         (1, "the glacier moraine advances slowly each winter", "en"),
+         (2, "zzq qxx", "en")],  # OOV, shorter than the order
+        "doc_id long, text string, lang string",
+    )
+    zero = {
+        r.doc_id: r.bucket
+        for r in perplexity_buckets(crawl, lm_tables=tables).collect()
+    }
+    back = {
+        r.doc_id: r.bucket
+        for r in perplexity_buckets(
+            crawl, lm_tables=tables, short_docs="backoff"
+        ).collect()
+    }
+    assert zero[2] == "head"   # the footgun, kept as opt-in default
+    assert back[2] == "tail"   # backoff: worst NLL -> worst band
+    assert back[0] == "head"

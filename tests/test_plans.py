@@ -454,3 +454,38 @@ def test_curate_default_plan_is_scan_free(spark, docs):
     )
     p = plan(led, mode="simple")
     assert "Scan parquet" not in p
+
+
+def test_ngram_backoff_plan_single_scan(spark):
+    """short_docs="backoff" must not add a second scan of the input:
+    the padded window is a conditional gram ARRAY inside the one
+    tokenize+explode, not a unioned branch (a second corpus scan per
+    scoring call is real money at 100 TB even as a narrow
+    projection)."""
+    import re
+
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_logprob_against,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    tables = [t.localCheckpoint(eager=True) for t in
+              ngram_count_tables(docs, 5)]
+
+    def counts(short_docs):
+        plan = (
+            ngram_logprob_against(docs, tables, short_docs=short_docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        return (
+            len(re.findall(r"FileScan parquet", plan)),
+            len(re.findall(r"\bUnion\b", plan)),
+        )
+
+    zero_scans, zero_unions = counts("zero")
+    back_scans, back_unions = counts("backoff")
+    assert back_scans == zero_scans
+    assert back_unions == zero_unions == 0
