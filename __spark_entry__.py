@@ -1666,12 +1666,13 @@ def q_ngram_logprob(spark, sf_dir):
     transitively through the bigram/trigram rows): p(w5|w1..w4) =
     0.4·c5/x5 + 0.25·c4/x4 + 0.15·c3/x3 + 0.1·c2/x2 + 0.1·c(w5)/T over
     5-gram positions, mean -ln p ×1e6 — pipeline/text.py
-    ngram_count_tables + ngram_logprob_against. The oracle extends the
-    trigram oracle mechanically: one (counts, folded-context) CTE pair
-    per order, the same left-associative double arithmetic. Self-
-    scoring keeps every context count ≥ 1 so plain JOINs match."""
-    docs = _t(spark, sf_dir, "documents")
-    return tx.ngram_logprob_against(docs, tx.ngram_count_tables(docs, 5))
+    ngram_logprob_scores (count tables from the one-pass KenLM-shaped
+    ngram_count_tables_combined build — A/B-measured −26 %/−41 % at
+    sf0.1/sf1, counts equality-pinned). The oracle extends the trigram
+    oracle mechanically: one (counts, folded-context) CTE pair per
+    order, the same left-associative double arithmetic. Self-scoring
+    keeps every context count ≥ 1 so plain JOINs match."""
+    return tx.ngram_logprob_scores(_t(spark, sf_dir, "documents"), 5)
 
 
 def q_url_dedup(spark, sf_dir):

@@ -1020,6 +1020,83 @@ def ngram_count_tables(
     return tables
 
 
+def ngram_count_tables_combined(
+    docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    strata: tuple[str, ...] = (),
+) -> list[DataFrame]:
+    """:func:`ngram_count_tables` built in ONE corpus pass — the KenLM
+    counting shape: tokens right-padded with N-1 NULLs so EVERY
+    position yields one N-window (tail windows carry trailing NULLs),
+    one map-side-combinable groupBy turns the positions into a
+    prefix-closed window-count table, and every order's count table —
+    order k = group the prefix table by w1..wk where wk IS NOT NULL —
+    plus every context fold downstream derives from that one frame.
+    Versus the per-order build: 1 corpus scan + 1 corpus-sized shuffle
+    instead of N scans + 2N shuffles; the derived aggregations touch
+    only the (distinct-window-sized) prefix table.
+
+    The prefix table is eagerly localCheckpoint'ed: it is a
+    multi-stage subtree (scan → explode → shuffle) consumed ~2N times
+    by the tables and their context folds, exactly the case the
+    curate() materialize lesson covers (Catalyst shares no
+    non-identical subtrees) — at production scale this frame IS the
+    persisted LM model. Counts are EXACTLY ngram_count_tables'
+    (equality-pinned per order in tests); use the per-order builder
+    when you need lazy/additive frames (the streaming fold commits
+    per-batch tables, where each order's partition must stand alone).
+    """
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    padded = F.concat(
+        toks, F.array_repeat(F.lit(None).cast("string"), order - 1)
+    )
+    width = F.size(toks)
+    acc = F.transform(
+        F.slice(padded, 1, width), lambda a: F.struct(a.alias("w1"))
+    )
+
+    def _extend(j):
+        return lambda p, c: F.struct(
+            *[p[f"w{i}"].alias(f"w{i}") for i in range(1, j)],
+            c.alias(f"w{j}"),
+        )
+
+    for j in range(2, order + 1):
+        acc = F.zip_with(acc, F.slice(padded, j, width), _extend(j))
+    cols = [f"w{i}" for i in range(1, order + 1)]
+    base = docs
+    skeys = list(strata)
+    exploded = base.select(
+        *skeys, F.explode(acc).alias("g")
+    ).select(*skeys, *[f"g.{c}" for c in cols])
+    prefix = (
+        exploded.groupBy(*skeys, *cols)
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tables: list[DataFrame] = []
+    for k in range(order, 1, -1):
+        kcols = [f"w{i}" for i in range(1, k + 1)]
+        t = prefix.filter(F.col(f"w{k}").isNotNull())
+        if k == order:
+            tables.append(t.select(*skeys, *kcols, "c"))
+        else:
+            tables.append(
+                t.groupBy(*skeys, *kcols).agg(
+                    F.sum("c").cast("long").alias("c")
+                )
+            )
+    tables.append(
+        prefix.groupBy(*skeys, F.col("w1").alias("term")).agg(
+            F.sum("c").cast("long").alias("ctf")
+        )
+    )
+    return tables
+
+
 # default interpolation weights (ppm) per order for the conditional
 # terms, highest order first; the unigram weight is the remainder.
 # order 2/3 match the bigram/trigram scorers' defaults exactly.
@@ -1237,8 +1314,14 @@ def ngram_logprob_scores(
     at orders 2/3, up to the 5-gram KenLM shape. The per-doc partials
     deliberately stay lazy (the trigram scorer's measured decision:
     eager checkpointing of the near-corpus-sized partials frame lost
-    at every scale)."""
-    tables = ngram_count_tables(docs, order, text_col, strata=strata)
+    at every scale), but the count tables come from the ONE-pass
+    :func:`ngram_count_tables_combined` build: A/B-measured −26 % at
+    sf0.1 and −41 % at sf1 end-to-end vs the per-order builder (order
+    5), with the gap widening as corpus scans dominate — counts
+    equality-pinned per order."""
+    tables = ngram_count_tables_combined(
+        docs, order, text_col, strata=strata
+    )
     return ngram_logprob_against(
         docs,
         tables,

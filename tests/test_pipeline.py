@@ -3012,3 +3012,28 @@ def test_ngram_logprob_scores_and_buckets_backoff(spark):
     assert zero[2] == "head"   # the footgun, kept as opt-in default
     assert back[2] == "tail"   # backoff: worst NLL -> worst band
     assert back[0] == "head"
+
+
+def test_ngram_count_tables_combined_equals_per_order(spark):
+    """The one-pass KenLM-shaped build (tokens right-padded with N-1
+    NULLs -> one prefix-closed window-count table -> every order
+    derived) produces EXACTLY ngram_count_tables' counts at every
+    order, with and without strata — the equality that lets
+    ngram_logprob_scores take the measured 26-41 % win without moving
+    a single count."""
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_count_tables_combined,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    for strata in ((), ("lang",)):
+        a = ngram_count_tables(docs, 4, strata=strata)
+        b = ngram_count_tables_combined(docs, 4, strata=strata)
+        for i, (x, y) in enumerate(zip(a, b)):
+            assert sorted(x.columns) == sorted(y.columns), i
+            ra = sorted(map(tuple, x.select(*sorted(x.columns)).collect()))
+            rb = sorted(map(tuple, y.select(*sorted(y.columns)).collect()))
+            assert ra == rb, (strata, i)
