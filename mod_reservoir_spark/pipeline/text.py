@@ -533,9 +533,16 @@ def bigram_logprob_scores(
 
     Output: (doc_id, n_bigrams, mean_nll_e6); docs with < 2 tokens
     report 0 bigrams and 0 score.
+
+    Count tables come from the one-pass
+    :func:`ngram_count_tables_combined` build (count-identical to
+    ``lm_count_tables``, equality-pinned): flat at sf0.1, −38 % at
+    sf1, the r9 A/B.
     """
-    bigrams, unigrams = lm_count_tables(docs, text_col)
-    return bigram_logprob_against(docs, bigrams, unigrams, text_col, lam_ppm)
+    t = ngram_count_tables_combined(docs, 2, text_col)
+    return bigram_logprob_against(
+        docs, t[0].withColumnRenamed("c", "cb"), t[1], text_col, lam_ppm
+    )
 
 
 def _bigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
@@ -909,10 +916,21 @@ def trigram_logprob_scores(
     shuffle map stage). The curate() materialize lesson does not
     transfer: there the re-derived subtree was the WHOLE multi-stage
     funnel, here it is one narrow projection. Measured in SCALE.md
-    round 8."""
-    trigrams, bigrams, unigrams = trigram_count_tables(docs, text_col)
+    round 8.
+
+    Count tables come from the one-pass
+    :func:`ngram_count_tables_combined` build (count-identical to
+    ``trigram_count_tables``, equality-pinned): −23 % at sf0.1,
+    −42 % at sf1, the r9 A/B."""
+    t = ngram_count_tables_combined(docs, 3, text_col)
     return trigram_logprob_against(
-        docs, trigrams, bigrams, unigrams, text_col, lam3_ppm, lam2_ppm
+        docs,
+        t[0].withColumnRenamed("c", "ct"),
+        t[1].withColumnRenamed("c", "cb"),
+        t[2],
+        text_col,
+        lam3_ppm,
+        lam2_ppm,
     )
 
 
