@@ -1621,13 +1621,20 @@ def q_bigram_logprob(spark, sf_dir):
 def q_bigram_logprob_lang(spark, sf_dir):
     """Per-LANGUAGE Jelinek-Mercer bigram self-perplexity (the CCNet
     design: one model per language, stratum keys on every count and
-    join) — pipeline/text.py lm_count_tables(strata=("lang",)) +
-    bigram_logprob_against(strata=("lang",)). Self-scoring, so the OOV
-    guards never fire and the oracle replicates the stratified count
-    tables and interpolation exactly."""
+    join) — pipeline/text.py one-pass combined count build
+    (count-identical to lm_count_tables(strata=...), equality-pinned
+    with strata) + bigram_logprob_against(strata=("lang",)).
+    Self-scoring, so the OOV guards never fire and the oracle
+    replicates the stratified count tables and interpolation
+    exactly."""
     docs = _t(spark, sf_dir, "documents")
-    tables = tx.lm_count_tables(docs, strata=("lang",))
-    return tx.bigram_logprob_against(docs, *tables, strata=("lang",))
+    t = tx.ngram_count_tables_combined(docs, 2, strata=("lang",))
+    return tx.bigram_logprob_against(
+        docs,
+        t[0].withColumnRenamed("c", "cb"),
+        t[1],
+        strata=("lang",),
+    )
 
 
 def q_near_dedup_quality(spark, sf_dir):

@@ -508,3 +508,47 @@ def test_curate_perplexity_gate_short_docs(spark):
     assert got[1] is None, "in-vocab short doc must be scored, not dropped"
     assert got[2] == "perplexity", "OOV short doc must not bypass the gate"
     assert got[3] == "perplexity", "0-token doc drops explicitly"
+
+
+def test_curate_perplexity_gate_strata_backoff(spark):
+    """The CCNet production shape end-to-end: PER-LANGUAGE reference
+    models (lm_strata) + short-doc backoff in the same gate. Each doc
+    scores under its own language's tables; a short OOV doc drops
+    regardless of language, a short in-vocab doc survives in ITS
+    language but the same bigram would be OOV under the other
+    language's model — pinning that strata keys reach the padded
+    backoff windows too."""
+    from mod_reservoir_spark.pipeline.text import ngram_count_tables
+
+    ref = spark.createDataFrame(
+        [(100, "the glacier moraine retreats slowly each year", "en"),
+         (101, "el glaciar retrocede lentamente cada anio aqui", "es")],
+        "doc_id long, text string, lang string",
+    )
+    tables = ngram_count_tables(ref, 3, strata=("lang",))
+    corpus = spark.createDataFrame(
+        [(0, "the glacier moraine retreats slowly each year", "en"),
+         (1, "glacier moraine", "en"),     # short, in-vocab for en
+         (2, "glacier moraine", "es"),     # same text, OOV under es
+         (3, "el glaciar retrocede lentamente cada anio aqui", "es")],
+        "doc_id long, text string, lang string",
+    )
+    lax = dict(
+        min_tokens=0, max_dup_line_ppm=1000000,
+        max_top_bigram_ppm=1000000, min_distinct_ppm=0,
+        max_punct_ppm=1000000,
+    )
+    led = curate(
+        corpus,
+        near_kwargs=dict(NEAR),
+        quality_kwargs=lax,
+        lm_tables=tables,
+        max_nll_e6=13_000_000,
+        lm_strata=("lang",),
+    )
+    got = {r.doc_id: r.drop_stage for r in led.collect()}
+    assert got[0] is None and got[3] is None
+    assert got[1] is None, "short doc scored under ITS language's model"
+    assert got[2] == "perplexity", (
+        "same short text under the WRONG language's model is OOV -> drops"
+    )
