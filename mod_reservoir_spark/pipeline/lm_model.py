@@ -1,0 +1,174 @@
+"""Persisted n-gram LM models — the serving artifact for the CCNet
+fixed-reference path (Wenzek et al. 2020: estimate the model ONCE on a
+clean corpus, persist it, score every incoming crawl under it), the
+:func:`~mod_reservoir_spark.pipeline.text.write_text_index` /
+:func:`~mod_reservoir_spark.pipeline.pq.write_pq_index` symmetry for
+language models.
+
+The artifact is ONE table — the prefix-closed window-count frame of
+:func:`~mod_reservoir_spark.pipeline.text.ngram_count_tables_combined`
+(every position's N-window, tails NULL-right-padded, one count row per
+distinct window) — plus a one-row meta sidecar (order, strata). Every
+per-order count table and every context total the interpolated scorer
+needs derives from it by a small aggregation, so persisting N orders
+costs ONE parquet table instead of N, and a serving process needs
+nothing but the path:
+
+    prefix = build_lm_prefix(clean_docs, order=5)
+    write_lm_model(prefix, 5, path)
+    ...
+    scores = score_under_model(crawl, spark, path, short_docs="backoff")
+
+At 100 TB the prefix table IS the model (the KenLM counting shape):
+built in one corpus pass + one map-side-combinable shuffle, written
+once, and scoring under it is table-read + bounded-key joins — the
+corpus is never re-scanned per order. Layout: ``{path}/prefix/``
+(repartitioned on w1 so a hot-prefix read stays parallel, rows sorted
+by the full window within files), ``{path}/meta/`` (order + strata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def build_lm_prefix(
+    docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    strata: tuple[str, ...] = (),
+) -> DataFrame:
+    """The lazy prefix-closed window-count table: (strata..., w1..wN,
+    c) with one row per distinct NULL-right-padded N-window. This is
+    the single frame every order's counts derive from; see
+    :func:`prefix_tables`."""
+    from mod_reservoir_spark.pipeline.text import tokens
+
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    padded = F.concat(
+        toks, F.array_repeat(F.lit(None).cast("string"), order - 1)
+    )
+    width = F.size(toks)
+    acc = F.transform(
+        F.slice(padded, 1, width), lambda a: F.struct(a.alias("w1"))
+    )
+
+    def _extend(j):
+        return lambda p, c: F.struct(
+            *[p[f"w{i}"].alias(f"w{i}") for i in range(1, j)],
+            c.alias(f"w{j}"),
+        )
+
+    for j in range(2, order + 1):
+        acc = F.zip_with(acc, F.slice(padded, j, width), _extend(j))
+    cols = [f"w{i}" for i in range(1, order + 1)]
+    skeys = list(strata)
+    return (
+        docs.select(*skeys, F.explode(acc).alias("g"))
+        .select(*skeys, *[f"g.{c}" for c in cols])
+        .groupBy(*skeys, *cols)
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def prefix_tables(
+    prefix: DataFrame, order: int, strata: tuple[str, ...] = ()
+) -> list[DataFrame]:
+    """Derive the :func:`~mod_reservoir_spark.pipeline.text.
+    ngram_count_tables` list (highest order first, unigrams last) from
+    a prefix table: order k = the rows whose wk IS NOT NULL grouped by
+    the k-prefix (order N needs no regroup — its non-NULL rows are
+    exact). Counts are exactly the per-order builder's
+    (equality-pinned in tests/test_lm_model.py)."""
+    skeys = list(strata)
+    tables: list[DataFrame] = []
+    for k in range(order, 1, -1):
+        kcols = [f"w{i}" for i in range(1, k + 1)]
+        t = prefix.filter(F.col(f"w{k}").isNotNull())
+        if k == order:
+            tables.append(t.select(*skeys, *kcols, "c"))
+        else:
+            tables.append(
+                t.groupBy(*skeys, *kcols).agg(
+                    F.sum("c").cast("long").alias("c")
+                )
+            )
+    tables.append(
+        prefix.groupBy(*skeys, F.col("w1").alias("term")).agg(
+            F.sum("c").cast("long").alias("ctf")
+        )
+    )
+    return tables
+
+
+def write_lm_model(
+    prefix: DataFrame,
+    order: int,
+    path: str,
+    strata: tuple[str, ...] = (),
+) -> None:
+    """Persist the model: ``{path}/prefix/`` holds the window counts
+    (repartitioned on w1 for parallel reads, window-sorted within
+    files), ``{path}/meta/`` one row (order, strata csv). Overwrites —
+    re-estimating a reference model is a full replace, never a merge
+    (a moving reference breaks replay downstream; the streaming fold
+    in streaming/lm_stream.py is the maintained-counts face)."""
+    cols = [f"w{i}" for i in range(1, order + 1)]
+    (
+        prefix.repartition(F.col("w1"))
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(f"{path}/prefix")
+    )
+    prefix.sparkSession.createDataFrame(
+        [(order, ",".join(strata))], "order int, strata string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_lm_model(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, int, tuple[str, ...]]:
+    """(prefix, order, strata) back from :func:`write_lm_model` — the
+    prefix frame stays lazy (column-pruned, parallel parquet scan)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    strata = tuple(s for s in meta.strata.split(",") if s)
+    return spark.read.parquet(f"{path}/prefix"), int(meta.order), strata
+
+
+def lm_model_tables(spark: SparkSession, path: str) -> list[DataFrame]:
+    """Read + derive in one call: the count-table list a scorer
+    takes."""
+    prefix, order, strata = read_lm_model(spark, path)
+    return prefix_tables(prefix, order, strata)
+
+
+def score_under_model(
+    docs: DataFrame,
+    spark: SparkSession,
+    path: str,
+    text_col: str = "text",
+    lambdas_ppm: tuple[int, ...] | None = None,
+    oov_ppm: int = 1,
+    short_docs: str = "backoff",
+) -> DataFrame:
+    """Score documents under a persisted reference model — the whole
+    CCNet serving path in one call. ``short_docs`` defaults to
+    ``"backoff"`` here (unlike the raw scorer's historical
+    ``"zero"``): a persisted-reference deployment is the production
+    shape, and production KenLM never exempts short docs. Strata
+    recorded at write time are honored automatically (docs must carry
+    those columns)."""
+    from mod_reservoir_spark.pipeline.text import ngram_logprob_against
+
+    prefix, order, strata = read_lm_model(spark, path)
+    return ngram_logprob_against(
+        docs,
+        prefix_tables(prefix, order, strata),
+        text_col=text_col,
+        lambdas_ppm=lambdas_ppm,
+        oov_ppm=oov_ppm,
+        strata=strata,
+        short_docs=short_docs,
+    )

@@ -1060,59 +1060,22 @@ def ngram_count_tables_combined(
     by the tables and their context folds, exactly the case the
     curate() materialize lesson covers (Catalyst shares no
     non-identical subtrees) — at production scale this frame IS the
-    persisted LM model. Counts are EXACTLY ngram_count_tables'
-    (equality-pinned per order in tests); use the per-order builder
-    when you need lazy/additive frames (the streaming fold commits
-    per-batch tables, where each order's partition must stand alone).
+    persisted LM model (:mod:`~mod_reservoir_spark.pipeline.lm_model`
+    writes/reads it as the serving artifact). Counts are EXACTLY
+    ngram_count_tables' (equality-pinned per order in tests); use the
+    per-order builder when you need lazy/additive frames (the
+    streaming fold commits per-batch tables, where each order's
+    partition must stand alone).
     """
-    if order < 2:
-        raise ValueError("order must be >= 2")
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    padded = F.concat(
-        toks, F.array_repeat(F.lit(None).cast("string"), order - 1)
-    )
-    width = F.size(toks)
-    acc = F.transform(
-        F.slice(padded, 1, width), lambda a: F.struct(a.alias("w1"))
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        prefix_tables,
     )
 
-    def _extend(j):
-        return lambda p, c: F.struct(
-            *[p[f"w{i}"].alias(f"w{i}") for i in range(1, j)],
-            c.alias(f"w{j}"),
-        )
-
-    for j in range(2, order + 1):
-        acc = F.zip_with(acc, F.slice(padded, j, width), _extend(j))
-    cols = [f"w{i}" for i in range(1, order + 1)]
-    base = docs
-    skeys = list(strata)
-    exploded = base.select(
-        *skeys, F.explode(acc).alias("g")
-    ).select(*skeys, *[f"g.{c}" for c in cols])
-    prefix = (
-        exploded.groupBy(*skeys, *cols)
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+    prefix = build_lm_prefix(docs, order, text_col, strata).localCheckpoint(
+        eager=True
     )
-    tables: list[DataFrame] = []
-    for k in range(order, 1, -1):
-        kcols = [f"w{i}" for i in range(1, k + 1)]
-        t = prefix.filter(F.col(f"w{k}").isNotNull())
-        if k == order:
-            tables.append(t.select(*skeys, *kcols, "c"))
-        else:
-            tables.append(
-                t.groupBy(*skeys, *kcols).agg(
-                    F.sum("c").cast("long").alias("c")
-                )
-            )
-    tables.append(
-        prefix.groupBy(*skeys, F.col("w1").alias("term")).agg(
-            F.sum("c").cast("long").alias("ctf")
-        )
-    )
-    return tables
+    return prefix_tables(prefix, order, strata)
 
 
 # default interpolation weights (ppm) per order for the conditional
