@@ -81,8 +81,20 @@ def prefix_tables(
     a prefix table: order k = the rows whose wk IS NOT NULL grouped by
     the k-prefix (order N needs no regroup — its non-NULL rows are
     exact). Counts are exactly the per-order builder's
-    (equality-pinned in tests/test_lm_model.py)."""
+    (equality-pinned in tests/test_lm_model.py).
+
+    ``order``/``strata`` must describe the frame: a mismatched order
+    or a stratum column the prefix does not carry would silently
+    derive wrong tables, so both are validated against the prefix's
+    columns up front."""
     skeys = list(strata)
+    expected = set(skeys) | {f"w{i}" for i in range(1, order + 1)} | {"c"}
+    if set(prefix.columns) != expected:
+        raise ValueError(
+            f"prefix columns {sorted(prefix.columns)} do not match "
+            f"order={order}, strata={tuple(strata)} "
+            f"(expected {sorted(expected)})"
+        )
     tables: list[DataFrame] = []
     for k in range(order, 1, -1):
         kcols = [f"w{i}" for i in range(1, k + 1)]
@@ -114,8 +126,17 @@ def write_lm_model(
     files), ``{path}/meta/`` one row (order, strata csv). Overwrites —
     re-estimating a reference model is a full replace, never a merge
     (a moving reference breaks replay downstream; the streaming fold
-    in streaming/lm_stream.py is the maintained-counts face)."""
+    in streaming/lm_stream.py is the maintained-counts face).
+    ``order``/``strata`` are validated against the frame's columns —
+    a desynced meta sidecar would make every later read derive wrong
+    tables."""
     cols = [f"w{i}" for i in range(1, order + 1)]
+    expected = set(strata) | set(cols) | {"c"}
+    if set(prefix.columns) != expected:
+        raise ValueError(
+            f"prefix columns {sorted(prefix.columns)} do not match "
+            f"order={order}, strata={tuple(strata)}"
+        )
     (
         prefix.repartition(F.col("w1"))
         .sortWithinPartitions(*cols)

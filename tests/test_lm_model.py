@@ -99,3 +99,28 @@ def test_score_under_model_equals_fresh_tables(spark, tmp_path):
         ).collect()
     }
     assert got2 == want2
+
+
+def test_lm_model_validates_shape(spark, tmp_path):
+    """A desynced (order, strata) vs the prefix frame would silently
+    derive wrong tables — both write and derive reject it up front."""
+    import pytest
+
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        prefix_tables,
+        write_lm_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    )
+    prefix = build_lm_prefix(docs, 3)
+    with pytest.raises(ValueError):
+        prefix_tables(prefix, 4)
+    with pytest.raises(ValueError):
+        prefix_tables(prefix, 3, strata=("lang",))
+    with pytest.raises(ValueError):
+        write_lm_model(prefix, 2, str(tmp_path / "x"))
+    # the matching shape still round-trips
+    assert len(prefix_tables(prefix, 3)) == 3
