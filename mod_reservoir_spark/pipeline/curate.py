@@ -99,21 +99,27 @@ def curate(
 
     ``lm_tables`` (with ``max_nll_e6``) adds the CCNet perplexity
     stage between quality and dedup: quality survivors are scored
-    under the given REFERENCE count tables (a clean-corpus LM — built
-    by ``lm_count_tables`` / ``trigram_count_tables`` or folded from
-    the streaming state in streaming/lm_stream.py). A 2-tuple
-    (bigrams, unigrams) gates with
-    :func:`~mod_reservoir_spark.pipeline.text.bigram_logprob_against`;
-    a 3-tuple (trigrams, bigrams, unigrams) with the sharper order-3
-    :func:`~mod_reservoir_spark.pipeline.text.
-    trigram_logprob_against`. Documents whose mean NLL exceeds
-    ``max_nll_e6`` drop as ``perplexity``. Both or neither: the stage
-    needs an explicit threshold (an absolute NLL cut against a FIXED
-    reference model is reproducible across batches, unlike a
-    within-batch rank cut — use :func:`perplexity_buckets` offline to
-    pick the threshold). When ``lm_tables`` is None the stage is
-    absent from the PLAN entirely, so the default funnel — and the
-    ``curate_funnel`` contract row — is byte-identical to before.
+    under the given REFERENCE count tables (a clean-corpus LM — any
+    N-tuple from ``lm_count_tables`` / ``trigram_count_tables`` /
+    ``ngram_count_tables`` up to the 5-gram KenLM shape, or folded
+    from the streaming state in streaming/lm_stream.py, or derived
+    from a persisted model via
+    :func:`~mod_reservoir_spark.pipeline.lm_model.lm_model_tables`).
+    Every order gates through
+    :func:`~mod_reservoir_spark.pipeline.text.ngram_logprob_against`
+    (bit-identical to the dedicated bigram/trigram scorers at orders
+    2/3) with ``short_docs="backoff"``, and docs with ``n_ngrams=0``
+    (empty after tokenization) drop explicitly — a doc shorter than
+    the order backs off to the highest order it supports instead of
+    bypassing the gate (r9; KenLM never exempts short docs).
+    Documents whose mean NLL exceeds ``max_nll_e6`` drop as
+    ``perplexity``. Both or neither: the stage needs an explicit
+    threshold (an absolute NLL cut against a FIXED reference model is
+    reproducible across batches, unlike a within-batch rank cut — use
+    :func:`perplexity_buckets` offline to pick the threshold). When
+    ``lm_tables`` is None the stage is absent from the PLAN entirely,
+    so the default funnel — and the ``curate_funnel`` contract row —
+    is byte-identical to before.
     ``lm_strata`` (e.g. ``("lang",)``, with tables built via
     ``lm_count_tables(..., strata=...)``): score each document under
     its own stratum's model — per-language gating, the full CCNet

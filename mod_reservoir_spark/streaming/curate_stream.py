@@ -166,8 +166,9 @@ def streaming_curate(
             raise ValueError("lm_tables needs an explicit max_nll_e6")
         # frozen for the stream's lifetime (replay contract — see
         # docstring); persisted because every batch joins against
-        # them. 2-tuple = JM bigram gate, 3-tuple = order-3
-        # interpolated backoff (mirrors batch curate(), r8).
+        # them. Any ngram_count_tables shape up to the 5-gram KenLM
+        # form, gated through the order-N scorer with short-doc
+        # backoff — byte-for-byte batch curate()'s gate (r9).
         ref_tables = tuple(t.persist() for t in lm_tables)
     bench_ng = None
     bench_sigs = None
