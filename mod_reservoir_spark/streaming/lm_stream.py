@@ -256,3 +256,86 @@ def compact_trigram_counts(spark: SparkSession, state_dir: str,
     unigrams.write.mode("overwrite").parquet(
         os.path.join(serving_path, "unigrams")
     )
+
+
+def stream_lm_prefix(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    order: int,
+    text_col: str = "text",
+    schema=None,
+    strata: tuple[str, ...] = (),
+):
+    """Prefix-table face of :func:`stream_ngram_counts` — the
+    streaming-maintained form of the PERSISTED MODEL artifact
+    (pipeline/lm_model.py): each micro-batch builds ONE prefix-closed
+    window-count table (:func:`~mod_reservoir_spark.pipeline.lm_model.
+    build_lm_prefix` over the batch — one batch scan + one shuffle,
+    versus the per-order face's N of each) and commits it under
+    ``prefix/batch=<id>/``. Window counts are ADDITIVE like every
+    other count here, so the read-time fold is one groupBy-sum and
+    equals ``build_lm_prefix`` over everything ingested
+    (equivalence-pinned); :func:`fold_to_model` turns the accumulated
+    state into the serving artifact ``score_under_model`` reads. Same
+    replay contract as the per-order face: a redelivered batch
+    rewrites its own partition with identical rows.
+
+    Use this face when the stream EXISTS to maintain a reference
+    model; keep :func:`stream_ngram_counts` when consumers want the
+    per-order tables directly from state without a fold-and-derive.
+    """
+    from mod_reservoir_spark.pipeline.lm_model import build_lm_prefix
+
+    root = os.path.join(state_dir, "prefix")
+
+    def process(batch_df, batch_id):
+        _commit_sketch_partition(
+            build_lm_prefix(batch_df, order, text_col, strata),
+            root,
+            batch_id,
+        )
+
+    docs = (
+        spark.readStream.schema(schema or DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_stream_lm_prefix(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The folded prefix table over every committed batch partition —
+    exactly ``build_lm_prefix`` over everything ingested."""
+    raw = spark.read.parquet(os.path.join(state_dir, "prefix"))
+    keys = [c for c in raw.columns if c not in ("c", "batch")]
+    return raw.groupBy(*keys).agg(F.sum("c").cast("long").alias("c"))
+
+
+def fold_to_model(
+    spark: SparkSession,
+    state_dir: str,
+    order: int,
+    model_path: str,
+    strata: tuple[str, ...] = (),
+) -> None:
+    """Fold the accumulated streaming state into the persisted model
+    artifact (pipeline/lm_model.py layout) — idempotent; afterwards
+    ``score_under_model(docs, spark, model_path)`` serves the CCNet
+    gate from everything the stream has ingested. The curate-stream
+    docstring's lifecycle applies: restart perplexity-gated curation
+    on the NEW snapshot rather than mutating a model a live stream is
+    scoring under (a moving reference breaks the replay contract)."""
+    from mod_reservoir_spark.pipeline.lm_model import write_lm_model
+
+    write_lm_model(
+        read_stream_lm_prefix(spark, state_dir), order, model_path,
+        strata,
+    )

@@ -124,3 +124,87 @@ def test_lm_model_validates_shape(spark, tmp_path):
         write_lm_model(prefix, 2, str(tmp_path / "x"))
     # the matching shape still round-trips
     assert len(prefix_tables(prefix, 3)) == 3
+
+
+def test_stream_lm_prefix_fold_equals_batch_and_serves(spark, tmp_path):
+    """The streaming-maintained model: 3 micro-batches through
+    stream_lm_prefix, the folded state equals build_lm_prefix over
+    everything ingested (exact rows), fold_to_model writes the
+    serving artifact, and score_under_model on it is bit-identical to
+    scoring under tables built fresh from the full corpus — the
+    complete stream-to-gate lifecycle. A replayed commit (rewriting
+    the last batch's partition) leaves the fold unchanged."""
+    import json as _json
+    import os
+
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        score_under_model,
+    )
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_logprob_against,
+    )
+    from mod_reservoir_spark.streaming.lm_stream import (
+        fold_to_model,
+        read_stream_lm_prefix,
+        stream_lm_prefix,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = stream_lm_prefix(
+        spark, str(indir), str(tmp_path / "ckpt"), state, order=3
+    )
+    try:
+        for b in range(3):
+            part = rows[b::3]
+            staged = str(tmp_path / f"b{b}.tmp")
+            with open(staged, "w") as f:
+                for i, t in part:
+                    f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+            os.rename(staged, str(indir / f"b{b}.jsonl"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # set-compare: window rows carry NULL padding, unsortable in python
+    folded = set(map(tuple, read_stream_lm_prefix(spark, state).collect()))
+    want = set(map(tuple, build_lm_prefix(docs, 3).collect()))
+    assert folded == want
+
+    # replay: rewrite the LAST batch's partition -> fold unchanged
+    from mod_reservoir_spark.pipeline.lm_model import build_lm_prefix as blp
+    from mod_reservoir_spark.streaming.windowed import (
+        _commit_sketch_partition,
+    )
+
+    last = spark.createDataFrame(rows[2::3], "doc_id long, text string")
+    _commit_sketch_partition(
+        blp(last, 3), os.path.join(state, "prefix"), 2
+    )
+    refolded = set(
+        map(tuple, read_stream_lm_prefix(spark, state).collect())
+    )
+    assert refolded == want
+
+    model_path = str(tmp_path / "model")
+    fold_to_model(spark, state, 3, model_path)
+    got = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in score_under_model(docs, spark, model_path).collect()
+    }
+    fresh = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in ngram_logprob_against(
+            docs, ngram_count_tables(docs, 3), short_docs="backoff"
+        ).collect()
+    }
+    assert got == fresh
