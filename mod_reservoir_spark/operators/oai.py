@@ -263,16 +263,22 @@ def _attr(v: str) -> str:
 
 
 def get_record(
-    meta, assignments, records, match_values, set_id: str, identifier: str
+    meta, assignments, records, match_values, set_id: str | None,
+    identifier: str,
 ) -> dict | None:
-    """GetRecord: one cluster by oai identifier."""
+    """GetRecord: one cluster by oai identifier. ``set_id=None``
+    resolves by cluster id alone across every config — the reference's
+    behavior (OaiService.java getRecord, WHERE cluster_id = $1, no set
+    filter) — and takes the set from the cluster's own row."""
     cid = identifier.split(":")[-1]
-    row = meta.filter(
-        (F.col("cluster_id") == cid)
-        & (F.col("match_key_config_id") == set_id)
-    ).collect()
+    pred = F.col("cluster_id") == cid
+    if set_id is not None:
+        pred = pred & (F.col("match_key_config_id") == set_id)
+    row = meta.filter(pred).collect()
     if not row:
         return None
+    if set_id is None:
+        set_id = row[0]["match_key_config_id"]
     res = list_records(
         meta.filter(F.col("cluster_id") == cid),
         assignments,
@@ -512,13 +518,21 @@ def handle_oai_request(
                     set_id = decode_resumption_token(token)["set"] or set_id
                 except Exception:
                     raise OaiError.bad_resumption_token(token)
-            # a missing set is badArgument REGARDLESS of known_sets —
-            # the reference answers 'set ... not found' rather than
-            # silently filtering on a NULL pool and rendering
-            # noRecordsMatch (OaiService.java getCheck; ADVICE r8 #1)
+            # 'set' is optional per the OAI-PMH spec, and the
+            # reference resolves a missing set to the FIRST match-key
+            # config: selectMatchKeyConfig(null) runs the SELECT with
+            # no WHERE and takes the first row (Storage.java:740-760);
+            # only when ZERO configs exist does listRecords answer
+            # 'set "null" not found' (OaiService.java:161-163).
+            # Mirrored here over known_sets (ADVICE r9 #2).
             if set_id is None:
-                raise OaiError.bad_argument("missing set")
-            if known_sets is not None and set_id not in known_sets:
+                if known_sets:
+                    set_id = known_sets[0]
+                else:
+                    raise OaiError.bad_argument(
+                        f'set "{set_id}" not found'
+                    )
+            elif known_sets is not None and set_id not in known_sets:
                 raise OaiError.bad_argument(
                     f'set "{set_id}" not found'
                 )
@@ -543,10 +557,15 @@ def handle_oai_request(
             identifier = params.get("identifier")
             if identifier is None:
                 raise OaiError.bad_argument("missing identifier")
+            # GetRecord's only legal arguments are identifier +
+            # metadataPrefix (spec 4.1); the reference resolves the
+            # cluster by identifier ALONE — its SQL is WHERE
+            # cluster_id = $1 with no set filter (OaiService.java:352-
+            # 370). A 'set' param, if a caller passes one anyway, is
+            # honored as a filter after validation (ADVICE r9 #1).
             set_id = params.get("set")
-            if set_id is None:
-                raise OaiError.bad_argument("missing set")
-            if known_sets is not None and set_id not in known_sets:
+            if set_id is not None and known_sets is not None \
+                    and set_id not in known_sets:
                 raise OaiError.bad_argument(
                     f'set "{set_id}" not found'
                 )

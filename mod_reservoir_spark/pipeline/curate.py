@@ -116,7 +116,16 @@ def curate(
     ``perplexity``. Both or neither: the stage needs an explicit
     threshold (an absolute NLL cut against a FIXED reference model is
     reproducible across batches, unlike a within-batch rank cut — use
-    :func:`perplexity_buckets` offline to pick the threshold). When
+    :func:`perplexity_buckets` offline to pick the threshold).
+    ``max_nll_e6`` MUST be picked under the same short-doc semantics
+    this gate runs — backoff: ``perplexity_buckets(lm_tables=...)``
+    now defaults to backoff for exactly this reason; a threshold read
+    off ``short_docs="zero"`` buckets ranks short docs into the HEAD
+    band (score 0) while this gate scores them at their backoff NLL —
+    worst-of-corpus for OOV spam — so every short doc lands on the
+    wrong side of a zero-calibrated cut (VERDICT r9 #2; pinned by
+    tests/test_pipeline.py::test_threshold_semantics_zero_vs_backoff).
+    When
     ``lm_tables`` is None the stage is absent from the PLAN entirely,
     so the default funnel — and the ``curate_funnel`` contract row —
     is byte-identical to before.

@@ -537,7 +537,14 @@ def bigram_logprob_scores(
     Count tables come from the one-pass
     :func:`ngram_count_tables_combined` build (count-identical to
     ``lm_count_tables``, equality-pinned): flat at sf0.1, −38 % at
-    sf1, the r9 A/B.
+    sf1, the r9 A/B. NOTE (r9 behavior change, ADVICE r9 #5): that
+    build eagerly localCheckpoints the prefix table, so CALLING this
+    function runs a Spark job (one corpus scan + shuffle) instead of
+    returning a pure lazy plan, and the checkpointed frame lives in
+    executor-local block storage — unrecoverable under executor loss
+    or dynamic allocation. For long-lived jobs, persist the model
+    instead (:func:`~mod_reservoir_spark.pipeline.lm_model.
+    write_lm_model`) and score via ``score_under_model``.
     """
     t = ngram_count_tables_combined(docs, 2, text_col)
     return bigram_logprob_against(
@@ -921,7 +928,11 @@ def trigram_logprob_scores(
     Count tables come from the one-pass
     :func:`ngram_count_tables_combined` build (count-identical to
     ``trigram_count_tables``, equality-pinned): −23 % at sf0.1,
-    −42 % at sf1, the r9 A/B."""
+    −42 % at sf1, the r9 A/B. NOTE: that build eagerly
+    localCheckpoints the prefix table — calling this function runs a
+    Spark job, and the frame pins to executor-local storage (see
+    :func:`bigram_logprob_scores` for the long-lived-job
+    alternative)."""
     t = ngram_count_tables_combined(docs, 3, text_col)
     return trigram_logprob_against(
         docs,
@@ -1133,9 +1144,14 @@ def ngram_logprob_against(
       under the same model with the structurally-unavailable orders
       j > t contributing 0 — exactly the existing unseen-context
       contract, so a t-token doc backs off to the highest order it
-      supports (the KenLM behavior the CCNet recipe relies on) and
-      reports n_ngrams=1 with a finite NLL. Only 0-token docs still
-      report zeros.
+      supports (KenLM-style in the sense that short docs are never
+      exempted from scoring) and reports n_ngrams=1 with a finite
+      NLL. Only 0-token docs still report zeros. NOT KenLM-equal
+      arithmetic: the unavailable orders' interpolation mass is
+      DROPPED, not renormalized via backoff weights as KenLM does, so
+      p sums to < 1 and short-doc NLL is biased upward — thresholds
+      calibrated on full-length docs are therefore conservative
+      (over-strict) for short docs (ADVICE r9 #4).
     """
     n = len(tables)
     if n < 2:
@@ -1299,7 +1315,11 @@ def ngram_logprob_scores(
     :func:`ngram_count_tables_combined` build: A/B-measured −26 % at
     sf0.1 and −41 % at sf1 end-to-end vs the per-order builder (order
     5), with the gap widening as corpus scans dominate — counts
-    equality-pinned per order."""
+    equality-pinned per order. NOTE: the combined build eagerly
+    localCheckpoints the prefix table — calling this function runs a
+    Spark job, and the frame pins to executor-local storage; for
+    long-lived jobs persist the model via ``write_lm_model`` and use
+    ``score_under_model`` (see :func:`bigram_logprob_scores`)."""
     tables = ngram_count_tables_combined(
         docs, order, text_col, strata=strata
     )
@@ -1322,7 +1342,7 @@ def perplexity_buckets(
     scorer: str = "unigram",
     lm_tables: tuple[DataFrame, DataFrame] | None = None,
     table_strata: tuple[str, ...] | None = None,
-    short_docs: str = "zero",
+    short_docs: str | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
     each stratum (per language, like CCNet), rank documents by the
@@ -1357,11 +1377,18 @@ def perplexity_buckets(
     per language (any N-tuple of tables, scored through the order-N
     scorer — bit-identical to the dedicated bigram/trigram scorers at
     orders 2/3); ``scorer`` is ignored. ``short_docs`` (this path
-    only): ``"zero"`` keeps the historical contract — docs shorter
-    than the order score 0 and RANK INTO THE HEAD (best) BAND;
-    ``"backoff"`` scores them under the highest order they support
-    (the curate() gate's fix), so OOV short spam ranks into the tail
-    where KenLM would put it.
+    only) DEFAULTS TO ``"backoff"`` — the same semantics
+    :func:`~mod_reservoir_spark.pipeline.lm_model.score_under_model`
+    and the curate() perplexity gate run under, so a ``max_nll_e6``
+    threshold read off these buckets gates consistently (VERDICT r9
+    "What's wrong" #2: a threshold picked under one short-doc
+    semantic and applied under another misgates every short doc).
+    ``"backoff"`` scores short docs under the highest order they
+    support, so OOV short spam ranks into the tail where KenLM would
+    put it; pass ``short_docs="zero"`` explicitly for the historical
+    contract — such docs score 0 and RANK INTO THE HEAD (best) band,
+    the documented footgun. Pick thresholds under the SAME mode the
+    gate runs (curate() docstring).
 
     Output: (doc_id, strata, mean_nll_e6, pos_ppm, bucket).
     """
@@ -1371,7 +1398,7 @@ def perplexity_buckets(
         scores = ngram_logprob_against(
             docs, list(lm_tables), text_col=text_col,
             strata=tuple(table_strata or ()),
-            short_docs=short_docs,
+            short_docs=short_docs if short_docs is not None else "backoff",
         )
     elif scorer == "unigram":
         scores = unigram_logprob_scores(docs, text_col)

@@ -128,7 +128,7 @@ def harvest(
     wait_retries: float = 10.0,
     max_pages: int | None = None,
     stop: Callable[[], bool] | None = None,
-    metadata_prefix: str = "marc21",
+    metadata_prefix: str = "marcxml",
 ) -> dict:
     """Run the harvest loop until no resumptionToken (or stop()/
     max_pages). `fetch(params) -> bytes` abstracts the HTTP GET, so
@@ -171,12 +171,15 @@ def harvest(
                 params["until"] = state.data["until"]
             if set_spec:
                 params["set"] = set_spec
-            # "marc21" is the reference CLIENT's default
-            # (OaiPmhClientService request assembly) even though the
-            # reference SERVER accepts only "marcxml"
-            # (OaiService.java:104) — the client harvests external
-            # ILSes. Self-harvest against this engine's own serving
-            # face passes metadata_prefix="marcxml".
+            # The reference client has NO hardcoded default: it takes
+            # metadataPrefix purely from the job config via
+            # addQueryParameterFromConfig
+            # (OaiPmhClientService.java:539-543) and omits the param
+            # when unconfigured. Here the default is "marcxml" — the
+            # one prefix this engine's own serving face accepts
+            # (operators/oai.py) — so self-harvest works out of the
+            # box; harvesting an external ILS passes its prefix
+            # explicitly (ADVICE r9 #3).
             params["metadataPrefix"] = metadata_prefix
 
         data = None

@@ -552,3 +552,76 @@ def test_curate_perplexity_gate_strata_backoff(spark):
     assert got[2] == "perplexity", (
         "same short text under the WRONG language's model is OOV -> drops"
     )
+
+
+def test_threshold_semantics_zero_vs_backoff(spark):
+    """The VERDICT r9 "What's wrong" #2 trap, end to end: a
+    ``max_nll_e6`` threshold picked from ``short_docs="zero"``
+    perplexity buckets (where short docs score 0 and rank HEAD)
+    provably MISGATES an in-vocab short doc when curate()'s gate runs
+    backoff — while the documented path (pick the threshold under the
+    buckets' reference-model DEFAULT, which is now backoff, i.e. the
+    gate's own semantics) keeps it."""
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        perplexity_buckets,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the glacier moraine retreats slowly each year"),
+         (101, "the glacier moraine advances slowly each winter")],
+        "doc_id long, text string",
+    )
+    tables = ngram_count_tables(ref, 5)
+    crawl = spark.createDataFrame(
+        [(0, "the glacier moraine retreats slowly each year", "en"),
+         # in-vocab words in a NOVEL order: every 5/4/3/2-gram misses,
+         # only unigram mass survives -> worst NLL of the three
+         (1, "year slowly the each moraine retreats glacier", "en"),
+         # GOOD short doc: 3 in-vocab tokens < order 5. zero: nll=0,
+         # HEAD; backoff: real (order-3) NLL, between docs 0 and 1
+         (2, "the glacier moraine", "en")],
+        "doc_id long, text string, lang string",
+    )
+
+    def cut_keep_non_tail(**kw):
+        rows = perplexity_buckets(
+            crawl, strata=(), lm_tables=tables, **kw
+        ).collect()
+        return max(r.mean_nll_e6 for r in rows if r.bucket != "tail")
+
+    lax = dict(
+        min_tokens=0, max_dup_line_ppm=1000000,
+        max_top_bigram_ppm=1000000, min_distinct_ppm=0,
+        max_punct_ppm=1000000,
+    )
+
+    def gate(cut):
+        led = curate(
+            crawl.select("doc_id", "text"),
+            near_kwargs=dict(NEAR),
+            quality_kwargs=lax,
+            lm_tables=tables,
+            max_nll_e6=cut,
+        )
+        return {r.doc_id: r.drop_stage for r in led.collect()}
+
+    # the trap: zero-mode buckets rank the short doc HEAD (nll 0), so
+    # "keep head+middle" reads off cut = doc 0's NLL — and the backoff
+    # gate then drops the short doc the caller meant to keep
+    zero_cut = cut_keep_non_tail(short_docs="zero")
+    misgated = gate(zero_cut)
+    assert misgated[0] is None
+    assert misgated[1] == "perplexity"
+    assert misgated[2] == "perplexity", (
+        "zero-picked threshold misgates the good short doc"
+    )
+
+    # the documented path: the buckets' DEFAULT is the gate's own
+    # backoff semantics, so the same "keep head+middle" read-off
+    # includes the short doc's real NLL and the gate keeps it
+    back_cut = cut_keep_non_tail()
+    kept = gate(back_cut)
+    assert kept[0] is None
+    assert kept[1] == "perplexity"
+    assert kept[2] is None, "backoff-picked threshold keeps the short doc"

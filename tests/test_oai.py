@@ -434,6 +434,18 @@ def test_oai_dispatch_all_verbs_and_errors_schema_valid(spark, warehouse):
     ident = lr.split("<identifier>")[1].split("</identifier>")[0]
     gr = run({"verb": "GetRecord", "set": "t", "identifier": ident})
     assert gr.count("<record>") == 1
+    # GetRecord's only legal args are identifier+metadataPrefix (spec
+    # 4.1); the reference resolves by cluster id alone with no set
+    # filter (OaiService.java:352-370) — a set-less GetRecord must
+    # succeed, identically (ADVICE r9 #1)
+    gr_no_set = run({"verb": "GetRecord", "identifier": ident})
+    assert gr_no_set == gr
+    # 'set' is optional for ListRecords/ListIdentifiers too: the
+    # reference's selectMatchKeyConfig(null) falls back to the FIRST
+    # config (Storage.java:740-760) — with one known set, a set-less
+    # ListRecords equals the explicit one (ADVICE r9 #2)
+    assert run({"verb": "ListRecords"}) == lr
+    assert run({"verb": "ListIdentifiers"}) == li
     # paging: limit=1 -> resumptionToken page round-trips
     p1 = run({"verb": "ListRecords", "set": "t"}, limit=1)
     tok = p1.split("<resumptionToken>")[1].split("</resumptionToken>")[0]
@@ -447,14 +459,14 @@ def test_oai_dispatch_all_verbs_and_errors_schema_valid(spark, warehouse):
         ({"verb": "ListRecords", "set": "t",
           "metadataPrefix": "oai_dc"}, "cannotDisseminateFormat"),
         ({"verb": "ListRecords", "set": "nope"}, "badArgument"),
-        # missing set is badArgument even with known_sets=None — the
-        # default-args path used to filter on a NULL pool and render
-        # noRecordsMatch instead (ADVICE r8 #1)
-        ({"verb": "ListRecords"}, "badArgument"),
-        ({"verb": "ListIdentifiers"}, "badArgument"),
-        ({"verb": "GetRecord", "identifier": "oai:x"}, "badArgument"),
+        ({"verb": "GetRecord", "set": "nope", "identifier": "oai:x"},
+         "badArgument"),
         ({"verb": "GetRecord", "set": "t"}, "badArgument"),
+        ({"verb": "GetRecord"}, "badArgument"),
         ({"verb": "GetRecord", "set": "t",
+          "identifier": "oai:00000000-0000-0000-0000-000000000000"},
+         "idDoesNotExist"),
+        ({"verb": "GetRecord",
           "identifier": "oai:00000000-0000-0000-0000-000000000000"},
          "idDoesNotExist"),
         ({"verb": "ListRecords", "set": "t",
@@ -464,8 +476,10 @@ def test_oai_dispatch_all_verbs_and_errors_schema_valid(spark, warehouse):
         xml = run(params)
         assert f'<error code="{code}"' in xml, (params, xml)
 
-    # the exact ADVICE r8 #1 shape: known_sets=None AND no set param
-    # must still be badArgument, not a silent noRecordsMatch
+    # no configured sets AND no set param: the reference's
+    # selectMatchKeyConfig(null) finds zero rows → badArgument
+    # 'set "null" not found' (OaiService.java:161-163) — never a
+    # silent noRecordsMatch over a NULL pool (ADVICE r8 #1 / r9 #2)
     for verb in ("ListRecords", "ListIdentifiers"):
         xml = handle_oai_request(
             *frames, {"verb": verb}, response_date=rd

@@ -2708,11 +2708,15 @@ def test_perplexity_buckets_trigram_scorer(spark):
             want = ("head" if ppm_pos < 333334
                     else "middle" if ppm_pos < 666667 else "tail")
             assert got[i][1] == want, (lang, i)
-    # 3-tuple reference form == self-scoring banding on the same corpus
+    # 3-tuple reference form == self-scoring banding on the same
+    # corpus — under short_docs="zero", the self-scorers' semantics
+    # (the lm_tables default is now "backoff", matching the gate)
     tables = trigram_count_tables(docs)
     ref = {
         r.doc_id: (r.mean_nll_e6, r.bucket)
-        for r in perplexity_buckets(docs, lm_tables=tables).collect()
+        for r in perplexity_buckets(
+            docs, lm_tables=tables, short_docs="zero"
+        ).collect()
     }
     assert ref == got
 
@@ -3001,7 +3005,9 @@ def test_ngram_logprob_scores_and_buckets_backoff(spark):
     )
     zero = {
         r.doc_id: r.bucket
-        for r in perplexity_buckets(crawl, lm_tables=tables).collect()
+        for r in perplexity_buckets(
+            crawl, lm_tables=tables, short_docs="zero"
+        ).collect()
     }
     back = {
         r.doc_id: r.bucket
@@ -3009,9 +3015,16 @@ def test_ngram_logprob_scores_and_buckets_backoff(spark):
             crawl, lm_tables=tables, short_docs="backoff"
         ).collect()
     }
-    assert zero[2] == "head"   # the footgun, kept as opt-in default
+    dflt = {
+        r.doc_id: r.bucket
+        for r in perplexity_buckets(crawl, lm_tables=tables).collect()
+    }
+    assert zero[2] == "head"   # the footgun, now explicit opt-in only
     assert back[2] == "tail"   # backoff: worst NLL -> worst band
     assert back[0] == "head"
+    # the reference-model default is backoff — the gate's semantics
+    # (VERDICT r9 "What's wrong" #2)
+    assert dflt == back
 
 
 def test_ngram_count_tables_combined_equals_per_order(spark):
