@@ -1731,6 +1731,7 @@ def q_url_dedup(spark, sf_dir):
 # the harness convention elsewhere cleans up its scratch)
 _LM_STREAM_CACHE: dict[str, str] = {}
 _CURATE_STREAM_CACHE: dict[str, str] = {}
+_LM_FIXED_REF_CACHE: dict[str, str] = {}
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -1864,6 +1865,81 @@ def q_curate_stream(spark, sf_dir):
     )
 
 
+def q_lm_fixed_ref(spark, sf_dir):
+    """Fixed-reference / OOV LM scoring under a PERSISTED model fed by
+    the streaming prefix fold — the production CCNet path (Wenzek et
+    al. 2020: estimate once on a clean corpus, persist, score the
+    crawl) and the one LM arithmetic no self-scoring row reaches
+    (VERDICT r9 Next #1 + #4): the TRAIN half of documents
+    (doc_id % 2 = 0) lands in the stream_lm_prefix state as two
+    per-batch prefix-table commits (exactly what its foreachBatch
+    callback does per micro-batch — the q_lm_stream_counts staging
+    pattern; real-stream equality is pinned in
+    tests/test_windowed_streaming.py), fold_to_model persists the
+    order-3 artifact (pipeline/lm_model.py), and score_under_model
+    scores the held-out EVAL half (doc_id % 2 = 1) with
+    short_docs="backoff". Three eval mutations force every guard at
+    any sf: doc_id % 11 == 1 truncates to the first 2 tokens (a SHORT
+    doc -> one right-aligned backoff window, trigram term
+    structurally absent), % 11 == 3 appends a doc_id-derived OOV
+    token (unigram floor oov_ppm=1 fires, its contexts miss ->
+    conditional terms 0), % 11 == 5 replaces the text with a single
+    OOV token (floor + backoff in one window, NLL = ln(1e6)). The
+    oracle builds the train-half count tables in SQL and LEFT-JOINs
+    them to the eval windows with COALESCE-to-0 conditional terms and
+    the COALESCE-to-floor unigram — the guards the self-scoring
+    oracles never exercise ("plain JOINs match" no longer holds
+    here)."""
+    import os
+
+    from mod_reservoir_spark.pipeline.lm_model import build_lm_prefix
+    from mod_reservoir_spark.pipeline.lm_model import score_under_model
+    from mod_reservoir_spark.streaming.lm_stream import fold_to_model
+    from mod_reservoir_spark.streaming.windowed import (
+        _commit_sketch_partition,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = _LM_FIXED_REF_CACHE.get(sf_dir)
+    if model is None:
+        root = _scratch_dir("lm_fixed_ref_")
+        state = os.path.join(root, "state")
+        train = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text"
+        )
+        for b in range(2):
+            _commit_sketch_partition(
+                build_lm_prefix(
+                    train.filter(F.col("doc_id") % 4 == 2 * b), 3
+                ),
+                os.path.join(state, "prefix"),
+                b,
+            )
+        model = os.path.join(root, "model")
+        fold_to_model(spark, state, 3, model)
+        _LM_FIXED_REF_CACHE[sf_dir] = model
+    did = F.col("doc_id")
+    ev = docs.filter(did % 2 == 1).select(
+        "doc_id",
+        F.when(
+            did % 11 == 1,
+            F.array_join(F.slice(tx.tokens(F.col("text")), 1, 2), " "),
+        )
+        .when(
+            did % 11 == 3,
+            F.concat(
+                F.col("text"), F.lit(" qzoov"), did.cast("string")
+            ),
+        )
+        .when(
+            did % 11 == 5, F.concat(F.lit("qzoov"), did.cast("string"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return score_under_model(ev, spark, model, short_docs="backoff")
+
+
 def q_ivf_pq_topk(spark, sf_dir):
     """IVF-PQ quantized serving END-TO-END (VERDICT r7 Next #3 — the
     flagship chain was pytest-only): probe the 2 nearest coarse cells
@@ -1926,7 +2002,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "curate_funnel": q_curate_funnel,
-        "bigram_logprob": q_bigram_logprob,
+        # round-10 promotion (VERDICT r9 Next #1 + #4, rotation 6):
+        # fixed-reference/OOV scoring under the persisted streaming-
+        # fold LM model takes bigram_logprob's slot (two-rounds
+        # stable; order-2 arithmetic stays pinned transitively through
+        # bigram_logprob_lang plus the exact-equality tests and the
+        # retired sweep)
+        "lm_fixed_ref": q_lm_fixed_ref,
         # round-8 promotions (rotation 4 — VERDICT r7 "Next #3/#5/#7/
         # #8"): six two-round-stable r5 rows (line_dedup, span_stats,
         # ngram_counts, tfidf_top_terms, bloom_registers,
@@ -3490,6 +3572,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (query, oracle) pair below against DuckDB at sf0.001 with the
     driver's own comparator."""
     return {
+        # round-10 retirement (rotation 6: slot carries lm_fixed_ref;
+        # order-2 self-scoring stays live via bigram_logprob_lang and
+        # exact-equality-pinned to the order-N scorer)
+        "bigram_logprob": q_bigram_logprob,
         # round-8 retirements (rotation 4: two-round-stable r5
         # promotions make room for ivf_pq_topk / trigram_logprob /
         # url_dedup / lm_stream_counts)
@@ -4983,6 +5069,93 @@ def _ngram_logprob_oracle(n: int = 5) -> str:
     """
 
 
+def _lm_fixed_ref_oracle() -> str:
+    """q_lm_fixed_ref replicated: order-3 count tables built from the
+    TRAIN half only (the persisted model's content — the streaming
+    prefix fold equals build_lm_prefix over everything committed, and
+    prefix_tables' derived counts equal ngram_count_tables',
+    equality-pinned in tests/test_lm_model.py, so the SQL extracts
+    each order from the train tokens directly), eval half mutated the
+    same three ways, then the OOV arithmetic the self-scoring oracles
+    never reach: eval windows LEFT JOIN the train tables, unseen
+    j-grams COALESCE their conditional term to 0, unseen unigrams take
+    the oov_ppm/1e6 floor, and docs with 1-2 tokens contribute ONE
+    right-aligned NULL-padded window (the backoff contract — NULL join
+    keys never match, so orders above the doc's length score 0)."""
+    return f"""
+    WITH tr AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 2 = 0),
+    ev AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 1
+               THEN array_to_string(list_slice({_TOKS}, 1, 2), ' ')
+             WHEN doc_id % 11 = 3
+               THEN text || ' qzoov' || CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 11 = 5
+               THEN 'qzoov' || CAST(doc_id AS VARCHAR)
+             ELSE text END AS text
+      FROM documents WHERE doc_id % 2 = 1),
+    e AS (SELECT doc_id, {_TOKS} AS toks FROM ev),
+    c3 AS (
+      SELECT w1, w2, w3, c,
+             CAST(sum(c) OVER (PARTITION BY w1, w2) AS BIGINT) AS x
+      FROM (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+              FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                    FROM tr WHERE len(toks) >= 3))
+        GROUP BY ALL)),
+    c2 AS (
+      SELECT w1, w2, c,
+             CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS x
+      FROM (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                    FROM tr WHERE len(toks) >= 2))
+        GROUP BY ALL)),
+    vocab AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS ctf
+      FROM (SELECT unnest(toks) AS term FROM tr) GROUP BY 1),
+    tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM vocab),
+    p AS (
+      SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+               toks[i + 2] AS w3
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM e WHERE len(toks) >= 3)
+        UNION ALL
+        SELECT doc_id,
+               CAST(NULL AS VARCHAR) AS w1,
+               CASE WHEN len(toks) = 2 THEN toks[1] END AS w2,
+               toks[len(toks)] AS w3
+        FROM e WHERE len(toks) BETWEEN 1 AND 2
+      ) GROUP BY ALL),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(sum(p.tf) AS BIGINT) AS n_ngrams,
+             CAST(round(sum(p.tf * -ln(
+                 COALESCE((600000 / 1000000.0) * c3.c / c3.x, 0)
+               + COALESCE((300000 / 1000000.0) * c2.c / c2.x, 0)
+               + CASE WHEN v.ctf IS NOT NULL
+                      THEN (1 - 600000 / 1000000.0 - 300000 / 1000000.0)
+                           * v.ctf / CAST(tot.total AS DOUBLE)
+                      ELSE 1 / 1000000.0 END
+             )) / sum(p.tf) * 1000000) AS BIGINT) AS mean_nll_e6
+      FROM p
+      LEFT JOIN c3 ON c3.w1 = p.w1 AND c3.w2 = p.w2 AND c3.w3 = p.w3
+      LEFT JOIN c2 ON c2.w1 = p.w2 AND c2.w2 = p.w3
+      LEFT JOIN vocab v ON v.term = p.w3
+      CROSS JOIN tot
+      GROUP BY 1)
+    SELECT ev.doc_id,
+           COALESCE(s.n_ngrams, 0) AS n_ngrams,
+           COALESCE(s.mean_nll_e6, 0) AS mean_nll_e6
+    FROM ev LEFT JOIN scored s USING (doc_id)
+    """
+
+
 def _url_dedup_oracle() -> str:
     """q_url_dedup replicated: the deterministic URL construction from
     document columns, then every canonicalization step (fragment
@@ -5181,6 +5354,15 @@ def _r9_oracles() -> dict[str, str]:
     }
 
 
+def _r10_oracles() -> dict[str, str]:
+    return {
+        # fixed-reference / OOV scoring under the persisted LM model:
+        # train-half tables, eval-half windows, LEFT JOINs with
+        # COALESCE-to-0 terms and the COALESCE-to-floor unigram
+        "lm_fixed_ref": _lm_fixed_ref_oracle(),
+    }
+
+
 def _oracle_pool() -> dict[str, str]:
     """Every oracle the contract has ever carried, live or retired —
     oracle_sql()/retired_oracle_sql() select from this pool by the
@@ -5193,6 +5375,7 @@ def _oracle_pool() -> dict[str, str]:
     pool.update(_r7_oracles())
     pool.update(_r8_oracles())
     pool.update(_r9_oracles())
+    pool.update(_r10_oracles())
     return pool
 
 
