@@ -109,6 +109,12 @@ def main() -> None:
             "total_iterations": cc.LAST_RUN_STATS.get(
                 "total_iterations", 0
             ),
+            # worst-case path topology (VERDICT r9 Next #8): the real
+            # match-key graphs above are star-shaped (1 iteration), so
+            # this row is what actually exercises the O(log diameter)
+            # pointer-jumping bound every round — iterations ~log2(n),
+            # exact_fixpoint must stay true
+            "adversarial": cc.adversarial_cc_telemetry(spark),
         }
         with open(
             os.path.join(

@@ -608,3 +608,23 @@ def test_cc_telemetry_stats_populated(spark):
     assert stats["converged"] is True
     assert stats["edges"] == 3
     assert 1 <= stats["iterations"] <= stats["total_iterations"]
+
+
+def test_adversarial_cc_telemetry(spark):
+    """The bench sidecar's adversarial row (VERDICT r9 Next #8): a
+    path graph must drive MULTIPLE large-star iterations (the star
+    graphs the bench's real queries build converge in 1, making the
+    iteration-bound telemetry vacuous) AND reach the exact fixpoint —
+    one component labeled by its min id."""
+    from mod_reservoir_spark.operators.clustering import (
+        adversarial_cc_telemetry,
+    )
+
+    t = adversarial_cc_telemetry(spark, n=256)
+    assert t["converged"] is True
+    assert t["exact_fixpoint"] is True
+    # a 256-chain cannot converge in the star graphs' 1-2 rounds: the
+    # seeded first hop + 2-hop rounds + pointer jumping after round 3
+    # still need ≥ 4 rounds (log2(256) = 8 two-hop-ish)
+    assert t["iterations"] > 3, t
+    assert t["edges"] == 2 * 255
