@@ -41,13 +41,21 @@ def test_retired_surface_is_disjoint_and_complete():
         # round 7 (rotation 3b: IVF-PQ)
         "pq_codes", "pq_adc_topk",
         # round 7 (late swap: strictly-stronger siblings displaced
-        # unigram_logprob and near_dedup_keep to the retired sweep)
-        "bigram_logprob", "near_dedup_quality",
+        # unigram_logprob and near_dedup_keep to the retired sweep);
+        # bigram_logprob rotated to the retired sweep in round 10
+        # (rotation 6) — order-2 arithmetic stays live via
+        # bigram_logprob_lang plus the exact-equality pins
+        "near_dedup_quality",
         # round 7 (per-language LM row; winnow_pairs rotated out)
         "bigram_logprob_lang",
         # round 8 (rotation 4)
         "ivf_pq_topk", "trigram_logprob", "url_dedup",
         "lm_stream_counts",
+        # round 9
+        "ngram_logprob", "curate_stream",
+        # round 10 (rotation 6: fixed-reference/OOV scoring under the
+        # persisted streaming-fold model — displaced bigram_logprob)
+        "lm_fixed_ref",
     }
     assert promoted <= live
     # every live query has an oracle (no silent rows-only rows)
