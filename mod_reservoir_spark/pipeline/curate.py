@@ -65,6 +65,7 @@ def curate(
     lm_tables: tuple[DataFrame, ...] | None = None,
     max_nll_e6: int | None = None,
     lm_strata: tuple[str, ...] = (),
+    lm_broadcast: bool = False,
     materialize: bool = True,
     url_col: str | None = None,
 ) -> DataFrame:
@@ -255,6 +256,12 @@ def curate(
             list(lm_tables),
             strata=lm_strata,
             short_docs="backoff",
+            # False (default) = merge-hinted table joins, safe at any
+            # model size; pass lm_broadcast=True only for a model
+            # KNOWN small (e.g. lm_model meta n_windows under
+            # text.LM_BROADCAST_MAX_WINDOWS) — Spark's own estimate
+            # mis-broadcasts corpus-sized tables (SCALE.md r10)
+            broadcast_tables=lm_broadcast,
         )
         px = m(
             scored.select(

@@ -143,8 +143,16 @@ def write_lm_model(
         .write.mode("overwrite")
         .parquet(f"{path}/prefix")
     )
-    prefix.sparkSession.createDataFrame(
-        [(order, ",".join(strata))], "order int, strata string"
+    # n_windows (the persisted prefix's row count — read back from the
+    # just-written parquet, a metadata-only count) drives the serving
+    # scorer's broadcast-vs-merge join decision: Spark's own size
+    # estimate for the derived count tables is NOT trustworthy at
+    # scale (text.py _table_side / SCALE.md r10)
+    spark = prefix.sparkSession
+    n_windows = spark.read.parquet(f"{path}/prefix").count()
+    spark.createDataFrame(
+        [(order, ",".join(strata), n_windows)],
+        "order int, strata string, n_windows long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -156,6 +164,16 @@ def read_lm_model(
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     strata = tuple(s for s in meta.strata.split(",") if s)
     return spark.read.parquet(f"{path}/prefix"), int(meta.order), strata
+
+
+def _model_n_windows(spark: SparkSession, path: str) -> int:
+    """The persisted prefix's row count: from the meta sidecar when
+    present (written since r10), else a metadata-only parquet count of
+    the prefix itself (pre-r10 models)."""
+    meta = spark.read.parquet(f"{path}/meta")
+    if "n_windows" in meta.columns:
+        return int(meta.collect()[0].n_windows)
+    return spark.read.parquet(f"{path}/prefix").count()
 
 
 def lm_model_tables(spark: SparkSession, path: str) -> list[DataFrame]:
@@ -181,7 +199,10 @@ def score_under_model(
     shape, and production KenLM never exempts short docs. Strata
     recorded at write time are honored automatically (docs must carry
     those columns)."""
-    from mod_reservoir_spark.pipeline.text import ngram_logprob_against
+    from mod_reservoir_spark.pipeline.text import (
+        LM_BROADCAST_MAX_WINDOWS,
+        ngram_logprob_against,
+    )
 
     prefix, order, strata = read_lm_model(spark, path)
     return ngram_logprob_against(
@@ -192,4 +213,9 @@ def score_under_model(
         oov_ppm=oov_ppm,
         strata=strata,
         short_docs=short_docs,
+        # join strategy from the MODEL's recorded size, never Spark's
+        # estimate (text.py _table_side: the estimate mis-broadcasts
+        # corpus-sized tables at scale)
+        broadcast_tables=_model_n_windows(spark, path)
+        <= LM_BROADCAST_MAX_WINDOWS,
     )

@@ -546,9 +546,17 @@ def bigram_logprob_scores(
     instead (:func:`~mod_reservoir_spark.pipeline.lm_model.
     write_lm_model`) and score via ``score_under_model``.
     """
-    t = ngram_count_tables_combined(docs, 2, text_col)
+    from mod_reservoir_spark.pipeline.lm_model import prefix_tables
+
+    prefix = _combined_prefix(docs, 2, text_col)
+    t = prefix_tables(prefix, 2)
     return bigram_logprob_against(
-        docs, t[0].withColumnRenamed("c", "cb"), t[1], text_col, lam_ppm
+        docs,
+        t[0].withColumnRenamed("c", "cb"),
+        t[1],
+        text_col,
+        lam_ppm,
+        broadcast_tables=prefix.count() <= LM_BROADCAST_MAX_WINDOWS,
     )
 
 
@@ -618,6 +626,7 @@ def bigram_logprob_against(
     lam_ppm: int = 800000,
     oov_ppm: int = 1,
     strata: tuple[str, ...] = (),
+    broadcast_tables: bool = False,
 ) -> DataFrame:
     """Score documents under GIVEN LM count tables — the production
     form of :func:`bigram_logprob_scores` and the shape CCNet actually
@@ -661,7 +670,9 @@ def bigram_logprob_against(
     contexts = bigrams.groupBy(*skeys, "w1").agg(
         F.sum("cb").cast("long").alias("c1")
     )
-    bi_with_ctx = bigrams.join(contexts, skeys + ["w1"])
+    bi_with_ctx = bigrams.join(
+        _table_side(contexts, broadcast_tables), skeys + ["w1"]
+    )
     lam = lam_ppm / 1000000.0
     bigram_term = F.when(
         F.coalesce(F.col("c1"), F.lit(0)) > 0,
@@ -673,9 +684,15 @@ def bigram_logprob_against(
     ).otherwise(F.lit(oov_ppm / 1000000.0))
     p = bigram_term + unigram_term
     scored = per_doc.join(
-        bi_with_ctx, skeys + ["w1", "w2"], "left"
+        _table_side(bi_with_ctx, broadcast_tables),
+        skeys + ["w1", "w2"],
+        "left",
     ).join(
-        unigrams.withColumnRenamed("term", "w2"), skeys + ["w2"], "left"
+        _table_side(
+            unigrams.withColumnRenamed("term", "w2"), broadcast_tables
+        ),
+        skeys + ["w2"],
+        "left",
     )
     if strata:
         totals = unigrams.groupBy(*skeys).agg(
@@ -774,6 +791,7 @@ def trigram_logprob_against(
     lam2_ppm: int = 300000,
     oov_ppm: int = 1,
     strata: tuple[str, ...] = (),
+    broadcast_tables: bool = False,
 ) -> DataFrame:
     """Per-document mean NLL under an order-3 Jelinek-Mercer
     interpolated-backoff model over GIVEN count tables — one Markov
@@ -828,13 +846,17 @@ def trigram_logprob_against(
     contexts2 = trigrams.groupBy(*skeys, "w1", "w2").agg(
         F.sum("ct").cast("long").alias("c2")
     )
-    tri_with_ctx = trigrams.join(contexts2, skeys + ["w1", "w2"])
+    tri_with_ctx = trigrams.join(
+        _table_side(contexts2, broadcast_tables), skeys + ["w1", "w2"]
+    )
     # the bigram-order backoff needs c(w2 w3) and c(w2 ·): rename the
     # bigram table's (w1, w2) to this scorer's (w2, w3) position names
     contexts1 = bigrams.groupBy(*skeys, "w1").agg(
         F.sum("cb").cast("long").alias("c1")
     )
-    bi_with_ctx = bigrams.join(contexts1, skeys + ["w1"]).select(
+    bi_with_ctx = bigrams.join(
+        _table_side(contexts1, broadcast_tables), skeys + ["w1"]
+    ).select(
         *skeys,
         F.col("w1").alias("w2"),
         F.col("w2").alias("w3"),
@@ -857,10 +879,20 @@ def trigram_logprob_against(
     ).otherwise(F.lit(oov_ppm / 1000000.0))
     p = tri_term + bi_term + uni_term
     scored = (
-        per_doc.join(tri_with_ctx, skeys + ["w1", "w2", "w3"], "left")
-        .join(bi_with_ctx, skeys + ["w2", "w3"], "left")
+        per_doc.join(
+            _table_side(tri_with_ctx, broadcast_tables),
+            skeys + ["w1", "w2", "w3"],
+            "left",
+        )
         .join(
-            unigrams.withColumnRenamed("term", "w3"),
+            _table_side(bi_with_ctx, broadcast_tables),
+            skeys + ["w2", "w3"],
+            "left",
+        )
+        .join(
+            _table_side(
+                unigrams.withColumnRenamed("term", "w3"), broadcast_tables
+            ),
             skeys + ["w3"],
             "left",
         )
@@ -933,7 +965,10 @@ def trigram_logprob_scores(
     Spark job, and the frame pins to executor-local storage (see
     :func:`bigram_logprob_scores` for the long-lived-job
     alternative)."""
-    t = ngram_count_tables_combined(docs, 3, text_col)
+    from mod_reservoir_spark.pipeline.lm_model import prefix_tables
+
+    prefix = _combined_prefix(docs, 3, text_col)
+    t = prefix_tables(prefix, 3)
     return trigram_logprob_against(
         docs,
         t[0].withColumnRenamed("c", "ct"),
@@ -942,6 +977,7 @@ def trigram_logprob_scores(
         text_col,
         lam3_ppm,
         lam2_ppm,
+        broadcast_tables=prefix.count() <= LM_BROADCAST_MAX_WINDOWS,
     )
 
 
@@ -1078,15 +1114,55 @@ def ngram_count_tables_combined(
     streaming fold commits per-batch tables, where each order's
     partition must stand alone).
     """
-    from mod_reservoir_spark.pipeline.lm_model import (
-        build_lm_prefix,
-        prefix_tables,
-    )
+    from mod_reservoir_spark.pipeline.lm_model import prefix_tables
 
-    prefix = build_lm_prefix(docs, order, text_col, strata).localCheckpoint(
+    prefix = _combined_prefix(docs, order, text_col, strata)
+    return prefix_tables(prefix, order, strata)
+
+
+def _combined_prefix(
+    docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    strata: tuple[str, ...] = (),
+) -> DataFrame:
+    """The eagerly-checkpointed prefix frame behind
+    :func:`ngram_count_tables_combined` — exposed separately so the
+    scores() wrappers can ALSO count it (cheap: the blocks are already
+    materialized) to pick the count-table join strategy against
+    ``LM_BROADCAST_MAX_WINDOWS``."""
+    from mod_reservoir_spark.pipeline.lm_model import build_lm_prefix
+
+    return build_lm_prefix(docs, order, text_col, strata).localCheckpoint(
         eager=True
     )
-    return prefix_tables(prefix, order, strata)
+
+
+# Count-table frames larger than this many rows are never broadcast
+# by the LM scorers: above it the per-table HashedRelations (up to
+# 2N-1 of them live at once at order N) outgrow a modest executor
+# heap — measured at sf10 (24.8M windows), the estimate-driven
+# BroadcastHashJoin plan OOMs an 8 GiB driver, while at sf1 (2.7M)
+# broadcasting all tables is the measured win (r9 A/B). The scores()
+# wrappers compare the prefix row count (cheap after its checkpoint)
+# against this bound; score_under_model reads the count from the
+# model's meta sidecar.
+LM_BROADCAST_MAX_WINDOWS = 4_000_000
+
+
+def _table_side(t: DataFrame, broadcast: bool) -> DataFrame:
+    """A count-table join side for the LM scorers: explicitly
+    broadcast when the CALLER measured it small, else merge-hinted so
+    a mis-estimate can never compile-time-broadcast a corpus-sized
+    table. Spark's size estimate for these frames is unreliable in
+    both directions — a localCheckpoint'ed prefix surfaces as an
+    ExistingRDD and an aggregate over a parquet scan shrinks below
+    autoBroadcastJoinThreshold even when the real table is 24M rows
+    (the sf10 OOM, SCALE.md r10) — so the decision must come from an
+    actual row count, never the optimizer's guess. The merge hint
+    keeps the join a sort-merge join (spill-safe at any scale); AQE
+    respects it, so the safety holds at runtime too."""
+    return F.broadcast(t) if broadcast else t.hint("merge")
 
 
 # default interpolation weights (ppm) per order for the conditional
@@ -1108,6 +1184,7 @@ def ngram_logprob_against(
     oov_ppm: int = 1,
     strata: tuple[str, ...] = (),
     short_docs: str = "zero",
+    broadcast_tables: bool = False,
 ) -> DataFrame:
     """Per-document mean NLL under an order-N Jelinek-Mercer
     interpolated-backoff model — the generalization the bigram and
@@ -1152,6 +1229,17 @@ def ngram_logprob_against(
       p sums to < 1 and short-doc NLL is biased upward — thresholds
       calibrated on full-length docs are therefore conservative
       (over-strict) for short docs (ADVICE r9 #4).
+
+    ``broadcast_tables``: the count-table join strategy. False (the
+    scale-safe default) merge-hints every table join — Spark's size
+    estimate CANNOT be trusted here (checkpointed prefixes surface as
+    stat-less ExistingRDDs and aggregate estimates shrink below the
+    broadcast threshold even for 24M-row tables; the estimate-driven
+    plan OOM'ed at sf10, SCALE.md r10). True broadcasts every table
+    explicitly — the measured win when the model is genuinely small
+    (sf0.1/sf1). Callers that can count the prefix cheaply (the
+    scores() wrappers after their checkpoint, score_under_model from
+    the meta sidecar) decide via ``LM_BROADCAST_MAX_WINDOWS``.
     """
     n = len(tables)
     if n < 2:
@@ -1223,7 +1311,9 @@ def ngram_logprob_against(
         ctx = tbl.groupBy(*skeys, *ctx_cols).agg(
             F.sum("c").cast("long").alias(f"_ctx{j}")
         )
-        with_ctx = tbl.join(ctx, skeys + ctx_cols).select(
+        with_ctx = tbl.join(
+            _table_side(ctx, broadcast_tables), skeys + ctx_cols
+        ).select(
             *skeys,
             # the j-gram at scoring position (wN-j+1 .. wN): rename the
             # table's positional columns to the per-doc frame's names
@@ -1235,7 +1325,11 @@ def ngram_logprob_against(
             f"_ctx{j}",
         )
         join_cols = [f"w{i}" for i in range(n - j + 1, n + 1)]
-        scored = scored.join(with_ctx, skeys + join_cols, "left")
+        scored = scored.join(
+            _table_side(with_ctx, broadcast_tables),
+            skeys + join_cols,
+            "left",
+        )
         terms.append(
             F.when(
                 F.coalesce(F.col(f"_ctx{j}"), F.lit(0)) > 0,
@@ -1245,7 +1339,9 @@ def ngram_logprob_against(
             ).otherwise(F.lit(0.0))
         )
     scored = scored.join(
-        unigrams.withColumnRenamed("term", f"w{n}"),
+        _table_side(
+            unigrams.withColumnRenamed("term", f"w{n}"), broadcast_tables
+        ),
         skeys + [f"w{n}"],
         "left",
     )
@@ -1320,9 +1416,10 @@ def ngram_logprob_scores(
     Spark job, and the frame pins to executor-local storage; for
     long-lived jobs persist the model via ``write_lm_model`` and use
     ``score_under_model`` (see :func:`bigram_logprob_scores`)."""
-    tables = ngram_count_tables_combined(
-        docs, order, text_col, strata=strata
-    )
+    from mod_reservoir_spark.pipeline.lm_model import prefix_tables
+
+    prefix = _combined_prefix(docs, order, text_col, strata)
+    tables = prefix_tables(prefix, order, strata)
     return ngram_logprob_against(
         docs,
         tables,
@@ -1330,6 +1427,7 @@ def ngram_logprob_scores(
         lambdas_ppm,
         strata=strata,
         short_docs=short_docs,
+        broadcast_tables=prefix.count() <= LM_BROADCAST_MAX_WINDOWS,
     )
 
 
@@ -1343,6 +1441,7 @@ def perplexity_buckets(
     lm_tables: tuple[DataFrame, DataFrame] | None = None,
     table_strata: tuple[str, ...] | None = None,
     short_docs: str | None = None,
+    lm_broadcast: bool = False,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
     each stratum (per language, like CCNet), rank documents by the
@@ -1399,6 +1498,9 @@ def perplexity_buckets(
             docs, list(lm_tables), text_col=text_col,
             strata=tuple(table_strata or ()),
             short_docs=short_docs if short_docs is not None else "backoff",
+            # merge-safe default; True only for a model KNOWN small
+            # (see _table_side — the estimate mis-broadcasts at scale)
+            broadcast_tables=lm_broadcast,
         )
     elif scorer == "unigram":
         scores = unigram_logprob_scores(docs, text_col)

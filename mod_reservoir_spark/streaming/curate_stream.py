@@ -128,6 +128,7 @@ def streaming_curate(
     lm_tables: tuple[DataFrame, DataFrame] | None = None,
     max_nll_e6: int | None = None,
     lm_strata: tuple[str, ...] = (),
+    lm_broadcast: bool = False,
     schema=None,
     url_col: str | None = None,
 ):
@@ -287,6 +288,9 @@ def streaming_curate(
                 list(ref_tables),
                 strata=lm_strata,
                 short_docs="backoff",
+                # merge-safe default, same contract as batch curate();
+                # True only when the frozen reference is KNOWN small
+                broadcast_tables=lm_broadcast,
             )
             px = scored.select(
                 "doc_id",

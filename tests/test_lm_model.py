@@ -208,3 +208,68 @@ def test_stream_lm_prefix_fold_equals_batch_and_serves(spark, tmp_path):
         ).collect()
     }
     assert got == fresh
+
+
+def test_model_meta_records_n_windows(spark, tmp_path):
+    """write_lm_model records the persisted prefix's row count in the
+    meta sidecar; score_under_model uses it (never Spark's size
+    estimate) to pick the table-join strategy — small model =>
+    explicit broadcast, bound forced to 0 => merge-only plan, same
+    rows either way."""
+    import re
+
+    from mod_reservoir_spark.pipeline import text as tx
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        score_under_model,
+        write_lm_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "m")
+    write_lm_model(build_lm_prefix(docs, 3), 3, path)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta.n_windows == spark.read.parquet(f"{path}/prefix").count()
+
+    def plan_and_rows():
+        df = score_under_model(docs, spark, path)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows = sorted(map(tuple, df.collect()))
+        return len(re.findall(r"BroadcastHashJoin \[w", plan)), rows
+
+    n_bhj, rows = plan_and_rows()
+    assert n_bhj >= 5  # tiny model -> broadcast chosen from meta
+    orig = tx.LM_BROADCAST_MAX_WINDOWS
+    try:
+        tx.LM_BROADCAST_MAX_WINDOWS = 0
+        n_forced, rows_forced = plan_and_rows()
+    finally:
+        tx.LM_BROADCAST_MAX_WINDOWS = orig
+    assert n_forced == 0
+    assert rows_forced == rows
+
+
+def test_score_under_pre_r10_model_without_n_windows(spark, tmp_path):
+    """Models persisted before the n_windows sidecar field still
+    serve: the reader falls back to a metadata-only parquet count of
+    the prefix itself."""
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        score_under_model,
+        write_lm_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "m")
+    write_lm_model(build_lm_prefix(docs, 3), 3, path)
+    # rewrite the meta sidecar in the pre-r10 shape (no n_windows)
+    old_meta = spark.createDataFrame(
+        [(3, "")], "order int, strata string"
+    )
+    old_meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    fresh = score_under_model(docs, spark, path)
+    assert fresh.count() == docs.count()

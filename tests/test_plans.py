@@ -489,3 +489,70 @@ def test_ngram_backoff_plan_single_scan(spark):
     back_scans, back_unions = counts("backoff")
     assert back_scans == zero_scans
     assert back_unions == zero_unions == 0
+
+
+def test_lm_table_join_strategy_is_explicit(spark):
+    """The LM scorers must never let Spark's size ESTIMATE pick a
+    broadcast for a count table: a localCheckpoint'ed prefix surfaces
+    as a stat-less ExistingRDD and aggregate estimates shrink below
+    autoBroadcastJoinThreshold even when the real table is 24M rows —
+    at sf10 the estimate-driven plan broadcast every table and OOM'ed
+    an 8 GiB driver (SCALE.md r10). broadcast_tables=False (default)
+    must produce NO BroadcastHashJoin on w-key joins (the one allowed
+    broadcast is the scalar/strata totals); True must broadcast every
+    table join explicitly."""
+    import re
+
+    from mod_reservoir_spark.pipeline.text import (
+        ngram_count_tables,
+        ngram_logprob_against,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # checkpointed tables reproduce the ExistingRDD stats hole that
+    # made the estimate mis-broadcast at sf10
+    tables = [t.localCheckpoint(eager=True) for t in
+              ngram_count_tables(docs, 5)]
+
+    def bhj(broadcast_tables):
+        plan = (
+            ngram_logprob_against(
+                docs, tables, broadcast_tables=broadcast_tables
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        return len(re.findall(r"BroadcastHashJoin \[w", plan))
+
+    # merge-safe: zero estimate- or hint-broadcast table joins
+    assert bhj(False) == 0
+    # explicit broadcast: every table join (4 conditional orders with
+    # their context folds + the unigram attach = 9) is a BHJ
+    assert bhj(True) >= 9
+
+
+def test_lm_scores_wrapper_broadcast_decision(spark, monkeypatch):
+    """ngram_logprob_scores decides the join strategy from the ACTUAL
+    prefix row count vs LM_BROADCAST_MAX_WINDOWS — forcing the bound
+    to 0 must flip every table join out of broadcast, and the scored
+    values must not change (strategy is plan-only)."""
+    import re
+
+    from mod_reservoir_spark.pipeline import text as tx
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    def plan_and_rows():
+        df = tx.ngram_logprob_scores(docs, 3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows = sorted(map(tuple, df.collect()))
+        return len(re.findall(r"BroadcastHashJoin \[w", plan)), rows
+
+    n_default, rows_default = plan_and_rows()
+    assert n_default >= 5  # sf0.001 prefix is tiny -> broadcast chosen
+    monkeypatch.setattr(tx, "LM_BROADCAST_MAX_WINDOWS", 0)
+    n_forced, rows_forced = plan_and_rows()
+    assert n_forced == 0
+    assert rows_forced == rows_default

@@ -1,0 +1,68 @@
+"""Per-row headroom probe: run named queries() rows at one or more
+sf dirs, timing the FIRST call (cold — includes any one-time state
+build the harness caches per sf_dir) and the SECOND call (steady /
+serving) of each, the protocol SCALE.md's new-row headroom tables use
+(r8/r9). Complements tools/headroom.py (fixed dedup/ANN family).
+
+Usage:
+    python tools/rowprobe.py QUERY[,QUERY...] SF_DIR [SF_DIR ...]
+e.g.:
+    python tools/rowprobe.py ngram_logprob,curate_stream /tmp/sf1 /tmp/sf10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    names = sys.argv[1].split(",")
+    sf_dirs = sys.argv[2:]
+    if not sf_dirs:
+        print(__doc__)
+        return 2
+
+    import __spark_entry__ as em
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .appName("rowprobe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = em.queries()
+    out: dict[str, dict[str, list[float]]] = {}
+    for sf in sf_dirs:
+        for name in names:
+            fn = qs[name]
+            times = []
+            for run in range(2):
+                t0 = time.time()
+                # noop sink, NOT count(): a bare count() lets Catalyst
+                # prune unused aggregate expressions and with them the
+                # scoring joins (unique-keyed left joins under a row
+                # count are eliminable), so count-based timings can
+                # measure a fraction of the plan — bench.py's forcing
+                # discipline
+                fn(spark, sf).write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 2)
+                times.append(dt)
+                print(f"{name} @ {sf} run{run}: {dt}s", flush=True)
+            out.setdefault(name, {})[sf] = times
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
