@@ -367,7 +367,15 @@ def pq_topk(
         if q_rows is None:
             q_rows = queries.select(id_col, vec_col).collect()
         scored = _adc_scored_broadcast(
-            codes, q_rows, codebooks, id_col, codes_col
+            codes,
+            q_rows,
+            codebooks,
+            id_col,
+            codes_col,
+            # each batch only needs to surface what the final window
+            # keeps: k rows per query (shortlist·k when an exact
+            # rescore re-ranks the ADC shortlist)
+            per_query_cap=k if rescore is False else shortlist * k,
         )
     scored = _nan_floor(scored)
     if rescore is False:
@@ -403,10 +411,31 @@ def _nan_floor(scored: DataFrame) -> DataFrame:
 
 
 def _adc_scored_broadcast(
-    codes: DataFrame, q_rows, codebooks, id_col: str, codes_col: str
+    codes: DataFrame,
+    q_rows,
+    codebooks,
+    id_col: str,
+    codes_col: str,
+    per_query_cap: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, score) via broadcast LUTs + one
-    Arrow-batched numpy pass over the codes scan."""
+    Arrow-batched numpy pass over the codes scan.
+
+    ``per_query_cap``: when set, each Arrow batch emits only its top
+    ``cap`` rows per query — selected under the EXACT total order the
+    downstream :func:`similarity._topk` window uses (round-6 score
+    desc, neighbor_id asc, NaN floored to -inf), so global top-k over
+    the per-batch survivors equals global top-k over all pairs. This
+    is the reduction that keeps the brute path alive at corpus scale:
+    unreduced, a batch emits |queries| × |batch| rows — at sf10
+    (4,000 queries × 10k-row batches) that is 40M rows ≈ 768 MB of
+    Arrow per batch, which OOM'ed netty's direct-memory pool (SCALE.md
+    r10). Capped, a batch emits |queries| × cap rows (20k at k=5) —
+    a 2000× reduction with bit-identical final top-k (equality-pinned
+    in tests/test_pq.py). Selection uses one composite int64 key
+    (score·1e6 in the high bits, -neighbor_id below) + argpartition —
+    exact because scores are already round-6 and |id| < 2^41 (larger
+    or negative-overflow ids fall back to the unreduced emit)."""
     import numpy as np
     import pandas as pd
 
@@ -433,15 +462,54 @@ def _adc_scored_broadcast(
             denom = bqnorms[:, None] * np.sqrt(n2)[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = np.where(denom > 0, ip / denom, np.nan)
-            sflat = np.round(s.ravel(), 6)
+            s = np.round(s, 6)  # (n_queries, n_batch_rows)
+            cap = per_query_cap
+            if (
+                cap is not None
+                and len(nids) > cap
+                and np.abs(nids).max(initial=0) < (1 << 41)
+            ):
+                # NaN -> -2e6 sentinel (below any real round-6 score
+                # in ±1e6), matching the -inf floor's sort position
+                si = np.where(
+                    np.isnan(s), -2_000_000, np.rint(s * 1e6)
+                ).astype(np.int64)
+                key = si * (1 << 41) - nids[None, :]
+                imin = np.iinfo(np.int64).min
+                key[nids[None, :] == bqids[:, None]] = imin  # self-pairs
+                # partition on key (ascending) and slice the TOP cap —
+                # never argpartition(-key): negating int64.min (the
+                # self-pair sentinel) overflows back to itself and the
+                # excluded column rides into the slice
+                part = np.argpartition(
+                    key, len(nids) - cap, axis=1
+                )[:, -cap:]
+                rowq = np.repeat(np.arange(len(bqids)), cap)
+                coln = part.ravel()
+                keep = key[rowq, coln] != imin
+                rowq, coln = rowq[keep], coln[keep]
+                sel = s[rowq, coln]
+                yield pd.DataFrame(
+                    {
+                        "query_id": bqids[rowq],
+                        "neighbor_id": nids[coln],
+                        "score": np.where(np.isnan(sel), -np.inf, sel),
+                    }
+                )
+                continue
+            sflat = s.ravel()
             qcol = np.repeat(bqids, len(nids))
             ncol = np.tile(nids, len(bqids))
             mask = qcol != ncol
+            sflat = sflat[mask]
             yield pd.DataFrame(
                 {
                     "query_id": qcol[mask],
                     "neighbor_id": ncol[mask],
-                    "score": sflat[mask],
+                    # floor NaN here too so both branches emit the
+                    # _nan_floor contract (its Spark-side pass is then
+                    # a no-op either way)
+                    "score": np.where(np.isnan(sflat), -np.inf, sflat),
                 }
             )
 

@@ -379,3 +379,47 @@ def test_pq_code_width_and_dim_guard(spark):
     cb = [[[float(j)] * 32 for j in range(130)] for _ in range(2)]
     out = pq_encode(emb, cb)
     assert "array<smallint>" in out.schema.simpleString()
+
+
+def test_adc_per_batch_cap_exact_across_batches(spark, small_cb):
+    """The per-batch top-cap reduction inside _adc_scored_broadcast
+    (the fix for the sf10 dense-emit OOM, SCALE.md r10) must be
+    invisible in results: global top-k over per-batch survivors equals
+    top-k over the full dense emit, across MANY batches (repartition
+    forces one mapInPandas batch per partition), with and without the
+    exact-cosine rescore (whose shortlist needs cap = shortlist*k)."""
+    from mod_reservoir_spark.pipeline.pq import (
+        _adc_scored_broadcast,
+        _nan_floor,
+    )
+    from mod_reservoir_spark.pipeline.similarity import _topk
+
+    cb, _ = small_cb
+    emb = spark.read.parquet(EMB)
+    codes = pq_encode(emb, cb).repartition(7)
+    q = emb.filter("vec_id % 17 = 0")
+    q_rows = q.select("vec_id", "embedding").collect()
+
+    dense = _nan_floor(
+        _adc_scored_broadcast(codes, q_rows, cb, "vec_id", "codes")
+    )
+    want = sorted(map(tuple, _topk(dense, 5).collect()))
+    got = sorted(map(tuple, pq_topk(codes, q, cb, k=5).collect()))
+    assert got == want
+
+    want_r = sorted(
+        map(
+            tuple,
+            pq_topk(
+                codes, q, cb, k=3, rescore=emb, shortlist=4,
+                max_broadcast_queries=1,  # distributed path = uncapped
+            ).collect(),
+        )
+    )
+    got_r = sorted(
+        map(
+            tuple,
+            pq_topk(codes, q, cb, k=3, rescore=emb, shortlist=4).collect(),
+        )
+    )
+    assert got_r == want_r
