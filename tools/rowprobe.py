@@ -28,26 +28,21 @@ def main() -> int:
         return 2
 
     import __spark_entry__ as em
-    from pyspark.sql import SparkSession
+    from mod_reservoir_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "48g")
-        .appName("rowprobe")
-        .getOrCreate()
-    )
+    # the BENCH session config (8g driver unless SPARK_GRAFT_DRIVER_MEM
+    # says otherwise) so probe cells compare against bench rows
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("rowprobe", cpus=cpus, shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
-    qs = em.queries()
+    qs = {**em.retired_queries(), **em.queries()}
+    runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
     out: dict[str, dict[str, list[float]]] = {}
     for sf in sf_dirs:
         for name in names:
             fn = qs[name]
             times = []
-            for run in range(2):
+            for run in range(runs):
                 t0 = time.time()
                 # noop sink, NOT count(): a bare count() lets Catalyst
                 # prune unused aggregate expressions and with them the
