@@ -156,24 +156,33 @@ def write_lm_model(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def _read_model(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, int, tuple[str, ...], int]:
+    """One meta collect per call (ADVICE r10: the serving path used to
+    read + collect the sidecar twice — read_lm_model then a separate
+    _model_n_windows — two extra driver round-trips per score).
+    n_windows comes from the same collected row when present (written
+    since r10), else a metadata-only parquet count of the prefix
+    (pre-r10 models)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    strata = tuple(s for s in meta.strata.split(",") if s)
+    prefix = spark.read.parquet(f"{path}/prefix")
+    n_windows = (
+        int(meta.n_windows)
+        if "n_windows" in meta.__fields__
+        else prefix.count()
+    )
+    return prefix, int(meta.order), strata, n_windows
+
+
 def read_lm_model(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, int, tuple[str, ...]]:
     """(prefix, order, strata) back from :func:`write_lm_model` — the
     prefix frame stays lazy (column-pruned, parallel parquet scan)."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    strata = tuple(s for s in meta.strata.split(",") if s)
-    return spark.read.parquet(f"{path}/prefix"), int(meta.order), strata
-
-
-def _model_n_windows(spark: SparkSession, path: str) -> int:
-    """The persisted prefix's row count: from the meta sidecar when
-    present (written since r10), else a metadata-only parquet count of
-    the prefix itself (pre-r10 models)."""
-    meta = spark.read.parquet(f"{path}/meta")
-    if "n_windows" in meta.columns:
-        return int(meta.collect()[0].n_windows)
-    return spark.read.parquet(f"{path}/prefix").count()
+    prefix, order, strata, _ = _read_model(spark, path)
+    return prefix, order, strata
 
 
 def lm_model_tables(spark: SparkSession, path: str) -> list[DataFrame]:
@@ -204,7 +213,7 @@ def score_under_model(
         ngram_logprob_against,
     )
 
-    prefix, order, strata = read_lm_model(spark, path)
+    prefix, order, strata, n_windows = _read_model(spark, path)
     return ngram_logprob_against(
         docs,
         prefix_tables(prefix, order, strata),
@@ -216,6 +225,5 @@ def score_under_model(
         # join strategy from the MODEL's recorded size, never Spark's
         # estimate (text.py _table_side: the estimate mis-broadcasts
         # corpus-sized tables at scale)
-        broadcast_tables=_model_n_windows(spark, path)
-        <= LM_BROADCAST_MAX_WINDOWS,
+        broadcast_tables=n_windows <= LM_BROADCAST_MAX_WINDOWS,
     )

@@ -433,9 +433,12 @@ def _adc_scored_broadcast(
     r10). Capped, a batch emits |queries| × cap rows (20k at k=5) —
     a 2000× reduction with bit-identical final top-k (equality-pinned
     in tests/test_pq.py). Selection uses one composite int64 key
-    (score·1e6 in the high bits, -neighbor_id below) + argpartition —
-    exact because scores are already round-6 and |id| < 2^41 (larger
-    or negative-overflow ids fall back to the unreduced emit)."""
+    (score·1e6 in 2^42-wide buckets, -neighbor_id below) +
+    argpartition — exact because scores are already round-6 and the
+    -id term's 2^42-wide range fits one bucket for |id| < 2^41
+    (larger ids fall back to the unreduced emit; the bound is checked
+    with explicit min/max, never abs, so int64.min cannot overflow
+    past the guard)."""
     import numpy as np
     import pandas as pd
 
@@ -467,14 +470,25 @@ def _adc_scored_broadcast(
             if (
                 cap is not None
                 and len(nids) > cap
-                and np.abs(nids).max(initial=0) < (1 << 41)
+                # explicit min/max bounds, not np.abs: abs(int64.min)
+                # overflows back to int64.min (negative) and would
+                # slip past an abs-based guard
+                and nids.min(initial=0) > -(1 << 41)
+                and nids.max(initial=0) < (1 << 41)
             ):
                 # NaN -> -2e6 sentinel (below any real round-6 score
                 # in ±1e6), matching the -inf floor's sort position
                 si = np.where(
                     np.isnan(s), -2_000_000, np.rint(s * 1e6)
                 ).astype(np.int64)
-                key = si * (1 << 41) - nids[None, :]
+                # bucket width 2^42, NOT 2^41: -nid spans the OPEN
+                # interval (-(2^41), 2^41) — a 2^42-wide range — so a
+                # 2^41 bucket lets (si1 > si2, nid1 - nid2 > 2^41)
+                # invert the (score desc, id asc) total order. With
+                # 2^42, si1 > si2 gives key1 - key2 >= 2^42 -
+                # (nid1 - nid2) > 0 always. |key| <= 2e6 * 2^42 +
+                # 2^41 ~ 8.8e18 < int64 max.
+                key = si * (1 << 42) - nids[None, :]
                 imin = np.iinfo(np.int64).min
                 key[nids[None, :] == bqids[:, None]] = imin  # self-pairs
                 # partition on key (ascending) and slice the TOP cap —

@@ -423,3 +423,55 @@ def test_adc_per_batch_cap_exact_across_batches(spark, small_cb):
         )
     )
     assert got_r == want_r
+
+
+def test_adc_cap_key_order_with_extreme_ids(spark):
+    """ADVICE r10: the composite selection key must keep (score desc,
+    id asc) total order even when one batch mixes a large NEGATIVE id
+    with a large positive one (id delta > 2^41 — a 2^41-wide score
+    bucket lets the lower-scored pair outrank the higher-scored one).
+    Two unit centroids whose query cosines differ by exactly 1e-6 at
+    round-6; the HIGHER-scored candidate carries id +(2^41-3), the
+    decoy -(2^41-3); cap=1 must keep the higher score."""
+    import math
+
+    hi, lo = (1 << 41) - 3, -((1 << 41) - 3)
+    cb = [[
+        [0.5, math.sqrt(1 - 0.25)],
+        [0.499999, math.sqrt(1 - 0.499999**2)],
+    ]]
+    codes = spark.createDataFrame(
+        [(hi, [0]), (lo, [1])], "vec_id long, codes array<tinyint>"
+    ).coalesce(1)
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = pq_topk(codes, queries, cb, k=1).collect()
+    assert [(r.neighbor_id, r.score) for r in got] == [(hi, 0.5)]
+
+
+def test_adc_cap_int64_min_id_falls_back(spark):
+    """ADVICE r10: np.abs(int64.min) overflows back to int64.min, so
+    an abs-based bound let the sentinel id through into overflowing
+    key arithmetic. The explicit min/max guard must route such a
+    batch to the unreduced emit and still rank correctly."""
+    import math
+
+    imin = -(1 << 63)
+    cb = [[
+        [0.5, math.sqrt(1 - 0.25)],
+        [0.499999, math.sqrt(1 - 0.499999**2)],
+        [0.3, math.sqrt(1 - 0.09)],
+    ]]
+    codes = spark.createDataFrame(
+        [(imin, [1]), (5, [0]), (6, [2])],
+        "vec_id long, codes array<tinyint>",
+    ).coalesce(1)
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = pq_topk(codes, queries, cb, k=2).collect()
+    assert [(r.neighbor_id, r.score) for r in got] == [
+        (5, 0.5),
+        (imin, 0.499999),
+    ]

@@ -21,11 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    names = sys.argv[1].split(",")
-    sf_dirs = sys.argv[2:]
-    if not sf_dirs:
+    if len(sys.argv) < 3:
         print(__doc__)
         return 2
+    names = sys.argv[1].split(",")
+    sf_dirs = sys.argv[2:]
 
     import __spark_entry__ as em
     from mod_reservoir_spark.session import get_spark
@@ -36,6 +36,13 @@ def main() -> int:
     spark = get_spark("rowprobe", cpus=cpus, shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
     qs = {**em.retired_queries(), **em.queries()}
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(
+            f"unknown query name(s): {', '.join(unknown)}\n"
+            f"valid names: {', '.join(sorted(qs))}"
+        )
+        return 2
     runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
     out: dict[str, dict[str, list[float]]] = {}
     for sf in sf_dirs:
