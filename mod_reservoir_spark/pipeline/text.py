@@ -548,7 +548,7 @@ def bigram_logprob_scores(
     """
     from mod_reservoir_spark.pipeline.lm_model import prefix_tables
 
-    prefix = _combined_prefix(docs, 2, text_col)
+    prefix, n_windows = _combined_prefix(docs, 2, text_col)
     t = prefix_tables(prefix, 2)
     return bigram_logprob_against(
         docs,
@@ -556,7 +556,7 @@ def bigram_logprob_scores(
         t[1],
         text_col,
         lam_ppm,
-        broadcast_tables=prefix.count() <= LM_BROADCAST_MAX_WINDOWS,
+        broadcast_tables=n_windows <= LM_BROADCAST_MAX_WINDOWS,
     )
 
 
@@ -967,7 +967,7 @@ def trigram_logprob_scores(
     alternative)."""
     from mod_reservoir_spark.pipeline.lm_model import prefix_tables
 
-    prefix = _combined_prefix(docs, 3, text_col)
+    prefix, n_windows = _combined_prefix(docs, 3, text_col)
     t = prefix_tables(prefix, 3)
     return trigram_logprob_against(
         docs,
@@ -977,7 +977,7 @@ def trigram_logprob_scores(
         text_col,
         lam3_ppm,
         lam2_ppm,
-        broadcast_tables=prefix.count() <= LM_BROADCAST_MAX_WINDOWS,
+        broadcast_tables=n_windows <= LM_BROADCAST_MAX_WINDOWS,
     )
 
 
@@ -1102,11 +1102,12 @@ def ngram_count_tables_combined(
     instead of N scans + 2N shuffles; the derived aggregations touch
     only the (distinct-window-sized) prefix table.
 
-    The prefix table is eagerly localCheckpoint'ed: it is a
-    multi-stage subtree (scan → explode → shuffle) consumed ~2N times
-    by the tables and their context folds, exactly the case the
-    curate() materialize lesson covers (Catalyst shares no
-    non-identical subtrees) — at production scale this frame IS the
+    The prefix table is localCheckpoint'ed and materialized before
+    return (by the same job that counts it — see
+    :func:`_combined_prefix`): it is a multi-stage subtree (scan →
+    explode → shuffle) consumed ~2N times by the tables and their
+    context folds, exactly the case the curate() materialize lesson
+    covers (Catalyst shares no non-identical subtrees) — at production scale this frame IS the
     persisted LM model (:mod:`~mod_reservoir_spark.pipeline.lm_model`
     writes/reads it as the serving artifact). Counts are EXACTLY
     ngram_count_tables' (equality-pinned per order in tests); use the
@@ -1116,7 +1117,7 @@ def ngram_count_tables_combined(
     """
     from mod_reservoir_spark.pipeline.lm_model import prefix_tables
 
-    prefix = _combined_prefix(docs, order, text_col, strata)
+    prefix, _ = _combined_prefix(docs, order, text_col, strata)
     return prefix_tables(prefix, order, strata)
 
 
@@ -1125,17 +1126,26 @@ def _combined_prefix(
     order: int,
     text_col: str = "text",
     strata: tuple[str, ...] = (),
-) -> DataFrame:
-    """The eagerly-checkpointed prefix frame behind
-    :func:`ngram_count_tables_combined` — exposed separately so the
-    scores() wrappers can ALSO count it (cheap: the blocks are already
-    materialized) to pick the count-table join strategy against
-    ``LM_BROADCAST_MAX_WINDOWS``."""
+) -> tuple[DataFrame, int]:
+    """(checkpointed prefix frame, n_windows) behind
+    :func:`ngram_count_tables_combined`.
+
+    ONE job, not two (r10 VERDICT #3): ``localCheckpoint(eager=True)``
+    internally runs a count job just to materialize the blocks, and
+    the scores() wrappers then ran a SECOND count over the
+    checkpointed frame to pick the join strategy against
+    ``LM_BROADCAST_MAX_WINDOWS`` — a full decision job per scorer
+    call. A LAZY checkpoint materialized by our own ``count()``
+    collapses both into the same job, and the row count rides back
+    with the frame so no caller ever re-counts (the meta-sidecar
+    pattern :func:`~mod_reservoir_spark.pipeline.lm_model.
+    write_lm_model` uses, applied to the in-session path)."""
     from mod_reservoir_spark.pipeline.lm_model import build_lm_prefix
 
-    return build_lm_prefix(docs, order, text_col, strata).localCheckpoint(
-        eager=True
+    prefix = build_lm_prefix(docs, order, text_col, strata).localCheckpoint(
+        eager=False
     )
+    return prefix, prefix.count()
 
 
 # Count-table frames larger than this many rows are never broadcast
@@ -1418,7 +1428,7 @@ def ngram_logprob_scores(
     ``score_under_model`` (see :func:`bigram_logprob_scores`)."""
     from mod_reservoir_spark.pipeline.lm_model import prefix_tables
 
-    prefix = _combined_prefix(docs, order, text_col, strata)
+    prefix, n_windows = _combined_prefix(docs, order, text_col, strata)
     tables = prefix_tables(prefix, order, strata)
     return ngram_logprob_against(
         docs,
@@ -1427,7 +1437,7 @@ def ngram_logprob_scores(
         lambdas_ppm,
         strata=strata,
         short_docs=short_docs,
-        broadcast_tables=prefix.count() <= LM_BROADCAST_MAX_WINDOWS,
+        broadcast_tables=n_windows <= LM_BROADCAST_MAX_WINDOWS,
     )
 
 
