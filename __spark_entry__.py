@@ -1221,13 +1221,40 @@ def q_bm25_indexed(spark, sf_dir):
 
 
 def q_semantic_dedup(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023): k-means cells bound the pair
-    space, exact 6-decimal cosine within cells, CC keeper —
-    pipeline/similarity.py semantic_dedup. The corpus has no natural
-    >=0.95-cosine pairs (max 0.51), so scaled copies of every 25th
-    vector are planted (cosine to the parent is exactly 1.0 — scale
-    invariance); oracle: unrolled-Lloyd k-means -> final-centroid
-    assignment -> within-cell pairs -> recursive-CTE components."""
+    """SemDeDup (Abbas et al. 2023) in its SCALE configuration —
+    r10 VERDICT Next #2: the oracle-checked shape is now the one
+    you'd run at 100 TB. n_clusters="auto" sizes cells to ~64
+    vectors (C = max(16, ceil(n/64)), pipeline/similarity.py
+    auto_clusters), which holds per-cell pair cost constant as the
+    corpus grows — the fixed-C=8 baseline (quadratic pair space by
+    design, the only sf10 non-survivor in SCALE.md's 100× sweep)
+    moved to the retired sweep as `semantic_dedup_c8`. The corpus
+    has no natural >=0.95-cosine pairs (max 0.51), so scaled copies
+    of every 25th vector are planted (cosine to the parent is
+    exactly 1.0 — scale invariance); oracle derives the SAME C from
+    count(*) and unrolls Lloyd k-means -> final-centroid assignment
+    -> within-cell pairs -> recursive-CTE components."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias(
+            "embedding"
+        ),
+    )
+    return sim.semantic_dedup(
+        emb.select("vec_id", "embedding").unionByName(planted),
+        n_clusters="auto",
+        threshold=0.95,
+        iterations=2,
+    )
+
+
+def q_semantic_dedup_c8(spark, sf_dir):
+    """The pre-r11 fixed-C=8 SemDeDup baseline (retired rotation 7):
+    same planted drop-set, C pinned at 8 — the brute-baseline role
+    (quadratic within-cell pair space at fixed C), kept
+    oracle-checked in the retired sweep while the live row carries
+    the auto-C scale shape."""
     emb = _t(spark, sf_dir, "embeddings")
     planted = emb.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -3572,6 +3599,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (query, oracle) pair below against DuckDB at sf0.001 with the
     driver's own comparator."""
     return {
+        # round-11 retirement (rotation 7: the live semantic_dedup row
+        # now carries the auto-C scale shape — VERDICT r10 Next #2;
+        # the fixed-C=8 baseline stays oracle-checked here)
+        "semantic_dedup_c8": q_semantic_dedup_c8,
         # round-10 retirement (rotation 6: slot carries lm_fixed_ref;
         # order-2 self-scoring stays live via bigram_logprob_lang and
         # exact-equality-pinned to the order-N scorer)
@@ -3635,6 +3666,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _retired_literals() -> dict[str, str]:
     return {
+        "semantic_dedup_c8": _semantic_dedup_oracle(k=8),
         "latest_version": f"""
             SELECT o_custkey, o_orderkey AS latest_orderkey,
                    strftime(o_orderdate, '{TS_FMT_DUCK}') AS latest_date
@@ -3888,7 +3920,17 @@ def _semantic_dedup_oracle(k=8, iters=2, threshold=0.95, d=64) -> str:
     """SemDeDup end-to-end: planted scaled copies (as in
     q_semantic_dedup), unrolled-Lloyd k-means to the FINAL centroids,
     6-decimal cosine assignment (tie -> lowest cell), within-cell
-    pairs at >= threshold, recursive-CTE components, min-id keeper."""
+    pairs at >= threshold, recursive-CTE components, min-id keeper.
+
+    ``k="auto"`` replicates similarity.auto_clusters: C = max(16,
+    ceil(n / 64)) derived from the SAME corpus count — the scale
+    shape the live row pins since r11 (the C grows with N, so the
+    oracle must derive it, not hardcode it)."""
+    k_sql = (
+        "(SELECT greatest(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM e)"
+        if k == "auto"
+        else str(k)
+    )
     parts = [f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
           UNION ALL
@@ -3901,7 +3943,7 @@ def _semantic_dedup_oracle(k=8, iters=2, threshold=0.95, d=64) -> str:
                  AS cell,
                ev AS cv
         FROM e)
-      WHERE cell < {k})"""]
+      WHERE cell < {k_sql})"""]
     for i in range(iters):
         parts.append(f"""
     s{i} AS (
@@ -4119,7 +4161,7 @@ def _r6_oracles() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY score_e6 DESC, doc_id ASC LIMIT 25
         """,
-        "semantic_dedup": _semantic_dedup_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(k="auto"),
         "remove_duplicate_spans": _rm_spans_oracle(),
         "normalize_text": """
             WITH d AS (
