@@ -115,6 +115,12 @@ def main() -> None:
             # pointer-jumping bound every round — iterations ~log2(n),
             # exact_fixpoint must stay true
             "adversarial": cc.adversarial_cc_telemetry(spark),
+            # skewed-hub topology (VERDICT r10 Next #4): one hot
+            # match_value shared by 10⁵ records plus background
+            # pools — the 100 TB skew risk measured per round; the
+            # map-side partial agg collapses the hub key, so
+            # hub_fanout/seconds staying ~linear is the all-clear
+            "adversarial_hub": cc.hub_cc_telemetry(spark),
         }
         with open(
             os.path.join(

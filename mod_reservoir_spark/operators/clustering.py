@@ -241,6 +241,82 @@ def adversarial_cc_telemetry(spark, n: int = 1024) -> dict:
     }
 
 
+def hub_cc_telemetry(
+    spark, hub: int = 100_000, pools: int = 1000, pool_size: int = 5
+) -> dict:
+    """Run connected_components over a SKEWED-HUB graph and return
+    telemetry including the peak per-value fan-out (VERDICT r10 Next
+    #4: the 100 TB clustering risk is skew, not diameter — one hot
+    match_value, a blank ISBN or default title shared by 10⁵ records,
+    concentrates that key's edges in one task of every per-value
+    aggregation and join).
+
+    Topology: ONE value shared by ``hub`` records plus ``pools``
+    background stars of ``pool_size`` records each — the realistic
+    shape where a dirty default key coexists with normal pools. Built
+    with ``spark.range`` (no driver-side row list at 10⁵ scale).
+
+    Why min-label CC tolerates the hub WITHOUT salting: both
+    per-iteration aggregations (value-min and node-min) partial-
+    aggregate map-side, so the hub key leaves each map task as ONE
+    row regardless of fan-out; the remaining skew point is the
+    ``e.join(vmin, "_v")`` edge join, where the hub key's edges land
+    in one task — linear work in hub size, and past AQE's
+    skewedPartitionThreshold the sort-merge partition is split at
+    runtime. The returned ``hub_fanout``/``seconds`` make that
+    argument MEASURED per round (bench sidecar) instead of argued;
+    if seconds ever degrades superlinearly vs hub size, the standard
+    fix is salting the hub key in the star iterations.
+
+    Exactness: the hub forms one component labeled 0 with ``hub``
+    members; each background star keeps its own min-id label — all
+    verified, since a skew-induced truncation would silently split
+    components."""
+    import time as _time
+
+    hub_edges = spark.range(hub).select(
+        F.col("id").alias("global_id"), F.lit("hub").alias("match_value")
+    )
+    bg = spark.range(pools * pool_size).select(
+        (F.lit(hub) + F.col("id")).alias("global_id"),
+        F.concat(
+            F.lit("bg"), F.floor(F.col("id") / pool_size)
+        ).alias("match_value"),
+    )
+    edges = hub_edges.unionByName(bg).repartition(8)
+    fanout = (
+        edges.groupBy("match_value")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]
+        .m
+    )
+    t0 = _time.time()
+    labels = connected_components(edges)
+    sizes = {
+        r.cluster_id: r["count"]
+        for r in labels.groupBy("cluster_id").count().collect()
+    }
+    seconds = round(_time.time() - t0, 2)
+    exact = (
+        len(sizes) == pools + 1
+        and sizes.get(0) == hub
+        and all(
+            sizes.get(hub + p * pool_size) == pool_size
+            for p in range(pools)
+        )
+    )
+    return {
+        "topology": f"hub-{hub}+{pools}x{pool_size}",
+        "edges": LAST_RUN_STATS["edges"],
+        "hub_fanout": int(fanout),
+        "iterations": LAST_RUN_STATS["iterations"],
+        "converged": LAST_RUN_STATS["converged"],
+        "exact_fixpoint": exact,
+        "seconds": seconds,
+    }
+
+
 def cluster_pool(
     match_values: DataFrame,
     match_key_config_id: str,

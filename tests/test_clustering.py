@@ -628,3 +628,22 @@ def test_adversarial_cc_telemetry(spark):
     # still need ≥ 4 rounds (log2(256) = 8 two-hop-ish)
     assert t["iterations"] > 3, t
     assert t["edges"] == 2 * 255
+
+
+def test_hub_cc_telemetry(spark):
+    """The bench sidecar's skewed-hub row (VERDICT r10 Next #4): one
+    hot match_value shared by 20k records plus background stars must
+    converge in the star graphs' 1-2 rounds, reach the exact
+    fixpoint (hub component labeled 0 with ALL hub members — a
+    skew-induced truncation would silently split it), and report the
+    peak per-value fan-out for the round-over-round sidecar."""
+    from mod_reservoir_spark.operators.clustering import hub_cc_telemetry
+
+    t = hub_cc_telemetry(spark, hub=20_000, pools=200, pool_size=5)
+    assert t["converged"] is True
+    assert t["exact_fixpoint"] is True
+    assert t["hub_fanout"] == 20_000
+    assert t["edges"] == 20_000 + 200 * 5
+    # star topology: the seeded first hop labels everything, one
+    # confirming pass — skew must not add rounds
+    assert t["iterations"] <= 2, t
