@@ -1655,12 +1655,18 @@ def q_bigram_logprob_lang(spark, sf_dir):
     replicates the stratified count tables and interpolation
     exactly."""
     docs = _t(spark, sf_dir, "documents")
-    t = tx.ngram_count_tables_combined(docs, 2, strata=("lang",))
+    t, n_windows = tx.ngram_count_tables_combined_n(
+        docs, 2, strata=("lang",)
+    )
     return tx.bigram_logprob_against(
         docs,
         t[0].withColumnRenamed("c", "cb"),
         t[1],
         strata=("lang",),
+        # measured decision, free since r11 (the table build's
+        # checkpoint job IS the count) — the merge-hinted safety
+        # default cost this row the bench-scale broadcast win in r10
+        broadcast_tables=n_windows <= tx.LM_BROADCAST_MAX_WINDOWS,
     )
 
 

@@ -1117,8 +1117,28 @@ def ngram_count_tables_combined(
     """
     from mod_reservoir_spark.pipeline.lm_model import prefix_tables
 
-    prefix, _ = _combined_prefix(docs, order, text_col, strata)
-    return prefix_tables(prefix, order, strata)
+    tables, _ = ngram_count_tables_combined_n(docs, order, text_col, strata)
+    return tables
+
+
+def ngram_count_tables_combined_n(
+    docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    strata: tuple[str, ...] = (),
+) -> tuple[list[DataFrame], int]:
+    """:func:`ngram_count_tables_combined` plus the prefix row count
+    the build already paid for (the checkpoint-materializing job IS a
+    count since r11) — so callers composing their own
+    ``*_logprob_against`` scoring can make the broadcast-vs-merge
+    decision against ``LM_BROADCAST_MAX_WINDOWS`` for free instead of
+    inheriting the merge-hinted safety default. The contract's
+    per-language row regressed exactly this way in r10: the safe
+    default cost it the measured broadcast win at bench scale."""
+    from mod_reservoir_spark.pipeline.lm_model import prefix_tables
+
+    prefix, n_windows = _combined_prefix(docs, order, text_col, strata)
+    return prefix_tables(prefix, order, strata), n_windows
 
 
 def _combined_prefix(
