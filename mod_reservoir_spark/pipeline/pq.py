@@ -410,6 +410,51 @@ def _nan_floor(scored: DataFrame) -> DataFrame:
     )
 
 
+def _cap_select(s, nids, qids, cap):
+    """Per-batch top-``cap`` selection under the EXACT (score desc,
+    neighbor_id asc, NaN floored) total order — the reduction behind
+    the capped Arrow emit. ``s`` is the (n_queries, n_rows) round-6
+    score matrix, ``nids``/``qids`` the candidate/query id vectors.
+    Returns (row, col) index arrays into ``s`` (self-pairs excluded),
+    or None when an id is outside the composite-key bound and the
+    caller must fall back to the unreduced emit.
+
+    Selection uses one composite int64 key per cell + argpartition:
+    NaN → a -2e6 sentinel (below any real round-6 score in ±1e6,
+    matching the -inf floor's sort position), then
+    key = si·2^42 - nid. Bucket width 2^42, NOT 2^41: -nid spans the
+    OPEN interval (-(2^41), 2^41) — a 2^42-wide range — so a 2^41
+    bucket lets (si1 > si2, nid1 - nid2 > 2^41) invert the total
+    order. With 2^42, si1 > si2 gives key1 - key2 >= 2^42 -
+    (nid1 - nid2) > 0 always; |key| <= 2e6·2^42 + 2^41 ≈ 8.8e18 <
+    int64 max. The id bound is checked with explicit min/max, never
+    np.abs: abs(int64.min) overflows back to int64.min (negative) and
+    would slip an abs-based guard (ADVICE r10; both edges pinned in
+    tests/test_pq.py and property-tested against a brute reference)."""
+    import numpy as np
+
+    if not (
+        nids.min(initial=0) > -(1 << 41)
+        and nids.max(initial=0) < (1 << 41)
+    ):
+        return None
+    si = np.where(np.isnan(s), -2_000_000, np.rint(s * 1e6)).astype(
+        np.int64
+    )
+    key = si * (1 << 42) - nids[None, :]
+    imin = np.iinfo(np.int64).min
+    key[nids[None, :] == qids[:, None]] = imin  # self-pairs
+    # partition on key (ascending) and slice the TOP cap — never
+    # argpartition(-key): negating int64.min (the self-pair sentinel)
+    # overflows back to itself and the excluded column rides into the
+    # slice
+    part = np.argpartition(key, len(nids) - cap, axis=1)[:, -cap:]
+    rowq = np.repeat(np.arange(len(qids)), cap)
+    coln = part.ravel()
+    keep = key[rowq, coln] != imin
+    return rowq[keep], coln[keep]
+
+
 def _adc_scored_broadcast(
     codes: DataFrame,
     q_rows,
@@ -432,13 +477,9 @@ def _adc_scored_broadcast(
     Arrow per batch, which OOM'ed netty's direct-memory pool (SCALE.md
     r10). Capped, a batch emits |queries| × cap rows (20k at k=5) —
     a 2000× reduction with bit-identical final top-k (equality-pinned
-    in tests/test_pq.py). Selection uses one composite int64 key
-    (score·1e6 in 2^42-wide buckets, -neighbor_id below) +
-    argpartition — exact because scores are already round-6 and the
-    -id term's 2^42-wide range fits one bucket for |id| < 2^41
-    (larger ids fall back to the unreduced emit; the bound is checked
-    with explicit min/max, never abs, so int64.min cannot overflow
-    past the guard)."""
+    in tests/test_pq.py). Selection is :func:`_cap_select` (composite
+    int64 key + argpartition; ids outside its bound fall back to the
+    unreduced emit)."""
     import numpy as np
     import pandas as pd
 
@@ -467,50 +508,21 @@ def _adc_scored_broadcast(
                 s = np.where(denom > 0, ip / denom, np.nan)
             s = np.round(s, 6)  # (n_queries, n_batch_rows)
             cap = per_query_cap
-            if (
-                cap is not None
-                and len(nids) > cap
-                # explicit min/max bounds, not np.abs: abs(int64.min)
-                # overflows back to int64.min (negative) and would
-                # slip past an abs-based guard
-                and nids.min(initial=0) > -(1 << 41)
-                and nids.max(initial=0) < (1 << 41)
-            ):
-                # NaN -> -2e6 sentinel (below any real round-6 score
-                # in ±1e6), matching the -inf floor's sort position
-                si = np.where(
-                    np.isnan(s), -2_000_000, np.rint(s * 1e6)
-                ).astype(np.int64)
-                # bucket width 2^42, NOT 2^41: -nid spans the OPEN
-                # interval (-(2^41), 2^41) — a 2^42-wide range — so a
-                # 2^41 bucket lets (si1 > si2, nid1 - nid2 > 2^41)
-                # invert the (score desc, id asc) total order. With
-                # 2^42, si1 > si2 gives key1 - key2 >= 2^42 -
-                # (nid1 - nid2) > 0 always. |key| <= 2e6 * 2^42 +
-                # 2^41 ~ 8.8e18 < int64 max.
-                key = si * (1 << 42) - nids[None, :]
-                imin = np.iinfo(np.int64).min
-                key[nids[None, :] == bqids[:, None]] = imin  # self-pairs
-                # partition on key (ascending) and slice the TOP cap —
-                # never argpartition(-key): negating int64.min (the
-                # self-pair sentinel) overflows back to itself and the
-                # excluded column rides into the slice
-                part = np.argpartition(
-                    key, len(nids) - cap, axis=1
-                )[:, -cap:]
-                rowq = np.repeat(np.arange(len(bqids)), cap)
-                coln = part.ravel()
-                keep = key[rowq, coln] != imin
-                rowq, coln = rowq[keep], coln[keep]
-                sel = s[rowq, coln]
-                yield pd.DataFrame(
-                    {
-                        "query_id": bqids[rowq],
-                        "neighbor_id": nids[coln],
-                        "score": np.where(np.isnan(sel), -np.inf, sel),
-                    }
-                )
-                continue
+            if cap is not None and len(nids) > cap:
+                capped = _cap_select(s, nids, bqids, cap)
+                if capped is not None:
+                    rowq, coln = capped
+                    sel = s[rowq, coln]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": bqids[rowq],
+                            "neighbor_id": nids[coln],
+                            "score": np.where(
+                                np.isnan(sel), -np.inf, sel
+                            ),
+                        }
+                    )
+                    continue
             sflat = s.ravel()
             qcol = np.repeat(bqids, len(nids))
             ncol = np.tile(nids, len(bqids))

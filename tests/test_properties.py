@@ -383,3 +383,80 @@ def test_trigram_logprob_matches_python_reference(spark):
             assert got[i] == (len(tris), want), (i, ts)
 
     check()
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_cap_select_matches_brute_order(data):
+    """pq._cap_select must agree with a brute (score desc, id asc,
+    NaN floored, self-pairs excluded) top-cap per query for ANY
+    round-6 score matrix and ANY ids inside its guard bound —
+    including the adversarial mixes (large negative + large positive
+    ids near score ties) that broke the pre-r11 2^41 bucket; ids at
+    or past ±2^41 must return None (the unreduced-emit fallback)."""
+    import numpy as np
+
+    from mod_reservoir_spark.pipeline.pq import _cap_select
+
+    bound = 1 << 41
+    nq = data.draw(st.integers(1, 4))
+    nr = data.draw(st.integers(2, 12))
+    cap = data.draw(st.integers(1, nr - 1))
+    id_pool = st.integers(-(bound - 1), bound - 1) | st.sampled_from(
+        [bound - 1, -(bound - 1), 0, 1, -1, bound - 2, -(bound - 2)]
+    )
+    nids = np.array(
+        data.draw(
+            st.lists(id_pool, min_size=nr, max_size=nr, unique=True)
+        ),
+        dtype=np.int64,
+    )
+    qids = np.array(
+        data.draw(
+            st.lists(id_pool, min_size=nq, max_size=nq, unique=True)
+        ),
+        dtype=np.int64,
+    )
+    # round-6 scores in [-1, 1] with NaNs sprinkled in; near-tie
+    # values (multiples of 1e-6) maximize bucket-boundary stress
+    s = np.round(
+        np.array(
+            data.draw(
+                st.lists(
+                    st.one_of(
+                        st.just(float("nan")),
+                        st.integers(-1_000_000, 1_000_000).map(
+                            lambda v: v / 1e6
+                        ),
+                    ),
+                    min_size=nq * nr,
+                    max_size=nq * nr,
+                )
+            )
+        ).reshape(nq, nr),
+        6,
+    )
+    got = _cap_select(s, nids, qids, cap)
+    assert got is not None
+    rowq, coln = got
+    sel = {(int(rowq[i]), int(coln[i])) for i in range(len(rowq))}
+    for q in range(nq):
+        # brute reference: floor NaN, drop self-pair, sort by
+        # (-score, id), keep first cap columns
+        order = sorted(
+            (c for c in range(nr) if nids[c] != qids[q]),
+            key=lambda c: (
+                -(-2.0 if np.isnan(s[q, c]) else s[q, c]),
+                nids[c],
+            ),
+        )[:cap]
+        assert {(q, c) for c in order} == {
+            (r, c) for (r, c) in sel if r == q
+        }, (q, s[q], nids, qids)
+
+    # out-of-bound ids -> None (fallback), including int64.min whose
+    # abs overflows
+    for bad in (bound, -bound, np.iinfo(np.int64).min):
+        bad_ids = nids.copy()
+        bad_ids[0] = bad
+        assert _cap_select(s, bad_ids, qids, cap) is None
