@@ -292,12 +292,17 @@ def hub_cc_telemetry(
         .m
     )
     t0 = _time.time()
-    labels = connected_components(edges)
+    # materialize the CC output INSIDE the timed window and verify
+    # from the materialized frame outside it — previously `seconds`
+    # was stamped after the verification groupBy/collect, so the
+    # round-over-round "CC time vs hub size" signal silently included
+    # verification job time (ADVICE r11)
+    labels = connected_components(edges).localCheckpoint()
+    seconds = round(_time.time() - t0, 2)
     sizes = {
         r.cluster_id: r["count"]
         for r in labels.groupBy("cluster_id").count().collect()
     }
-    seconds = round(_time.time() - t0, 2)
     exact = (
         len(sizes) == pools + 1
         and sizes.get(0) == hub

@@ -157,22 +157,24 @@ def write_lm_model(
 
 
 def _read_model(
-    spark: SparkSession, path: str
-) -> tuple[DataFrame, int, tuple[str, ...], int]:
+    spark: SparkSession, path: str, want_n_windows: bool = True
+) -> tuple[DataFrame, int, tuple[str, ...], int | None]:
     """One meta collect per call (ADVICE r10: the serving path used to
     read + collect the sidecar twice — read_lm_model then a separate
     _model_n_windows — two extra driver round-trips per score).
     n_windows comes from the same collected row when present (written
-    since r10), else a metadata-only parquet count of the prefix
-    (pre-r10 models)."""
+    since r10); for pre-r10 models it is a metadata-only parquet count
+    of the prefix, paid ONLY when the caller asked for it
+    (``want_n_windows`` — ADVICE r11: read_lm_model / lm_model_tables
+    discard n_windows, so they must never pay the fallback count job).
+    Returns n_windows=None when not wanted and not in the sidecar."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     strata = tuple(s for s in meta.strata.split(",") if s)
     prefix = spark.read.parquet(f"{path}/prefix")
-    n_windows = (
-        int(meta.n_windows)
-        if "n_windows" in meta.__fields__
-        else prefix.count()
-    )
+    if "n_windows" in meta.__fields__:
+        n_windows = int(meta.n_windows)
+    else:
+        n_windows = prefix.count() if want_n_windows else None
     return prefix, int(meta.order), strata, n_windows
 
 
@@ -180,8 +182,10 @@ def read_lm_model(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, int, tuple[str, ...]]:
     """(prefix, order, strata) back from :func:`write_lm_model` — the
-    prefix frame stays lazy (column-pruned, parallel parquet scan)."""
-    prefix, order, strata, _ = _read_model(spark, path)
+    prefix frame stays lazy (column-pruned, parallel parquet scan); no
+    Spark job runs even for a pre-r10 model without sidecar
+    n_windows."""
+    prefix, order, strata, _ = _read_model(spark, path, want_n_windows=False)
     return prefix, order, strata
 
 

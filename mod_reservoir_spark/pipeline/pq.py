@@ -438,6 +438,18 @@ def _cap_select(s, nids, qids, cap):
         and nids.max(initial=0) < (1 << 41)
     ):
         return None
+    # the composite key's overflow bound assumes scores in [-1, 1]
+    # (si within ±1e6 → |key| ≤ ~8.8e18): true for every current
+    # caller (ADC cosine approximations), but this is a module-level
+    # helper now, so a future caller with unbounded scores must hit
+    # the same None fallback as out-of-range ids, not a silent int64
+    # wrap that scrambles the total order (ADVICE r11). Threshold
+    # 1.001: tolerant of quantization/float slack on a true cosine,
+    # still far below the ~2.0 where |key| actually overflows (the
+    # -2e6 NaN sentinel already proves ±2e6 si is representable).
+    finite = s[~np.isnan(s)]
+    if finite.size and float(np.abs(finite).max()) > 1.001:
+        return None
     si = np.where(np.isnan(s), -2_000_000, np.rint(s * 1e6)).astype(
         np.int64
     )

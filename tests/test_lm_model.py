@@ -275,6 +275,54 @@ def test_score_under_pre_r10_model_without_n_windows(spark, tmp_path):
     assert fresh.count() == docs.count()
 
 
+def test_read_lm_model_pre_r10_skips_fallback_count(spark, tmp_path):
+    """ADVICE r11: read_lm_model / lm_model_tables discard n_windows,
+    so reading a pre-r10 model (meta without the field) must not pay
+    the fallback prefix.count() job — pinned by comparing the job
+    count of a pre-r10 read against a current-shape read (identical
+    iff the fallback count never runs)."""
+    import time
+
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        read_lm_model,
+        write_lm_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "m")
+    write_lm_model(build_lm_prefix(docs, 2), 2, path)
+    sc = spark.sparkContext
+
+    def jobs_in(group):
+        prev, same = -1, 0
+        for _ in range(50):
+            n = len(sc.statusTracker().getJobIdsForGroup(group))
+            same = same + 1 if n == prev else 0
+            if same >= 3:
+                return n
+            prev = n
+            time.sleep(0.05)
+        return prev
+
+    sc.setJobGroup("lm_read_current", "read with sidecar n_windows")
+    read_lm_model(spark, path)
+    current_jobs = jobs_in("lm_read_current")
+
+    spark.createDataFrame([(2, "")], "order int, strata string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    sc.setJobGroup("lm_read_prer10", "read without sidecar n_windows")
+    prefix, order, strata = read_lm_model(spark, path)
+    pre_jobs = jobs_in("lm_read_prer10")
+    sc.setJobGroup("lm_read_done", "")
+
+    assert (order, strata) == (2, ())
+    assert pre_jobs == current_jobs, (pre_jobs, current_jobs)
+
+
 def test_model_over_threshold_flips_to_merge_end_to_end(spark, tmp_path):
     """r10 VERDICT Next #6: the broadcast->merge cutover driven from a
     PERSISTED model whose recorded n_windows genuinely exceeds

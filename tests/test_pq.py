@@ -475,3 +475,25 @@ def test_adc_cap_int64_min_id_falls_back(spark):
         (5, 0.5),
         (imin, 0.499999),
     ]
+
+
+def test_cap_select_out_of_range_scores_fall_back():
+    """ADVICE r11: _cap_select's int64 composite key silently assumed
+    scores in [-1, 1]; a future caller with unbounded scores must get
+    the same None fallback out-of-range ids do, never wrapped-key
+    ordering. NaN-only batches stay on the fast path (the sentinel
+    handles them)."""
+    import numpy as np
+
+    from mod_reservoir_spark.pipeline.pq import _cap_select
+
+    nids = np.array([1, 2, 3], dtype=np.int64)
+    qids = np.array([9], dtype=np.int64)
+    ok = np.array([[0.5, np.nan, -1.0]])
+    assert _cap_select(ok, nids, qids, 2) is not None
+    too_big = np.array([[0.5, 3.7, -1.0]])
+    assert _cap_select(too_big, nids, qids, 2) is None
+    too_small = np.array([[0.5, -3.7, 1.0]])
+    assert _cap_select(too_small, nids, qids, 2) is None
+    all_nan = np.full((1, 3), np.nan)
+    assert _cap_select(all_nan, nids, qids, 2) is not None

@@ -36,9 +36,20 @@ def one_run(i: int) -> dict:
         raise RuntimeError(
             f"bench run {i} failed rc={out.returncode}:\n{out.stderr[-2000:]}"
         )
-    # bench prints ONE JSON line (the last line of stdout)
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    # bench prints ONE JSON line (the last line of stdout). A missing
+    # or malformed line used to raise a bare IndexError that threw
+    # away every already-completed run (ADVICE r11) — fail with the
+    # captured output instead so the operator can see what bench did.
+    lines = [
+        ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    if not lines:
+        raise RuntimeError(
+            f"bench run {i} rc=0 but printed no JSON line.\n"
+            f"stdout tail: {out.stdout[-1000:]!r}\n"
+            f"stderr tail: {out.stderr[-1000:]!r}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> int:
@@ -55,7 +66,21 @@ def main() -> int:
             f"({r['metric']}, sf {r['sf']})",
             flush=True,
         )
-    names = sorted(runs[0]["queries"])
+    # runs can disagree on query sets (a contract rotation between
+    # draws); indexing blindly raised KeyError and lost every run
+    # (ADVICE r11) — aggregate over the intersection and say what was
+    # dropped
+    common = set(runs[0]["queries"])
+    for r in runs[1:]:
+        common &= set(r["queries"])
+    dropped = sorted(set().union(*(r["queries"] for r in runs)) - common)
+    if dropped:
+        print(
+            f"WARNING: {len(dropped)} queries not present in every "
+            f"run, excluded from the artifact: {dropped}",
+            flush=True,
+        )
+    names = sorted(common)
     queries = {}
     for q in names:
         vals = [r["queries"][q] for r in runs]
