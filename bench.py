@@ -47,6 +47,93 @@ HEADLINE = [
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
+def band_check(
+    timings: dict[str, float],
+    total: float,
+    sf: str,
+    path: str | None = None,
+) -> dict | None:
+    """Compare this draw against BENCH_ADJUDICATED's per-query
+    [min, max] bands and report every violation mechanically (VERDICT
+    r11 Next #1: the r10 drift and the two above-band r11 rows were
+    both HAND-spotted; nobody's job was to notice, so a round of
+    adjudication got burned each time).
+
+    The bands are multi-period independent-process spreads (this box's
+    cross-period drift is ~1.30× while in-session spread is ~4%, so a
+    draw outside the band is either a NEW box period or a code event —
+    either way it needs triage, which is exactly what the verdict
+    should see without a human diffing JSON). Violations are reported,
+    never fatal: a legitimate new box period puts many untouched rows
+    on the same side of their bands at once, and that correlated
+    pattern IS the box-weather signature (code events move the rows
+    the diff touched). Rows not in the artifact (fresh promotions) are
+    listed as `no_band` — the band-refresh rule says they get ≥3 fresh
+    independent draws folded in the same round their code lands.
+    Returns None (and stays out of the sidecar) when the artifact is
+    missing or was drawn at a different SF."""
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_ADJUDICATED.json",
+        )
+    try:
+        with open(path) as f:
+            adj = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if float(adj.get("sf", -1)) != float(sf):
+        return None
+    bands = adj.get("queries", {})
+    violations = []
+    no_band = []
+    for name, drawn in timings.items():
+        b = bands.get(name)
+        if not b:
+            no_band.append(name)
+            continue
+        if drawn < b["min"] or drawn > b["max"]:
+            violations.append(
+                {
+                    "query": name,
+                    "draw": drawn,
+                    "band": [b["min"], b["max"]],
+                    "median": b["median"],
+                    "side": "above" if drawn > b["max"] else "below",
+                    "ratio_to_median": round(drawn / b["median"], 2)
+                    if b["median"]
+                    else None,
+                }
+            )
+    hb = adj.get("headline", {})
+    out = {
+        "artifact": "BENCH_ADJUDICATED.json",
+        "protocol": adj.get("protocol", ""),
+        "checked": len(timings) - len(no_band),
+        "violations": sorted(
+            violations,
+            key=lambda v: -(v["ratio_to_median"] or 0),
+        ),
+        "no_band": sorted(no_band),
+    }
+    if hb:
+        out["headline"] = {
+            "draw": total,
+            "band": [hb.get("min"), hb.get("max")],
+            "in_band": hb.get("min", 0) <= total <= hb.get("max", 1e9),
+        }
+    # a one-line human summary on stderr (stdout stays the ONE JSON
+    # line the driver contract requires)
+    n_out = len(violations)
+    print(
+        f"band_check: {n_out} of {out['checked']} rows outside their "
+        f"adjudicated band; {len(no_band)} rows without a band",
+        file=sys.stderr,
+        flush=True,
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -142,6 +229,9 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
     }
+    band = band_check(timings, total, sf)
+    if band is not None:
+        payload["band_check"] = band
     # full artifact beside bench.py, immune to any stdout cap
     with open(
         os.path.join(

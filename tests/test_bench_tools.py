@@ -1,0 +1,122 @@
+"""The bench band check + band-refresh fold (VERDICT r11 Next #1):
+bench.py compares every row's draw against BENCH_ADJUDICATED's
+[min, max] band and writes violations into the sidecar mechanically;
+tools/bench_median.py --fold appends fresh independent draws as a new
+box period so a row whose code changed (or a fresh promotion) gets its
+band re-drawn the same round. No Spark needed — both are pure-JSON
+logic tested against synthetic artifacts."""
+
+import json
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+
+ADJ = {
+    "protocol": "synthetic",
+    "metric": "headline_total",
+    "sf": 0.1,
+    "periods": {"first": [20.0, 21.0]},
+    "headline": {"median": 20.5, "min": 20.0, "max": 21.0,
+                 "runs": [20.0, 21.0]},
+    "queries": {
+        "q_stable": {"median": 1.0, "min": 0.9, "max": 1.1,
+                     "runs": [0.9, 1.1]},
+        "q_drifty": {"median": 2.0, "min": 1.8, "max": 2.2,
+                     "runs": [1.8, 2.2]},
+    },
+}
+
+
+@pytest.fixture()
+def adj_file(tmp_path):
+    import bench
+
+    dest = tmp_path / "BENCH_ADJUDICATED.json"
+    dest.write_text(json.dumps(ADJ))
+    return bench, str(dest)
+
+
+def test_band_check_flags_violations_and_fresh_rows(adj_file):
+    bench, path = adj_file
+    out = bench.band_check(
+        {"q_stable": 1.0, "q_drifty": 3.1, "q_new": 0.4},
+        20.5,
+        "0.1",
+        path=path,
+    )
+    assert out is not None
+    assert out["no_band"] == ["q_new"]
+    assert [v["query"] for v in out["violations"]] == ["q_drifty"]
+    v = out["violations"][0]
+    assert v["side"] == "above" and v["band"] == [1.8, 2.2]
+    assert out["headline"]["in_band"] is True
+
+
+def test_band_check_skips_mismatched_sf(adj_file):
+    bench, path = adj_file
+    assert (
+        bench.band_check({"q_stable": 1.0}, 20.5, "0.01", path=path)
+        is None
+    )
+
+
+def test_band_check_missing_artifact_is_none():
+    import bench
+
+    assert (
+        bench.band_check({"q": 1.0}, 1.0, "0.1", path="/nonexistent.json")
+        is None
+    )
+
+
+def test_band_check_below_side(adj_file):
+    bench, path = adj_file
+    out = bench.band_check({"q_drifty": 0.5}, 20.5, "0.1", path=path)
+    assert out["violations"][0]["side"] == "below"
+
+
+def test_fold_appends_period_and_recomputes(tmp_path):
+    import bench_median
+
+    dest = str(tmp_path / "adj.json")
+    with open(dest, "w") as f:
+        json.dump(ADJ, f)
+    runs = [
+        {"value": 22.0, "sf": 0.1, "metric": "headline_total",
+         "queries": {"q_stable": 1.3, "q_new": 0.4}},
+        {"value": 19.0, "sf": 0.1, "metric": "headline_total",
+         "queries": {"q_stable": 0.8, "q_new": 0.5}},
+    ]
+    art = bench_median.fold(dest, runs, "r12")
+    assert art["periods"]["r12"] == [22.0, 19.0]
+    # widened band over ALL runs, not just the fresh ones
+    q = art["queries"]["q_stable"]
+    assert q["runs"] == [0.9, 1.1, 1.3, 0.8]
+    assert (q["min"], q["max"]) == (0.8, 1.3)
+    # fresh promotion gets its first band from the fold alone
+    assert art["queries"]["q_new"]["runs"] == [0.4, 0.5]
+    # a query that left the contract keeps its historical band
+    assert art["queries"]["q_drifty"]["runs"] == [1.8, 2.2]
+    assert len(art["headline"]["runs"]) == 4
+
+
+def test_fold_refuses_cross_sf_and_duplicate_period(tmp_path):
+    import bench_median
+
+    dest = str(tmp_path / "adj.json")
+    with open(dest, "w") as f:
+        json.dump(ADJ, f)
+    bad_sf = [{"value": 1.0, "sf": 0.01, "metric": "headline_total",
+               "queries": {}}]
+    with pytest.raises(RuntimeError, match="scale factors"):
+        bench_median.fold(dest, bad_sf, None)
+    dup = [{"value": 1.0, "sf": 0.1, "metric": "headline_total",
+            "queries": {}}]
+    with pytest.raises(RuntimeError, match="already recorded"):
+        bench_median.fold(dest, dup, "first")

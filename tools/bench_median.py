@@ -7,10 +7,20 @@ can cite median AND spread instead of a single draw on a box with
 documented 1.5x run-to-run variance.
 
 Usage:
-    python tools/bench_median.py [N] [out.json]
+    python tools/bench_median.py [N] [out.json] [--fold --period NAME]
 Defaults: N=3, out=BENCH_ADJUDICATED.json (repo root). bench.py's own
 env knobs ($SPARK_GRAFT_SF_DIR, $SPARK_GRAFT_CPUS, $SPARK_GRAFT_REPEATS)
 apply to each run unchanged.
+
+``--fold``: instead of overwriting the artifact, append this session's
+draws as a NEW box period and recompute every query's median/min/max
+over ALL recorded runs — the band-refresh rule (VERDICT r11 Next #1):
+a row whose code changes gets >=3 fresh independent draws folded into
+its band the same round, and a fresh promotion gets its first band
+from the fold. Queries new to the contract enter with only the fresh
+runs; queries that left it keep their historical band (they stay in
+the retired bench basket). ``--period`` names the period (default
+``p<k>`` for the next k).
 """
 
 from __future__ import annotations
@@ -52,9 +62,60 @@ def one_run(i: int) -> dict:
     return json.loads(lines[-1])
 
 
+def fold(dest: str, runs: list[dict], period: str | None) -> dict:
+    """Merge this session's draws into an existing artifact as a new
+    period; per-query stats recomputed over all runs ever recorded."""
+    with open(dest) as f:
+        art = json.load(f)
+    if float(art.get("sf", -1)) != float(runs[0]["sf"]):
+        raise RuntimeError(
+            f"artifact sf {art.get('sf')} != run sf {runs[0]['sf']} — "
+            "refusing to fold draws across scale factors"
+        )
+    periods = art.setdefault("periods", {})
+    if period is None:
+        k = 1
+        while f"p{k}" in periods:
+            k += 1
+        period = f"p{k}"
+    if period in periods:
+        raise RuntimeError(f"period {period!r} already recorded")
+    periods[period] = [r["value"] for r in runs]
+    queries = art.setdefault("queries", {})
+    fresh_names = set().union(*(r["queries"] for r in runs))
+    for q in fresh_names:
+        vals = [r["queries"][q] for r in runs if q in r["queries"]]
+        entry = queries.setdefault(q, {"runs": []})
+        entry["runs"] = entry.get("runs", []) + vals
+        entry["median"] = round(statistics.median(entry["runs"]), 3)
+        entry["min"] = min(entry["runs"])
+        entry["max"] = max(entry["runs"])
+    hl = art.setdefault("headline", {"runs": []})
+    hl["runs"] = hl.get("runs", []) + [r["value"] for r in runs]
+    hl["median"] = round(statistics.median(hl["runs"]), 3)
+    hl["min"] = min(hl["runs"])
+    hl["max"] = max(hl["runs"])
+    n_periods = len(periods)
+    n_runs = len(hl["runs"])
+    art["protocol"] = (
+        f"{n_runs} independent bench.py processes across "
+        f"{n_periods} box periods (tools/bench_median.py, folded) - "
+        "per-query median + spread over all draws"
+    )
+    return art
+
+
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    dest = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    argv = sys.argv[1:]
+    do_fold = "--fold" in argv
+    period = None
+    if "--period" in argv:
+        i = argv.index("--period")
+        period = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 3
+    dest = args[1] if len(args) > 1 else os.path.join(
         ROOT, "BENCH_ADJUDICATED.json"
     )
     runs = []
@@ -66,6 +127,18 @@ def main() -> int:
             f"({r['metric']}, sf {r['sf']})",
             flush=True,
         )
+    if do_fold:
+        artifact = fold(dest, runs, period)
+        with open(dest, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(
+            f"folded {n} fresh draws into {dest}: headline median "
+            f"{artifact['headline']['median']} s over "
+            f"{len(artifact['headline']['runs'])} total runs, spread "
+            f"[{artifact['headline']['min']}, "
+            f"{artifact['headline']['max']}]"
+        )
+        return 0
     # runs can disagree on query sets (a contract rotation between
     # draws); indexing blindly raised KeyError and lost every run
     # (ADVICE r11) — aggregate over the intersection and say what was
