@@ -1715,6 +1715,25 @@ def q_ngram_logprob(spark, sf_dir):
     return tx.ngram_logprob_scores(_t(spark, sf_dir, "documents"), 5)
 
 
+def q_kn_logprob(spark, sf_dir):
+    """Order-5 **interpolated Kneser-Ney** LM self-scoring (VERDICT
+    r11 Next #2 — the actual KenLM smoothing CCNet's production
+    perplexity gate runs, vs. the JM interpolation the rest of the LM
+    family pins): top order discounts raw counts by D=0.75 and routes
+    the leftover mass through distinct-continuation weights; middle
+    orders score CONTINUATION counts (how many distinct words precede
+    the n-gram — Kneser & Ney 1995); base is the continuation unigram
+    over distinct bigram types. Same 5-gram windows and count artifact
+    as the ngram_logprob row (the one-pass combined prefix build), so
+    the two rows differ ONLY in smoothing arithmetic —
+    pipeline/text.py kn_logprob_scores, equality-pinned against an
+    independent pure-Python reference incl. OOV/backoff paths in
+    tests/test_kn.py. Oracle: continuation counts via
+    count(DISTINCT predecessor), folds window-functioned in, discounts
+    CAST to DOUBLE, the same bottom-up float recursion."""
+    return tx.kn_logprob_scores(_t(spark, sf_dir, "documents"), 5)
+
+
 def q_url_dedup(spark, sf_dir):
     """Crawl-first URL-level dedup (pipeline/text.py url_dedup +
     canonical_url_expr): canonicalization (fragment/www/port strip,
@@ -2049,7 +2068,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the order-3 LM, URL-level dedup and the streaming LM fold
         # take the slots
         "ivf_pq_topk": q_ivf_pq_topk,
-        "trigram_logprob": q_trigram_logprob,
+        # round-12 promotion (rotation 8 — VERDICT r11 Next #2): the
+        # Kneser-Ney 5-gram row takes trigram_logprob's slot (two
+        # rounds stable; order-3 JM stays oracle-checked in the
+        # retired sweep and order-2/5 JM stay live via
+        # bigram_logprob_lang / ngram_logprob)
+        "kn_logprob": q_kn_logprob,
         "url_dedup": q_url_dedup,
         "lm_stream_counts": q_lm_stream_counts,
         "split_assign": q_split_assign,
@@ -3605,6 +3629,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (query, oracle) pair below against DuckDB at sf0.001 with the
     driver's own comparator."""
     return {
+        # round-12 retirement (rotation 8: slot carries kn_logprob —
+        # order-3 JM arithmetic stays pinned here plus transitively
+        # through the live order-5 row and the exact-equality tests)
+        "trigram_logprob": q_trigram_logprob,
         # round-11 retirement (rotation 7: the live semantic_dedup row
         # now carries the auto-C scale shape — VERDICT r10 Next #2;
         # the fixed-C=8 baseline stays oracle-checked here)
@@ -5117,6 +5145,122 @@ def _ngram_logprob_oracle(n: int = 5) -> str:
     """
 
 
+def _kn_logprob_oracle(n: int = 5, d_ppm: int = 750000) -> str:
+    """q_kn_logprob replicated: interpolated Kneser-Ney at order n,
+    self-scoring. Top order = raw counts with (context total, distinct
+    continuations) window-folded in; middle orders = CONTINUATION
+    counts — count(DISTINCT predecessor) over the (j+1)-gram positions
+    grouped by the last j words, with (ccdot, ncont) folds; base =
+    continuation unigram over distinct bigram types. Discounts CAST to
+    DOUBLE so DuckDB never drops into decimal arithmetic, and the
+    nested expression mirrors the Spark recursion's float-op order
+    exactly ((greatest(c−D,0) + (D·ncont)·p_lower)/total, built
+    bottom-up). Self-scoring keeps every join key seen — every window
+    is a member of the tables it probes — so plain LEFT JOINs match
+    and none of the scorer's unseen-context fallthroughs fire."""
+    d = repr(d_ppm / 1000000.0)
+    ctes = [f"t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"]
+    gram_cols = ", ".join(
+        f"toks[i + {j}] AS w{j + 1}" for j in range(n)
+    )
+    pd_keys = ", ".join(f"w{j}" for j in range(1, n + 1))
+    ctes.append(f"""gN AS (
+      SELECT doc_id, {gram_cols}
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {n - 2}))
+            AS i FROM t WHERE len(toks) >= {n}))""")
+    ctes.append(f"""p AS (
+      SELECT doc_id, {pd_keys}, CAST(count(*) AS BIGINT) AS tf
+      FROM gN GROUP BY ALL)""")
+    # top order: raw counts + (sum, distinct-continuation) folds
+    tkeys = ", ".join(f"w{i}" for i in range(1, n + 1))
+    tctx = ", ".join(f"w{i}" for i in range(1, n))
+    ctes.append(f"""c{n} AS (
+      SELECT {tkeys}, c,
+             CAST(sum(c) OVER (PARTITION BY {tctx}) AS BIGINT) AS x,
+             CAST(count(*) OVER (PARTITION BY {tctx}) AS BIGINT) AS n1p
+      FROM (
+        SELECT {tkeys}, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT {gram_cols}
+              FROM (SELECT toks,
+                           unnest(range(1, len(toks) - {n - 2})) AS i
+                    FROM t WHERE len(toks) >= {n}))
+        GROUP BY ALL))""")
+    # middle orders j: continuation counts from (j+1)-gram positions
+    for j in range(2, n):
+        src_cols = ", ".join(
+            ["toks[i] AS w0p"]
+            + [f"toks[i + {m}] AS v{m}" for m in range(1, j + 1)]
+        )
+        vkeys = ", ".join(f"v{m}" for m in range(1, j + 1))
+        vctx = ", ".join(f"v{m}" for m in range(1, j))
+        ctes.append(f"""cc{j} AS (
+      SELECT {vkeys}, cc,
+             CAST(sum(cc) OVER (PARTITION BY {vctx}) AS BIGINT)
+               AS ccdot,
+             CAST(count(*) OVER (PARTITION BY {vctx}) AS BIGINT)
+               AS ncont
+      FROM (
+        SELECT {vkeys}, CAST(count(DISTINCT w0p) AS BIGINT) AS cc
+        FROM (SELECT {src_cols}
+              FROM (SELECT toks,
+                           unnest(range(1, len(toks) - {j - 1})) AS i
+                    FROM t WHERE len(toks) >= {j + 1}))
+        GROUP BY ALL))""")
+    # continuation-unigram base over distinct bigram types
+    ctes.append(f"""u AS (
+      SELECT w2 AS term, CAST(count(DISTINCT w1) AS BIGINT) AS cc
+      FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2))
+      GROUP BY 1)""")
+    ctes.append("""bt AS (
+      SELECT CAST(count(*) AS BIGINT) AS total
+      FROM (SELECT DISTINCT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2)))""")
+    # the KN recursion, bottom-up (identical float-op order to Spark)
+    pe = "u.cc / CAST(bt.total AS DOUBLE)"
+    for j in range(2, n):
+        pe = (
+            f"(greatest(cc{j}.cc - CAST({d} AS DOUBLE), 0.0)\n"
+            f"                   + CAST({d} AS DOUBLE) * cc{j}.ncont"
+            f" * ({pe})) / cc{j}.ccdot"
+        )
+    pe = (
+        f"(greatest(c{n}.c - CAST({d} AS DOUBLE), 0.0)\n"
+        f"                   + CAST({d} AS DOUBLE) * c{n}.n1p"
+        f" * ({pe})) / c{n}.x"
+    )
+    joins = []
+    for j in range(2, n):
+        on_cc = " AND ".join(
+            f"cc{j}.v{m} = p.w{n - j + m}" for m in range(1, j + 1)
+        )
+        joins.append(f"LEFT JOIN cc{j} ON {on_cc}")
+    on_top = " AND ".join(f"c{n}.w{i} = p.w{i}" for i in range(1, n + 1))
+    joins.append(f"LEFT JOIN c{n} ON {on_top}")
+    joins.append(f"LEFT JOIN u ON u.term = p.w{n}")
+    joins.append("CROSS JOIN bt")
+    body = f"""scored AS (
+      SELECT p.doc_id,
+             CAST(sum(p.tf) AS BIGINT) AS n_ngrams,
+             CAST(round(sum(p.tf * -ln(
+                 {pe}
+             )) / sum(p.tf) * 1000000) AS BIGINT) AS mean_nll_e6
+      FROM p
+      {chr(10).join('      ' + jn for jn in joins)}
+      GROUP BY 1
+    )"""
+    ctes.append(body)
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT d.doc_id,
+           COALESCE(s.n_ngrams, 0) AS n_ngrams,
+           COALESCE(s.mean_nll_e6, 0) AS mean_nll_e6
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
 def _lm_fixed_ref_oracle() -> str:
     """q_lm_fixed_ref replicated: order-3 count tables built from the
     TRAIN half only (the persisted model's content — the streaming
@@ -5411,6 +5555,15 @@ def _r10_oracles() -> dict[str, str]:
     }
 
 
+def _r12_oracles() -> dict[str, str]:
+    return {
+        # interpolated Kneser-Ney at the 5-gram KenLM shape:
+        # continuation counts via count(DISTINCT predecessor), the
+        # same bottom-up discount recursion in CAST-to-DOUBLE floats
+        "kn_logprob": _kn_logprob_oracle(5),
+    }
+
+
 def _oracle_pool() -> dict[str, str]:
     """Every oracle the contract has ever carried, live or retired —
     oracle_sql()/retired_oracle_sql() select from this pool by the
@@ -5424,6 +5577,7 @@ def _oracle_pool() -> dict[str, str]:
     pool.update(_r8_oracles())
     pool.update(_r9_oracles())
     pool.update(_r10_oracles())
+    pool.update(_r12_oracles())
     return pool
 
 

@@ -204,6 +204,8 @@ def score_under_model(
     lambdas_ppm: tuple[int, ...] | None = None,
     oov_ppm: int = 1,
     short_docs: str = "backoff",
+    smoothing: str = "jm",
+    discounts_ppm: int | tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Score documents under a persisted reference model — the whole
     CCNet serving path in one call. ``short_docs`` defaults to
@@ -211,23 +213,52 @@ def score_under_model(
     ``"zero"``): a persisted-reference deployment is the production
     shape, and production KenLM never exempts short docs. Strata
     recorded at write time are honored automatically (docs must carry
-    those columns)."""
+    those columns).
+
+    ``smoothing``: ``"jm"`` (Jelinek-Mercer interpolation, weights via
+    ``lambdas_ppm``) or ``"kn"`` (interpolated Kneser-Ney — the actual
+    KenLM arithmetic, discounts via ``discounts_ppm``). One persisted
+    prefix artifact serves both: every count either smoothing needs
+    derives from it (continuation counts are distinct-row counts over
+    the same derived tables)."""
     from mod_reservoir_spark.pipeline.text import (
         LM_BROADCAST_MAX_WINDOWS,
+        kn_logprob_against,
         ngram_logprob_against,
     )
 
+    if smoothing not in ("jm", "kn"):
+        raise ValueError(f"smoothing must be jm|kn, got {smoothing}")
     prefix, order, strata, n_windows = _read_model(spark, path)
+    tables = prefix_tables(prefix, order, strata)
+    # join strategy from the MODEL's recorded size, never Spark's
+    # estimate (text.py _table_side: the estimate mis-broadcasts
+    # corpus-sized tables at scale)
+    bcast = n_windows <= LM_BROADCAST_MAX_WINDOWS
+    if smoothing == "kn":
+        if lambdas_ppm is not None:
+            raise ValueError("lambdas_ppm is a jm parameter; kn takes "
+                             "discounts_ppm")
+        return kn_logprob_against(
+            docs,
+            tables,
+            text_col=text_col,
+            discounts_ppm=discounts_ppm,
+            oov_ppm=oov_ppm,
+            strata=strata,
+            short_docs=short_docs,
+            broadcast_tables=bcast,
+        )
+    if discounts_ppm is not None:
+        raise ValueError("discounts_ppm is a kn parameter; jm takes "
+                         "lambdas_ppm")
     return ngram_logprob_against(
         docs,
-        prefix_tables(prefix, order, strata),
+        tables,
         text_col=text_col,
         lambdas_ppm=lambdas_ppm,
         oov_ppm=oov_ppm,
         strata=strata,
         short_docs=short_docs,
-        # join strategy from the MODEL's recorded size, never Spark's
-        # estimate (text.py _table_side: the estimate mis-broadcasts
-        # corpus-sized tables at scale)
-        broadcast_tables=n_windows <= LM_BROADCAST_MAX_WINDOWS,
+        broadcast_tables=bcast,
     )

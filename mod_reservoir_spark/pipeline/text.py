@@ -1461,6 +1461,293 @@ def ngram_logprob_scores(
     )
 
 
+# default absolute discount (ppm) for the Kneser-Ney family — KenLM's
+# classic single-discount neighborhood (the modified-KN per-count
+# discounts D1/D2/D3+ estimated from counts-of-counts typically land
+# in [0.5, 1.0) on natural text; 0.75 is the textbook fixed choice,
+# Chen & Goodman 1999 §3). Kept a FIXED rational rather than estimated
+# so the probability arithmetic is a deterministic function of the
+# integer count tables — the property that lets the DuckDB oracle
+# reproduce scores bit-for-bit and lets two engines agree at e6
+# rounding. Pass explicit discounts_ppm to tune per order.
+_KN_DEFAULT_DISCOUNT_PPM = 750000
+
+
+def kn_logprob_against(
+    docs: DataFrame,
+    tables: list[DataFrame],
+    text_col: str = "text",
+    discounts_ppm: int | tuple[int, ...] | None = None,
+    oov_ppm: int = 1,
+    strata: tuple[str, ...] = (),
+    short_docs: str = "zero",
+    broadcast_tables: bool = False,
+) -> DataFrame:
+    """Per-document mean NLL under an order-N **interpolated
+    Kneser-Ney** model — the actual KenLM smoothing CCNet's production
+    perplexity gate uses (Wenzek et al. 2020; Kneser & Ney 1995; Chen
+    & Goodman 1999), the alternative to the Jelinek-Mercer
+    interpolation of :func:`ngram_logprob_against`:
+
+    - **top order N** (raw counts): p_N(w | u) =
+      max(c(u·w) − D, 0)/c(u·) + D · N1+(u·)/c(u·) · p_{N−1}
+      where N1+(u·) is the number of DISTINCT continuations of
+      context u — the leftover discount mass is spread over the
+      lower-order estimate in proportion to how "open" the context is.
+    - **middle orders j < N** (continuation counts): the same shape
+      with c replaced by N1+(·v·w) — how many distinct words PRECEDE
+      the j-gram — so a word seen in many contexts ("francisco" vs
+      "the") is preferred by backoff exactly as KN prescribes.
+    - **unigram base**: p_1(w) = N1+(·w) / N1+(··) (continuation
+      unigram over distinct bigram types); an unseen w takes the
+      family's ``oov_ppm``/1e6 floor.
+    - **unseen context** at any order: p_j = p_{j−1} unchanged
+      (backoff weight 1 — the KenLM convention), which also gives the
+      ``short_docs="backoff"`` contract proper normalization: orders
+      a t-token doc cannot support pass straight through instead of
+      dropping interpolation mass (the JM scorer's documented
+      short-doc bias does NOT apply here).
+
+    No BOS/EOS markers, matching the rest of the family: only full
+    N-windows score (continuation counts are "distinct predecessors
+    within the corpus", the natural no-boundary analog).
+
+    ``tables``: the :func:`ngram_count_tables` /
+    :func:`~mod_reservoir_spark.pipeline.lm_model.prefix_tables` list
+    (highest order first, unigrams last) — the SAME artifact the JM
+    scorers take, so one persisted prefix model serves both
+    smoothings; the raw-unigram table is accepted but unused (the
+    base is the continuation unigram derived from the bigram table).
+    ``discounts_ppm``: one absolute discount per conditional order,
+    highest first, or a single int for all orders (default
+    ``_KN_DEFAULT_DISCOUNT_PPM``); each must be in (0, 1e6) — D ≥ 1
+    would zero a singleton's numerator and D ≤ 0 removes the backoff
+    mass that keeps unseen-but-valid n-grams away from -log(0).
+
+    Scale shape: every continuation/context table FOLDS from the
+    count tables before the per-doc joins (vocab-sized frames, all
+    derived from the one prefix scan), so the per-doc N-gram frame
+    joins 2(N−1)+1 times — two per conditional order (count on the
+    full j keys, context fold on the j−1 context keys; unlike JM the
+    context must attach even where the count misses, because an
+    unseen j-gram under a seen context still earns the context's
+    backoff mass) — never once per occurrence; one broadcast
+    per-stratum total; no Window, no Python. ``broadcast_tables``
+    follows the family rule (see :func:`_table_side`): decide from a
+    MEASURED count, never Spark's estimate.
+
+    Output: (doc_id, n_ngrams, mean_nll_e6) — the family contract,
+    including the ``short_docs`` zero/backoff modes.
+    """
+    n = len(tables)
+    if n < 3:
+        raise ValueError(
+            "kn needs at least trigram tables (order >= 3): the "
+            "unigram base is a continuation count over bigrams, so "
+            "order 2 would leave no raw-count top order to discount"
+        )
+    if short_docs not in ("zero", "backoff"):
+        raise ValueError(f"short_docs must be zero|backoff, got {short_docs}")
+    if discounts_ppm is None:
+        discounts_ppm = _KN_DEFAULT_DISCOUNT_PPM
+    if isinstance(discounts_ppm, int):
+        discounts_ppm = (discounts_ppm,) * (n - 1)
+    if len(discounts_ppm) != n - 1:
+        raise ValueError(
+            "discounts_ppm needs one discount per conditional order "
+            f"({n - 1}), got {len(discounts_ppm)}"
+        )
+    for d_ppm in discounts_ppm:
+        if not (0 < d_ppm < 1000000):
+            raise ValueError(
+                f"discounts_ppm must be in (0, 1e6), got {d_ppm}"
+            )
+    skeys = list(strata)
+    # normalize count-column names exactly as the JM scorer does, so
+    # lm_count_tables / trigram_count_tables / prefix_tables output
+    # all score through this function
+    fixed = []
+    for t in tables[:-1]:
+        extra = [
+            col
+            for col in t.columns
+            if col not in skeys
+            and not (col.startswith("w") and col[1:].isdigit())
+        ]
+        if len(extra) != 1:
+            raise ValueError(
+                f"conditional table needs one count column, got {extra}"
+            )
+        fixed.append(
+            t if extra[0] == "c" else t.withColumnRenamed(extra[0], "c")
+        )
+    tables = fixed + [tables[-1]]
+    per_doc = _ngram_positions(
+        docs, text_col, n, pad_short=(short_docs == "backoff")
+    )
+    if strata:
+        per_doc = per_doc.join(
+            docs.select("doc_id", *strata).distinct(), "doc_id"
+        )
+    scored = per_doc
+    # --- unigram base: continuation counts over distinct bigram types
+    bigrams = tables[n - 2]  # order-2 table
+    uni = (
+        bigrams.groupBy(*skeys, F.col("w2").alias(f"w{n}"))
+        .agg(F.count("*").cast("long").alias("_ccu"))
+    )
+    scored = scored.join(
+        _table_side(uni, broadcast_tables), skeys + [f"w{n}"], "left"
+    )
+    if strata:
+        btot = bigrams.groupBy(*skeys).agg(
+            F.count("*").cast("long").alias("_btot")
+        )
+        scored = scored.join(F.broadcast(btot), skeys, "left")
+    else:
+        btot = bigrams.select(F.count("*").cast("long").alias("_btot"))
+        scored = scored.crossJoin(F.broadcast(btot))
+    # --- middle orders j = 2..N-1: continuation tables from the
+    # (j+1)-gram table; two attaches per order (count + context fold)
+    for j in range(2, n):
+        src = tables[n - 1 - j]  # order-(j+1) table
+        # N1+(· v1..vj): group the DISTINCT (j+1)-gram types by their
+        # last j words; key w_m of the source maps to doc position
+        # w_{N-j+m-1} (the window's last-j-words suffix)
+        cc = src.groupBy(
+            *skeys,
+            *[
+                F.col(f"w{m}").alias(f"w{n - j + m - 1}")
+                for m in range(2, j + 2)
+            ],
+        ).agg(F.count("*").cast("long").alias(f"_cc{j}"))
+        ctx_cols = [f"w{i}" for i in range(n - j + 1, n)]
+        fold = cc.groupBy(*skeys, *ctx_cols).agg(
+            F.sum(f"_cc{j}").cast("long").alias(f"_ccdot{j}"),
+            F.count("*").cast("long").alias(f"_ncont{j}"),
+        )
+        scored = scored.join(
+            _table_side(fold, broadcast_tables), skeys + ctx_cols, "left"
+        )
+        scored = scored.join(
+            _table_side(cc, broadcast_tables),
+            skeys + ctx_cols + [f"w{n}"],
+            "left",
+        )
+    # --- top order N: raw counts + (total, distinct-continuation) fold
+    top = tables[0]
+    top_ctx_cols = [f"w{i}" for i in range(1, n)]
+    top_fold = top.groupBy(*skeys, *top_ctx_cols).agg(
+        F.sum("c").cast("long").alias(f"_ctx{n}"),
+        F.count("*").cast("long").alias(f"_n1p{n}"),
+    )
+    scored = scored.join(
+        _table_side(top_fold, broadcast_tables), skeys + top_ctx_cols, "left"
+    )
+    scored = scored.join(
+        _table_side(
+            top.select(
+                *skeys,
+                *[f"w{i}" for i in range(1, n + 1)],
+                F.col("c").alias(f"_c{n}"),
+            ),
+            broadcast_tables,
+        ),
+        skeys + [f"w{i}" for i in range(1, n + 1)],
+        "left",
+    )
+    # --- the recursive KN expression, bottom-up; each order's guard
+    # falls through to the lower order when the context is unseen
+    p = F.when(
+        F.coalesce(F.col("_ccu"), F.lit(0)) > 0,
+        F.col("_ccu") / F.col("_btot"),
+    ).otherwise(F.lit(oov_ppm / 1000000.0))
+    for j in range(2, n):
+        # discounts are highest-order-first: index 0 = order N, so
+        # conditional order j takes index N - j
+        d = discounts_ppm[n - j] / 1000000.0
+        p = F.when(
+            F.coalesce(F.col(f"_ccdot{j}"), F.lit(0)) > 0,
+            (
+                F.greatest(
+                    F.coalesce(F.col(f"_cc{j}"), F.lit(0)) - F.lit(d),
+                    F.lit(0.0),
+                )
+                + F.lit(d) * F.col(f"_ncont{j}") * p
+            )
+            / F.col(f"_ccdot{j}"),
+        ).otherwise(p)
+    d = discounts_ppm[0] / 1000000.0
+    p = F.when(
+        F.coalesce(F.col(f"_ctx{n}"), F.lit(0)) > 0,
+        (
+            F.greatest(
+                F.coalesce(F.col(f"_c{n}"), F.lit(0)) - F.lit(d),
+                F.lit(0.0),
+            )
+            + F.lit(d) * F.col(f"_n1p{n}") * p
+        )
+        / F.col(f"_ctx{n}"),
+    ).otherwise(p)
+    out = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_ngrams"),
+            F.sum(F.col("tf") * -F.log(p)).alias("_nll_sum"),
+        )
+        .withColumn(
+            "mean_nll_e6",
+            F.round(
+                F.col("_nll_sum") / F.col("n_ngrams") * 1000000
+            ).cast("long"),
+        )
+        .select("doc_id", "n_ngrams", "mean_nll_e6")
+    )
+    return (
+        docs.select("doc_id")
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_ngrams"),
+            F.coalesce("mean_nll_e6", F.lit(0))
+            .cast("long")
+            .alias("mean_nll_e6"),
+        )
+    )
+
+
+def kn_logprob_scores(
+    docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    discounts_ppm: int | tuple[int, ...] | None = None,
+    strata: tuple[str, ...] = (),
+    short_docs: str = "zero",
+) -> DataFrame:
+    """Self-scoring form of :func:`kn_logprob_against` (tables
+    estimated on the corpus itself via the one-pass combined prefix
+    build — the same build :func:`ngram_logprob_scores` uses, so JM
+    and KN score from an identical count artifact and differ ONLY in
+    the smoothing arithmetic). The broadcast-vs-merge join decision
+    comes from the prefix count the build already paid for
+    (``LM_BROADCAST_MAX_WINDOWS`` — never Spark's estimate)."""
+    from mod_reservoir_spark.pipeline.lm_model import prefix_tables
+
+    prefix, n_windows = _combined_prefix(docs, order, text_col, strata)
+    tables = prefix_tables(prefix, order, strata)
+    return kn_logprob_against(
+        docs,
+        tables,
+        text_col,
+        discounts_ppm,
+        strata=strata,
+        short_docs=short_docs,
+        broadcast_tables=n_windows <= LM_BROADCAST_MAX_WINDOWS,
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     text_col: str = "text",

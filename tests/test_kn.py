@@ -1,0 +1,275 @@
+"""Interpolated Kneser-Ney scoring (VERDICT r11 Next #2): the KenLM
+arithmetic CCNet's production gate uses, pinned against an independent
+pure-Python reference (dict counts, the textbook recursion) on real
+corpus text — including OOV / unseen-context / short-doc paths under a
+train/eval split — plus the family contracts (validation, persisted
+model, JM untouched)."""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from mod_reservoir_spark.pipeline.text import (
+    kn_logprob_against,
+    kn_logprob_scores,
+    ngram_count_tables,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(text):
+    return [t for t in re.split(r"\s+", (text or "").lower()) if t]
+
+
+def kn_reference(train_texts, order, d_ppms, oov_ppm=1):
+    """Independent interpolated-KN model over tokenized train texts:
+    returns p(window) for an order-length tuple — raw discounted
+    counts at the top order, continuation counts below, continuation
+    unigram base with an OOV floor, unseen contexts falling through
+    with backoff weight 1. Pure dicts; no Spark code shared."""
+    grams = {k: Counter() for k in range(2, order + 1)}
+    for t in train_texts:
+        ts = _toks(t)
+        for k in range(2, order + 1):
+            for i in range(len(ts) - k + 1):
+                grams[k][tuple(ts[i : i + k])] += 1
+    # continuation structures per middle order j: keyed by last-j words
+    cc = {}      # j -> {(v1..vj): #distinct predecessors}
+    ccdot = {}   # j -> {(v1..vj-1): sum of cc over continuations}
+    ncont = {}   # j -> {(v1..vj-1): #distinct continuations}
+    for j in range(2, order):
+        cj, cd, nc = Counter(), Counter(), {}
+        seen = set()
+        for g in grams[j + 1]:
+            cj[g[1:]] += 1
+        for v, c in cj.items():
+            cd[v[:-1]] += c
+            nc.setdefault(v[:-1], set()).add(v[-1])
+        cc[j], ccdot[j] = cj, cd
+        ncont[j] = {u: len(s) for u, s in nc.items()}
+    # unigram base from bigram types
+    ccu = Counter()
+    for g in grams[2]:
+        ccu[g[1]] += 1
+    btot = len(grams[2])
+    # top-order folds
+    ctx, n1p = Counter(), Counter()
+    for g, c in grams[order].items():
+        ctx[g[:-1]] += c
+        n1p[g[:-1]] += 1
+
+    if isinstance(d_ppms, int):
+        d_ppms = (d_ppms,) * (order - 1)
+
+    def p(window):
+        w = window[-1]
+        val = (
+            ccu[w] / btot if ccu[w] > 0 else oov_ppm / 1000000.0
+        )
+        for j in range(2, order):
+            d = d_ppms[order - j] / 1000000.0
+            u = window[order - j : order - 1]
+            key = window[order - j : order]
+            if None in u or None in key:
+                continue
+            if ccdot[j].get(u, 0) > 0:
+                val = (
+                    max(cc[j].get(key, 0) - d, 0.0)
+                    + d * ncont[j][u] * val
+                ) / ccdot[j][u]
+        d = d_ppms[0] / 1000000.0
+        u = window[: order - 1]
+        if None not in u and ctx.get(u, 0) > 0:
+            val = (
+                max(grams[order].get(window, 0) - d, 0.0)
+                + d * n1p[u] * val
+            ) / ctx[u]
+        return val
+
+    return p
+
+
+def ref_scores(train_texts, eval_rows, order, d_ppms, short_docs="zero"):
+    """(doc_id -> (n_ngrams, mean_nll_e6)) under kn_reference, with
+    the family's zero/backoff short-doc contract."""
+    p = kn_reference(train_texts, order, d_ppms)
+    out = {}
+    for doc_id, text in eval_rows:
+        ts = _toks(text)
+        windows = [
+            tuple(ts[i : i + order]) for i in range(len(ts) - order + 1)
+        ]
+        if not windows and short_docs == "backoff" and 1 <= len(ts):
+            windows = [
+                tuple([None] * (order - len(ts)) + ts)
+            ]
+        if not windows:
+            out[doc_id] = (0, 0)
+            continue
+        nll = sum(-math.log(p(w)) for w in windows)
+        out[doc_id] = (
+            len(windows),
+            round(nll / len(windows) * 1000000),
+        )
+    return out
+
+
+def _docs(spark, limit=120):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+@pytest.mark.parametrize("order", [3, 5])
+def test_kn_self_scoring_matches_python_reference(spark, order):
+    docs = _docs(spark)
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    texts = [t for _, t in rows]
+    want = ref_scores(texts, rows, order, 750000)
+    got = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in kn_logprob_scores(docs, order).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert abs(got[did][1] - want[did][1]) <= 1, (
+            did,
+            got[did],
+            want[did],
+        )
+
+
+def test_kn_fixed_reference_oov_and_backoff(spark):
+    """Train on the even half, score the odd half mutated to hit every
+    cold path: OOV tokens (unigram floor), unseen contexts (backoff
+    fallthrough at each order), and 1-2 token docs under
+    short_docs='backoff' (one right-aligned NULL-padded window)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, 160)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 1,
+            F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 2), " "),
+        )
+        .when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(
+                F.col("text"), F.lit(" qzoov"), F.col("doc_id").cast("string")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 5,
+            F.concat(F.lit("qzoov"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    tables = ngram_count_tables(train, 3)
+    got = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in kn_logprob_against(
+            ev, tables, short_docs="backoff", broadcast_tables=True
+        ).collect()
+    }
+    train_texts = [r.text for r in train.collect()]
+    eval_rows = [(r.doc_id, r.text) for r in ev.collect()]
+    want = ref_scores(train_texts, eval_rows, 3, 750000, "backoff")
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert abs(got[did][1] - want[did][1]) <= 1, (
+            did,
+            got[did],
+            want[did],
+        )
+    # the mutations actually exercised the cold paths
+    assert any(n == 1 for n, _ in want.values())  # padded short docs
+
+
+def test_kn_short_docs_zero_contract(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in kn_logprob_scores(docs, 4).collect()
+    }
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[1][0] == 3 and got[1][1] > 0
+
+
+def test_kn_validation():
+    import pyspark.sql  # noqa: F401  (docs frame never touched)
+
+    with pytest.raises(ValueError, match="order >= 3"):
+        kn_logprob_against(None, [None, None])
+    with pytest.raises(ValueError, match="one discount per"):
+        kn_logprob_against(None, [None, None, None], discounts_ppm=(1,))
+    with pytest.raises(ValueError, match=r"\(0, 1e6\)"):
+        kn_logprob_against(
+            None, [None, None, None], discounts_ppm=(0, 500000)
+        )
+    with pytest.raises(ValueError, match=r"\(0, 1e6\)"):
+        kn_logprob_against(
+            None, [None, None, None], discounts_ppm=(1000000, 1)
+        )
+    with pytest.raises(ValueError, match="zero|backoff"):
+        kn_logprob_against(
+            None, [None, None, None], short_docs="drop"
+        )
+
+
+def test_kn_under_persisted_model_and_jm_unchanged(spark, tmp_path):
+    """One persisted prefix artifact serves BOTH smoothings:
+    score_under_model(smoothing='kn') equals the fresh-table KN
+    scorer, and the default JM path is bit-identical to what it was
+    without the kn code in the tree (same call, same tables)."""
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        score_under_model,
+        write_lm_model,
+    )
+    from mod_reservoir_spark.pipeline.text import ngram_logprob_against
+
+    docs = _docs(spark, 80)
+    path = str(tmp_path / "m")
+    write_lm_model(build_lm_prefix(docs, 3), 3, path)
+    kn_served = score_under_model(
+        docs, spark, path, smoothing="kn", short_docs="backoff"
+    )
+    kn_fresh = kn_logprob_against(
+        docs,
+        ngram_count_tables(docs, 3),
+        short_docs="backoff",
+        broadcast_tables=True,
+    )
+    assert kn_served.orderBy("doc_id").collect() == (
+        kn_fresh.orderBy("doc_id").collect()
+    )
+    jm_served = score_under_model(docs, spark, path)
+    jm_fresh = ngram_logprob_against(
+        docs,
+        ngram_count_tables(docs, 3),
+        short_docs="backoff",
+        broadcast_tables=True,
+    )
+    assert jm_served.orderBy("doc_id").collect() == (
+        jm_fresh.orderBy("doc_id").collect()
+    )
+    with pytest.raises(ValueError, match="jm parameter"):
+        score_under_model(
+            docs, spark, path, smoothing="kn", lambdas_ppm=(600000, 300000)
+        )
+    with pytest.raises(ValueError, match="kn parameter"):
+        score_under_model(docs, spark, path, discounts_ppm=750000)

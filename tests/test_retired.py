@@ -48,9 +48,14 @@ def test_retired_surface_is_disjoint_and_complete():
         "near_dedup_quality",
         # round 7 (per-language LM row; winnow_pairs rotated out)
         "bigram_logprob_lang",
-        # round 8 (rotation 4)
-        "ivf_pq_topk", "trigram_logprob", "url_dedup",
+        # round 8 (rotation 4); trigram_logprob rotated to the
+        # retired sweep in round 12 (rotation 8 — slot carries
+        # kn_logprob)
+        "ivf_pq_topk", "url_dedup",
         "lm_stream_counts",
+        # round 12 (rotation 8: interpolated Kneser-Ney at the 5-gram
+        # KenLM shape — VERDICT r11 Next #2)
+        "kn_logprob",
         # round 9
         "ngram_logprob", "curate_stream",
         # round 10 (rotation 6: fixed-reference/OOV scoring under the
