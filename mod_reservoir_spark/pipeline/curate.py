@@ -63,6 +63,7 @@ def curate(
     benchmark_near_ppm: int | None = None,
     hasher: str = "md5",
     lm_tables: tuple[DataFrame, ...] | None = None,
+    lm_model_path: str | None = None,
     max_nll_e6: int | None = None,
     lm_strata: tuple[str, ...] = (),
     lm_broadcast: bool = False,
@@ -134,6 +135,23 @@ def curate(
     ``lm_count_tables(..., strata=...)``): score each document under
     its own stratum's model — per-language gating, the full CCNet
     recipe; the stratum columns must exist on ``docs``.
+
+    ``lm_model_path`` (VERDICT r11 Next #3) is the production shape
+    of the same gate as ONE call: the CCNet loop is "estimate the
+    reference model offline, persist it, gate every crawl batch under
+    it", and composing ``lm_model_tables`` + ``curate(lm_tables=...)``
+    by hand loses the two things the sidecar knows — the model's
+    recorded strata and its n_windows. This passthrough reads the
+    persisted model (:func:`~mod_reservoir_spark.pipeline.lm_model.
+    write_lm_model` layout), derives the count tables from the prefix
+    artifact, takes ``lm_strata`` from the model's meta, and makes
+    the broadcast-vs-merge join decision from the recorded n_windows
+    against ``LM_BROADCAST_MAX_WINDOWS`` (never Spark's estimate —
+    SCALE.md r10). Mutually exclusive with ``lm_tables``; explicit
+    ``lm_strata``/``lm_broadcast`` are rejected with it (the model
+    sidecar is authoritative — a silently-overridden stratum set
+    would score every doc under the wrong sub-model). Ledger-identical
+    to the hand-composed form (pinned in tests/test_curate.py).
 
     ``materialize`` (DEFAULT True) eagerly localCheckpoints every
     stage boundary that the plan otherwise recomputes (module
@@ -238,6 +256,30 @@ def curate(
     # quality's min_tokens below the order; now it backs off to the
     # highest order it supports (KenLM never exempts short docs) and
     # only genuinely empty docs hit n_ngrams=0 — which drop.
+    if lm_model_path is not None:
+        if lm_tables is not None:
+            raise ValueError(
+                "pass lm_tables or lm_model_path, not both"
+            )
+        if lm_strata or lm_broadcast:
+            raise ValueError(
+                "lm_model_path reads strata and the join strategy "
+                "from the model's meta sidecar; drop the explicit "
+                "lm_strata/lm_broadcast arguments"
+            )
+        from mod_reservoir_spark.pipeline.lm_model import (
+            _read_model,
+            prefix_tables,
+        )
+        from mod_reservoir_spark.pipeline.text import (
+            LM_BROADCAST_MAX_WINDOWS,
+        )
+
+        prefix, _order, lm_strata, n_windows = _read_model(
+            docs.sparkSession, lm_model_path
+        )
+        lm_tables = tuple(prefix_tables(prefix, _order, lm_strata))
+        lm_broadcast = n_windows <= LM_BROADCAST_MAX_WINDOWS
     if lm_tables is not None:
         if max_nll_e6 is None:
             raise ValueError("lm_tables needs an explicit max_nll_e6")

@@ -337,6 +337,66 @@ def test_curate_perplexity_stage(spark, corpus):
         curate(corpus, lm_tables=tables)
 
 
+def test_curate_lm_model_path_equals_hand_composed(spark, corpus, tmp_path):
+    """VERDICT r11 Next #3: ``curate(lm_model_path=...)`` — the CCNet
+    production shape as ONE call — gates ledger-identically to the
+    hand-composed lm_model_tables + curate(lm_tables=...) form, with
+    the strata AND the broadcast-vs-merge decision taken from the
+    model's meta sidecar (a per-language model, so a silently-dropped
+    stratum set would visibly change the scores)."""
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        lm_model_tables,
+        score_under_model,
+        write_lm_model,
+    )
+
+    docs = corpus.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, "en").otherwise("xx"),
+    )
+    path = str(tmp_path / "ref_model")
+    write_lm_model(
+        build_lm_prefix(docs, 3, strata=("lang",)), 3, path,
+        strata=("lang",),
+    )
+    scores = {
+        r.doc_id: r.mean_nll_e6
+        for r in score_under_model(docs, spark, path).collect()
+    }
+    vals = sorted(v for v in scores.values() if v > 0)
+    cut = vals[len(vals) // 2]
+
+    led_one = curate(
+        docs, near_kwargs=dict(NEAR), lm_model_path=path, max_nll_e6=cut
+    )
+    led_hand = curate(
+        docs,
+        near_kwargs=dict(NEAR),
+        lm_tables=tuple(lm_model_tables(spark, path)),
+        lm_strata=("lang",),
+        lm_broadcast=True,  # sidecar n_windows is tiny here
+        max_nll_e6=cut,
+    )
+    rows_one = sorted(led_one.collect(), key=lambda r: r.doc_id)
+    rows_hand = sorted(led_hand.collect(), key=lambda r: r.doc_id)
+    assert rows_one == rows_hand
+    # the gate actually discriminated (some doc dropped as perplexity)
+    assert any(r.drop_stage == "perplexity" for r in rows_one)
+
+    with pytest.raises(ValueError, match="not both"):
+        curate(
+            docs,
+            lm_tables=tuple(lm_model_tables(spark, path)),
+            lm_model_path=path,
+            max_nll_e6=cut,
+        )
+    with pytest.raises(ValueError, match="meta sidecar"):
+        curate(
+            docs, lm_model_path=path, lm_strata=("lang",), max_nll_e6=cut
+        )
+
+
 def test_curate_materialize_identical_and_scan_free(spark, corpus, bench_docs):
     """The DEFAULT funnel checkpoints every stage boundary (r7 verdict:
     the shipped default must be the 100 TB-feasible plan): the ledger
