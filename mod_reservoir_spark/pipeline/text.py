@@ -1718,6 +1718,65 @@ def kn_logprob_against(
     )
 
 
+def estimate_kn_discounts_ppm(
+    tables: list[DataFrame],
+    strata: tuple[str, ...] = (),
+) -> tuple[int, ...]:
+    """Chen & Goodman (1999) absolute-discount estimates for
+    :func:`kn_logprob_against`: per conditional order,
+    D = n1 / (n1 + 2·n2) where n1/n2 are the number of count VALUES
+    equal to 1/2 among the counts that order actually scores — RAW
+    n-gram counts at the top order, CONTINUATION counts (distinct
+    predecessors) at middle orders. Returned as ppm ints (highest
+    order first, the ``discounts_ppm`` convention), clipped to
+    [1, 999999] so the result always passes the scorer's validator;
+    an order with no mass at counts 1-2 (degenerate tiny corpora)
+    falls back to ``_KN_DEFAULT_DISCOUNT_PPM``.
+
+    This is the offline estimation step (run once per reference
+    model, like picking ``max_nll_e6`` via perplexity_buckets); the
+    scoring itself stays on fixed rationals so the oracle/replay
+    determinism contract is untouched. Each order is one 1-row
+    aggregate over a vocab-sized derived table — k-sized collects,
+    not corpus scans. With ``strata``, counts-of-counts pool across
+    strata (one discount per order, the KenLM convention of one
+    model per stratum being scored separately applies upstream —
+    estimate per stratum by filtering the tables if needed)."""
+    n = len(tables)
+    if n < 3:
+        raise ValueError("kn needs at least trigram tables (order >= 3)")
+    skeys = list(strata)
+    out: list[int] = []
+
+    def _d_ppm(counts_col: DataFrame, col: str) -> int:
+        row = counts_col.agg(
+            F.sum((F.col(col) == 1).cast("long")).alias("n1"),
+            F.sum((F.col(col) == 2).cast("long")).alias("n2"),
+        ).collect()[0]
+        n1, n2 = row.n1 or 0, row.n2 or 0
+        if n1 == 0:
+            return _KN_DEFAULT_DISCOUNT_PPM
+        return min(999999, max(1, round(n1 / (n1 + 2 * n2) * 1000000)))
+
+    # top order: raw counts
+    top = tables[0]
+    ccol = [
+        c
+        for c in top.columns
+        if c not in skeys and not (c.startswith("w") and c[1:].isdigit())
+    ][0]
+    out.append(_d_ppm(top, ccol))
+    # middle orders j = N-1..2: continuation counts from the
+    # (j+1)-gram table (group the distinct types by their last j words)
+    for j in range(n - 1, 1, -1):
+        src = tables[n - 1 - j]
+        cc = src.groupBy(
+            *skeys, *[f"w{m}" for m in range(2, j + 2)]
+        ).agg(F.count("*").cast("long").alias("_cc"))
+        out.append(_d_ppm(cc, "_cc"))
+    return tuple(out)
+
+
 def kn_logprob_scores(
     docs: DataFrame,
     order: int,

@@ -126,6 +126,7 @@ def streaming_curate(
     scrub: bool = True,
     benchmark_near_ppm: int | None = None,
     lm_tables: tuple[DataFrame, DataFrame] | None = None,
+    lm_model_path: str | None = None,
     max_nll_e6: int | None = None,
     lm_strata: tuple[str, ...] = (),
     lm_broadcast: bool = False,
@@ -150,6 +151,12 @@ def streaming_curate(
     snapshot (a moving reference inside one stream would break the
     replay contract: a redelivered batch would re-score under
     different counts).
+    ``lm_model_path`` mirrors batch curate()'s one-call production
+    gate: the persisted :func:`~mod_reservoir_spark.pipeline.lm_model.
+    write_lm_model` artifact supplies the tables, the strata (pass a
+    ``schema`` carrying those columns) and the measured
+    broadcast-vs-merge decision; mutually exclusive with ``lm_tables``
+    and with explicit ``lm_strata``/``lm_broadcast``.
     ``url_col`` mirrors batch curate()'s crawl-first stage 0: a
     ``urls/batch=<id>`` state table of first-seen canonical-URL owners
     (the fingerprint pattern one stage earlier — batch-min inside a
@@ -161,6 +168,33 @@ def streaming_curate(
     url_root = os.path.join(state_dir, "urls")
     sig_root = os.path.join(state_dir, "signatures")
     ledger_root = os.path.join(state_dir, "ledger")
+    # lm_model_path mirrors batch curate()'s one-call production gate
+    # (VERDICT r11 Next #3): tables derived from the persisted prefix,
+    # strata + join strategy from the meta sidecar. The frozen-for-the-
+    # stream replay contract holds trivially — a persisted model is
+    # immutable by the write_lm_model overwrite-only rule.
+    if lm_model_path is not None:
+        if lm_tables is not None:
+            raise ValueError("pass lm_tables or lm_model_path, not both")
+        if lm_strata or lm_broadcast:
+            raise ValueError(
+                "lm_model_path reads strata and the join strategy "
+                "from the model's meta sidecar; drop the explicit "
+                "lm_strata/lm_broadcast arguments"
+            )
+        from mod_reservoir_spark.pipeline.lm_model import (
+            _read_model,
+            prefix_tables,
+        )
+        from mod_reservoir_spark.pipeline.text import (
+            LM_BROADCAST_MAX_WINDOWS,
+        )
+
+        prefix, _order, lm_strata, n_windows = _read_model(
+            spark, lm_model_path
+        )
+        lm_tables = tuple(prefix_tables(prefix, _order, lm_strata))
+        lm_broadcast = n_windows <= LM_BROADCAST_MAX_WINDOWS
     ref_tables = None
     if lm_tables is not None:
         if max_nll_e6 is None:

@@ -230,6 +230,53 @@ def test_kn_validation():
         )
 
 
+def test_estimate_kn_discounts_matches_python_and_scores(spark):
+    """Chen & Goodman D = n1/(n1+2·n2) per conditional order, from the
+    counts each order actually scores (raw at top, continuation
+    below) — pinned against an independent dict-based computation, and
+    the estimated discounts flow through the scorer to match the
+    Python reference end-to-end."""
+    from mod_reservoir_spark.pipeline.text import (
+        estimate_kn_discounts_ppm,
+    )
+
+    docs = _docs(spark, 100)
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    texts = [t for _, t in rows]
+    order = 3
+    grams = {k: Counter() for k in range(2, order + 1)}
+    for t in texts:
+        ts = _toks(t)
+        for k in range(2, order + 1):
+            for i in range(len(ts) - k + 1):
+                grams[k][tuple(ts[i : i + k])] += 1
+
+    def d_ppm(counts):
+        n1 = sum(1 for c in counts if c == 1)
+        n2 = sum(1 for c in counts if c == 2)
+        if n1 == 0:
+            return 750000
+        return min(999999, max(1, round(n1 / (n1 + 2 * n2) * 1000000)))
+
+    cc2 = Counter()
+    for g in grams[3]:
+        cc2[g[1:]] += 1
+    want = (d_ppm(grams[3].values()), d_ppm(cc2.values()))
+    got = estimate_kn_discounts_ppm(ngram_count_tables(docs, order))
+    assert got == want
+    # and the estimated discounts score end-to-end like the reference
+    scored = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in kn_logprob_scores(
+            docs, order, discounts_ppm=got
+        ).collect()
+    }
+    ref = ref_scores(texts, rows, order, got)
+    for did in ref:
+        assert scored[did][0] == ref[did][0]
+        assert abs(scored[did][1] - ref[did][1]) <= 1
+
+
 def test_kn_under_persisted_model_and_jm_unchanged(spark, tmp_path):
     """One persisted prefix artifact serves BOTH smoothings:
     score_under_model(smoothing='kn') equals the fresh-table KN
