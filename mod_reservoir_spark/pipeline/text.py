@@ -1534,7 +1534,13 @@ def kn_logprob_against(
     backoff mass) — never once per occurrence; one broadcast
     per-stratum total; no Window, no Python. ``broadcast_tables``
     follows the family rule (see :func:`_table_side`): decide from a
-    MEASURED count, never Spark's estimate.
+    MEASURED count, never Spark's estimate. A score-distinct-window-
+    types-once pre-pass (attach the 2N−1 tables to the distinct
+    (strata, w1..wN) set, then ONE null-safe join back) was A/B'd and
+    REJECTED (SCALE.md r12): the bench corpus dedups 5-gram windows
+    only 1.05× even at sf10, so the extra distinct + rejoin cost +60%
+    at sf0.1 with nothing back at sf10 — revisit only for corpora
+    with measured window-repeat ratios well above ~2×.
 
     Output: (doc_id, n_ngrams, mean_nll_e6) — the family contract,
     including the ``short_docs`` zero/backoff modes.
