@@ -67,6 +67,8 @@ def curate(
     max_nll_e6: int | None = None,
     lm_strata: tuple[str, ...] = (),
     lm_broadcast: bool = False,
+    lm_smoothing: str = "jm",
+    lm_discounts_ppm: int | tuple[int, ...] | None = None,
     materialize: bool = True,
     url_col: str | None = None,
 ) -> DataFrame:
@@ -135,6 +137,16 @@ def curate(
     ``lm_count_tables(..., strata=...)``): score each document under
     its own stratum's model — per-language gating, the full CCNet
     recipe; the stratum columns must exist on ``docs``.
+
+    ``lm_smoothing``: ``"jm"`` (default — the historical gate) or
+    ``"kn"`` (interpolated Kneser-Ney via
+    :func:`~mod_reservoir_spark.pipeline.text.kn_logprob_against` —
+    the arithmetic production KenLM/CCNet actually gates with;
+    ``lm_discounts_ppm`` passes through). Pick ``max_nll_e6`` under
+    the SAME smoothing via ``perplexity_buckets(smoothing=...)`` —
+    JM and KN NLL scales differ, so a threshold calibrated under one
+    misgates under the other exactly like the short-doc-semantics
+    mismatch below.
 
     ``lm_model_path`` (VERDICT r11 Next #3) is the production shape
     of the same gate as ONE call: the CCNet loop is "estimate the
@@ -280,10 +292,18 @@ def curate(
         )
         lm_tables = tuple(prefix_tables(prefix, _order, lm_strata))
         lm_broadcast = n_windows <= LM_BROADCAST_MAX_WINDOWS
+    if lm_smoothing not in ("jm", "kn"):
+        raise ValueError(f"lm_smoothing must be jm|kn, got {lm_smoothing}")
+    if lm_smoothing == "jm" and lm_discounts_ppm is not None:
+        raise ValueError(
+            "lm_discounts_ppm is a kn parameter; jm gates with the "
+            "scorer's default lambdas"
+        )
     if lm_tables is not None:
         if max_nll_e6 is None:
             raise ValueError("lm_tables needs an explicit max_nll_e6")
         from mod_reservoir_spark.pipeline.text import (
+            kn_logprob_against,
             ngram_logprob_against,
         )
 
@@ -293,7 +313,17 @@ def curate(
             gate_in = gate_in.join(
                 docs.select("doc_id", *lm_strata).distinct(), "doc_id"
             )
-        scored = ngram_logprob_against(
+        score_fn = (
+            kn_logprob_against
+            if lm_smoothing == "kn"
+            else ngram_logprob_against
+        )
+        score_kw = (
+            {"discounts_ppm": lm_discounts_ppm}
+            if lm_smoothing == "kn"
+            else {}
+        )
+        scored = score_fn(
             gate_in,
             list(lm_tables),
             strata=lm_strata,
@@ -304,6 +334,7 @@ def curate(
             # text.LM_BROADCAST_MAX_WINDOWS) — Spark's own estimate
             # mis-broadcasts corpus-sized tables (SCALE.md r10)
             broadcast_tables=lm_broadcast,
+            **score_kw,
         )
         px = m(
             scored.select(

@@ -1824,6 +1824,8 @@ def perplexity_buckets(
     table_strata: tuple[str, ...] | None = None,
     short_docs: str | None = None,
     lm_broadcast: bool = False,
+    smoothing: str = "jm",
+    discounts_ppm: int | tuple[int, ...] | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
     each stratum (per language, like CCNet), rank documents by the
@@ -1871,18 +1873,46 @@ def perplexity_buckets(
     the documented footgun. Pick thresholds under the SAME mode the
     gate runs (curate() docstring).
 
+    ``smoothing`` (the reference-model path only): ``"jm"`` (default)
+    ranks by :func:`ngram_logprob_against`, ``"kn"`` by
+    :func:`kn_logprob_against` — rank under the SAME arithmetic the
+    downstream gate will score with (a threshold read off JM buckets
+    and applied to a KN gate misgates exactly like the short-doc
+    mismatch above; curate's ``lm_smoothing`` pairs with this).
+    ``discounts_ppm`` passes through to the KN scorer.
+
     Output: (doc_id, strata, mean_nll_e6, pos_ppm, bucket).
     """
     from pyspark.sql import Window
 
+    if smoothing not in ("jm", "kn"):
+        raise ValueError(f"smoothing must be jm|kn, got {smoothing}")
+    if smoothing == "kn" and lm_tables is None:
+        raise ValueError(
+            "smoothing='kn' needs lm_tables (a reference model); the "
+            "self-scoring scorer= path stays JM"
+        )
+    if smoothing == "jm" and discounts_ppm is not None:
+        raise ValueError(
+            "discounts_ppm is a kn parameter; jm ranks with the "
+            "scorer's default lambdas"
+        )
     if lm_tables is not None:
-        scores = ngram_logprob_against(
+        score_fn = (
+            kn_logprob_against if smoothing == "kn"
+            else ngram_logprob_against
+        )
+        kw = (
+            {"discounts_ppm": discounts_ppm} if smoothing == "kn" else {}
+        )
+        scores = score_fn(
             docs, list(lm_tables), text_col=text_col,
             strata=tuple(table_strata or ()),
             short_docs=short_docs if short_docs is not None else "backoff",
             # merge-safe default; True only for a model KNOWN small
             # (see _table_side — the estimate mis-broadcasts at scale)
             broadcast_tables=lm_broadcast,
+            **kw,
         )
     elif scorer == "unigram":
         scores = unigram_logprob_scores(docs, text_col)

@@ -130,6 +130,8 @@ def streaming_curate(
     max_nll_e6: int | None = None,
     lm_strata: tuple[str, ...] = (),
     lm_broadcast: bool = False,
+    lm_smoothing: str = "jm",
+    lm_discounts_ppm: int | tuple[int, ...] | None = None,
     schema=None,
     url_col: str | None = None,
 ):
@@ -168,6 +170,13 @@ def streaming_curate(
     url_root = os.path.join(state_dir, "urls")
     sig_root = os.path.join(state_dir, "signatures")
     ledger_root = os.path.join(state_dir, "ledger")
+    if lm_smoothing not in ("jm", "kn"):
+        raise ValueError(f"lm_smoothing must be jm|kn, got {lm_smoothing}")
+    if lm_smoothing == "jm" and lm_discounts_ppm is not None:
+        raise ValueError(
+            "lm_discounts_ppm is a kn parameter; jm gates with the "
+            "scorer's default lambdas"
+        )
     # lm_model_path mirrors batch curate()'s one-call production gate
     # (VERDICT r11 Next #3): tables derived from the persisted prefix,
     # strata + join strategy from the meta sidecar. The frozen-for-the-
@@ -305,6 +314,7 @@ def streaming_curate(
         # per-doc score under the FROZEN reference tables)
         if ref_tables is not None:
             from mod_reservoir_spark.pipeline.text import (
+                kn_logprob_against,
                 ngram_logprob_against,
             )
 
@@ -316,8 +326,19 @@ def streaming_curate(
                 )
             # order-N scorer with short-doc backoff + the explicit
             # n_ngrams > 0 keep-condition — byte-for-byte the batch
-            # curate() gate (fold-equals-batch depends on it)
-            scored = ngram_logprob_against(
+            # curate() gate (fold-equals-batch depends on it);
+            # lm_smoothing picks jm|kn exactly as batch curate() does
+            score_fn = (
+                kn_logprob_against
+                if lm_smoothing == "kn"
+                else ngram_logprob_against
+            )
+            score_kw = (
+                {"discounts_ppm": lm_discounts_ppm}
+                if lm_smoothing == "kn"
+                else {}
+            )
+            scored = score_fn(
                 gate_in,
                 list(ref_tables),
                 strata=lm_strata,
@@ -325,6 +346,7 @@ def streaming_curate(
                 # merge-safe default, same contract as batch curate();
                 # True only when the frozen reference is KNOWN small
                 broadcast_tables=lm_broadcast,
+                **score_kw,
             )
             px = scored.select(
                 "doc_id",

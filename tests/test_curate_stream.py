@@ -509,6 +509,76 @@ def test_streaming_curate_lm_model_path_equals_batch(spark, tmp_path):
     assert "perplexity" in {s for s, _ in got.values() if s}
 
 
+def test_streaming_curate_kn_gate_equals_batch(spark, tmp_path):
+    """lm_smoothing='kn' in the streamed funnel mirrors batch
+    curate(lm_smoothing='kn') exactly (fold-equals-batch under the
+    Kneser-Ney gate); jm+discounts cross-use is rejected up front."""
+    import pytest
+
+    from mod_reservoir_spark.pipeline.curate import curate
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        score_under_model,
+        write_lm_model,
+    )
+    from mod_reservoir_spark.streaming.curate_stream import (
+        read_curate_state,
+        streaming_curate,
+    )
+
+    all_rows = B1 + B2 + B3
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+    reference = docs.filter(F.col("doc_id").isin(0, 1, 4, 5))
+    path = str(tmp_path / "ref_model")
+    write_lm_model(build_lm_prefix(reference, 3), 3, path)
+    scores = {
+        r.doc_id: r.mean_nll_e6
+        for r in score_under_model(
+            docs, spark, path, smoothing="kn"
+        ).collect()
+    }
+    cut = scores[0] + 1
+
+    with pytest.raises(ValueError, match="kn parameter"):
+        streaming_curate(
+            spark, str(tmp_path / "x"), str(tmp_path / "y"),
+            str(tmp_path / "z"), lm_model_path=path, max_nll_e6=cut,
+            lm_discounts_ppm=750000,
+        )
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    state = str(tmp_path / "state")
+    q = streaming_curate(
+        spark,
+        str(indir),
+        str(tmp_path / "ckpt"),
+        state,
+        threshold_ppm=500000,
+        lm_model_path=path,
+        lm_smoothing="kn",
+        max_nll_e6=cut,
+    )
+    try:
+        for name, rows in (("b1.jsonl", B1), ("b2.jsonl", B2),
+                           ("b3.jsonl", B3)):
+            _write(str(indir), name, rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ledger, _, _ = read_curate_state(spark, state)
+    got = {r.doc_id: (r.drop_stage, r.text) for r in ledger.collect()}
+    want = {
+        r.doc_id: (r.drop_stage, r.text)
+        for r in curate(
+            docs, lm_model_path=path, lm_smoothing="kn", max_nll_e6=cut
+        ).collect()
+    }
+    assert got == want
+    assert "perplexity" in {s for s, _ in got.values() if s}
+
+
 def test_streaming_curate_per_language_gate_equals_batch(spark, tmp_path):
     """Per-language gating (lm_strata): the streamed funnel with a
     stratified frozen reference scores each doc under its own

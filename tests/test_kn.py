@@ -277,6 +277,73 @@ def test_estimate_kn_discounts_matches_python_and_scores(spark):
         assert abs(scored[did][1] - ref[did][1]) <= 1
 
 
+def test_kn_gate_in_curate_and_buckets(spark, tmp_path):
+    """The full CCNet-with-KN loop: perplexity_buckets(smoothing='kn')
+    ranks by the KN scorer (so a threshold read off the buckets gates
+    consistently), and curate(lm_model_path=..., lm_smoothing='kn')
+    drops exactly the docs whose KN NLL under the persisted model
+    exceeds it; JM/KN parameter cross-use is rejected everywhere."""
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.pipeline.curate import curate
+    from mod_reservoir_spark.pipeline.lm_model import (
+        build_lm_prefix,
+        score_under_model,
+        write_lm_model,
+    )
+    from mod_reservoir_spark.pipeline.text import perplexity_buckets
+
+    docs = _docs(spark, 80).withColumn("lang", F.lit("en"))
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "m")
+    write_lm_model(build_lm_prefix(train, 3), 3, path)
+    kn_scores = {
+        r.doc_id: r.mean_nll_e6
+        for r in score_under_model(
+            docs, spark, path, smoothing="kn"
+        ).collect()
+    }
+    # buckets rank by the SAME scores
+    tables = ngram_count_tables(train, 3)
+    b = perplexity_buckets(
+        docs, lm_tables=tuple(tables), smoothing="kn",
+        lm_broadcast=True,
+    )
+    got_scores = {r.doc_id: r.mean_nll_e6 for r in b.collect()}
+    assert got_scores == kn_scores
+    # gate: pick a cut that splits, check attribution matches kn NLL
+    vals = sorted(v for v in kn_scores.values() if v > 0)
+    cut = vals[len(vals) // 2]
+    led = curate(
+        docs, lm_model_path=path, lm_smoothing="kn", max_nll_e6=cut
+    )
+    g = {r.doc_id: r.drop_stage for r in led.collect()}
+    px_dropped = {i for i, s in g.items() if s == "perplexity"}
+    q_survivors = {i for i, s in g.items() if s != "quality"}
+    expect = {
+        i for i in q_survivors
+        if kn_scores[i] > cut or kn_scores[i] == 0
+    }
+    # n_ngrams=0 docs (empty) also drop at the gate; none here have
+    # empty text among quality survivors, so the comparison is exact
+    assert px_dropped == {i for i in expect if kn_scores[i] > cut}
+    assert px_dropped  # the gate fired
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kn parameter"):
+        curate(
+            docs, lm_model_path=path, max_nll_e6=cut,
+            lm_discounts_ppm=750000,
+        )
+    with _pytest.raises(ValueError, match="needs lm_tables"):
+        perplexity_buckets(docs, smoothing="kn")
+    with _pytest.raises(ValueError, match="kn parameter"):
+        perplexity_buckets(
+            docs, lm_tables=tuple(tables), discounts_ppm=750000
+        )
+
+
 def test_kn_under_persisted_model_and_jm_unchanged(spark, tmp_path):
     """One persisted prefix artifact serves BOTH smoothings:
     score_under_model(smoothing='kn') equals the fresh-table KN
