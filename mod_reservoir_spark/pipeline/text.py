@@ -1518,11 +1518,17 @@ def kn_logprob_against(
     scorers take, so one persisted prefix model serves both
     smoothings; the raw-unigram table is accepted but unused (the
     base is the continuation unigram derived from the bigram table).
-    ``discounts_ppm``: one absolute discount per conditional order,
-    highest first, or a single int for all orders (default
-    ``_KN_DEFAULT_DISCOUNT_PPM``); each must be in (0, 1e6) — D ≥ 1
-    would zero a singleton's numerator and D ≤ 0 removes the backoff
-    mass that keeps unseen-but-valid n-grams away from -log(0).
+    ``discounts_ppm``: one spec per conditional order, highest first,
+    or a single int for all orders (default
+    ``_KN_DEFAULT_DISCOUNT_PPM``). A scalar spec is the classic
+    single absolute discount, in (0, 1e6) — D ≥ 1 would zero a
+    singleton's numerator and D ≤ 0 removes the backoff mass that
+    keeps unseen-but-valid n-grams away from -log(0). A (D1, D2, D3+)
+    ppm triple switches that order to **modified Kneser-Ney** (Chen &
+    Goodman 1999 §5 — the KenLM default): counts 1 / 2 / ≥3 take
+    their own discounts (D_k in (0, k·1e6)) and the backoff mass is
+    D1·N1(ctx) + D2·N2(ctx) + D3+·N3+(ctx). Estimate either shape
+    from the data with :func:`estimate_kn_discounts_ppm`.
 
     Scale shape: every continuation/context table FOLDS from the
     count tables before the per-doc joins (vocab-sized frames, all
@@ -1563,11 +1569,36 @@ def kn_logprob_against(
             "discounts_ppm needs one discount per conditional order "
             f"({n - 1}), got {len(discounts_ppm)}"
         )
+    # each order's spec: a scalar ppm (single absolute discount) or a
+    # (D1, D2, D3+) ppm triple (MODIFIED Kneser-Ney, Chen & Goodman
+    # 1999 §5 — the KenLM default: singletons, doubletons and 3+
+    # counts each get their own discount, and the backoff mass is
+    # D1·N1(ctx) + D2·N2(ctx) + D3+·N3+(ctx) instead of D·N1+(ctx))
+    specs: list = []
     for d_ppm in discounts_ppm:
-        if not (0 < d_ppm < 1000000):
-            raise ValueError(
-                f"discounts_ppm must be in (0, 1e6), got {d_ppm}"
-            )
+        if isinstance(d_ppm, int):
+            if not (0 < d_ppm < 1000000):
+                raise ValueError(
+                    f"discounts_ppm must be in (0, 1e6), got {d_ppm}"
+                )
+            specs.append(d_ppm)
+        else:
+            trip = tuple(d_ppm)
+            if len(trip) != 3:
+                raise ValueError(
+                    "a modified-KN discount spec is a (D1, D2, D3+) "
+                    f"ppm triple, got {trip}"
+                )
+            for k, dk in enumerate(trip, start=1):
+                # theoretical range: 0 < D_k < k (a D_k >= k zeroes
+                # every count-k numerator; <= 0 removes backoff mass
+                # and lets p hit -log(0))
+                if not (0 < dk < k * 1000000):
+                    raise ValueError(
+                        f"D{k} must be in (0, {k}e6) ppm, got {dk}"
+                    )
+            specs.append(trip)
+    discounts_ppm = specs
     skeys = list(strata)
     # normalize count-column names exactly as the JM scorer does, so
     # lm_count_tables / trigram_count_tables / prefix_tables output
@@ -1628,9 +1659,16 @@ def kn_logprob_against(
             ],
         ).agg(F.count("*").cast("long").alias(f"_cc{j}"))
         ctx_cols = [f"w{i}" for i in range(n - j + 1, n)]
+        # the fold also tallies continuations by count class (N1/N2/
+        # N3+ of the context) — the modified-KN backoff mass; computed
+        # unconditionally (3 extra combinable aggs on a vocab-sized
+        # frame) so fixed and modified specs share one plan shape
         fold = cc.groupBy(*skeys, *ctx_cols).agg(
             F.sum(f"_cc{j}").cast("long").alias(f"_ccdot{j}"),
             F.count("*").cast("long").alias(f"_ncont{j}"),
+            F.sum((F.col(f"_cc{j}") == 1).cast("long")).alias(f"_k1_{j}"),
+            F.sum((F.col(f"_cc{j}") == 2).cast("long")).alias(f"_k2_{j}"),
+            F.sum((F.col(f"_cc{j}") >= 3).cast("long")).alias(f"_k3_{j}"),
         )
         scored = scored.join(
             _table_side(fold, broadcast_tables), skeys + ctx_cols, "left"
@@ -1646,6 +1684,9 @@ def kn_logprob_against(
     top_fold = top.groupBy(*skeys, *top_ctx_cols).agg(
         F.sum("c").cast("long").alias(f"_ctx{n}"),
         F.count("*").cast("long").alias(f"_n1p{n}"),
+        F.sum((F.col("c") == 1).cast("long")).alias(f"_k1_{n}"),
+        F.sum((F.col("c") == 2).cast("long")).alias(f"_k2_{n}"),
+        F.sum((F.col("c") >= 3).cast("long")).alias(f"_k3_{n}"),
     )
     scored = scored.join(
         _table_side(top_fold, broadcast_tables), skeys + top_ctx_cols, "left"
@@ -1664,6 +1705,28 @@ def kn_logprob_against(
     )
     # --- the recursive KN expression, bottom-up; each order's guard
     # falls through to the lower order when the context is unseen
+    def _num_mass(spec, c_col, ncont_col, k1, k2, k3):
+        """(discounted numerator, backoff mass) for one order: scalar
+        spec = classic absolute discount; triple = modified KN (the
+        discount picked by the count's class, mass summed per class).
+        c=0 rows clip to 0 under either shape (greatest with a
+        positive discount), so unseen keys never go negative."""
+        c = F.coalesce(c_col, F.lit(0))
+        if isinstance(spec, int):
+            d = spec / 1000000.0
+            return (
+                F.greatest(c - F.lit(d), F.lit(0.0)),
+                F.lit(d) * ncont_col,
+            )
+        d1, d2, d3 = (x / 1000000.0 for x in spec)
+        dsel = (
+            F.when(c == 1, F.lit(d1))
+            .when(c == 2, F.lit(d2))
+            .otherwise(F.lit(d3))
+        )
+        mass = F.lit(d1) * k1 + F.lit(d2) * k2 + F.lit(d3) * k3
+        return F.greatest(c - dsel, F.lit(0.0)), mass
+
     p = F.when(
         F.coalesce(F.col("_ccu"), F.lit(0)) > 0,
         F.col("_ccu") / F.col("_btot"),
@@ -1671,29 +1734,29 @@ def kn_logprob_against(
     for j in range(2, n):
         # discounts are highest-order-first: index 0 = order N, so
         # conditional order j takes index N - j
-        d = discounts_ppm[n - j] / 1000000.0
+        num, mass = _num_mass(
+            discounts_ppm[n - j],
+            F.col(f"_cc{j}"),
+            F.col(f"_ncont{j}"),
+            F.col(f"_k1_{j}"),
+            F.col(f"_k2_{j}"),
+            F.col(f"_k3_{j}"),
+        )
         p = F.when(
             F.coalesce(F.col(f"_ccdot{j}"), F.lit(0)) > 0,
-            (
-                F.greatest(
-                    F.coalesce(F.col(f"_cc{j}"), F.lit(0)) - F.lit(d),
-                    F.lit(0.0),
-                )
-                + F.lit(d) * F.col(f"_ncont{j}") * p
-            )
-            / F.col(f"_ccdot{j}"),
+            (num + mass * p) / F.col(f"_ccdot{j}"),
         ).otherwise(p)
-    d = discounts_ppm[0] / 1000000.0
+    num, mass = _num_mass(
+        discounts_ppm[0],
+        F.col(f"_c{n}"),
+        F.col(f"_n1p{n}"),
+        F.col(f"_k1_{n}"),
+        F.col(f"_k2_{n}"),
+        F.col(f"_k3_{n}"),
+    )
     p = F.when(
         F.coalesce(F.col(f"_ctx{n}"), F.lit(0)) > 0,
-        (
-            F.greatest(
-                F.coalesce(F.col(f"_c{n}"), F.lit(0)) - F.lit(d),
-                F.lit(0.0),
-            )
-            + F.lit(d) * F.col(f"_n1p{n}") * p
-        )
-        / F.col(f"_ctx{n}"),
+        (num + mass * p) / F.col(f"_ctx{n}"),
     ).otherwise(p)
     out = (
         scored.groupBy("doc_id")
@@ -1727,7 +1790,8 @@ def kn_logprob_against(
 def estimate_kn_discounts_ppm(
     tables: list[DataFrame],
     strata: tuple[str, ...] = (),
-) -> tuple[int, ...]:
+    modified: bool = False,
+) -> tuple:
     """Chen & Goodman (1999) absolute-discount estimates for
     :func:`kn_logprob_against`: per conditional order,
     D = n1 / (n1 + 2·n2) where n1/n2 are the number of count VALUES
@@ -1747,22 +1811,47 @@ def estimate_kn_discounts_ppm(
     not corpus scans. With ``strata``, counts-of-counts pool across
     strata (one discount per order, the KenLM convention of one
     model per stratum being scored separately applies upstream —
-    estimate per stratum by filtering the tables if needed)."""
+    estimate per stratum by filtering the tables if needed).
+
+    ``modified=True`` returns one **(D1, D2, D3+) triple per order**
+    instead (modified Kneser-Ney, Chen & Goodman 1999 §5 — the KenLM
+    default): with Y = n1/(n1+2·n2),
+    D_k = k − (k+1)·Y·n_{k+1}/n_k for k = 1, 2, 3 — each clipped into
+    its valid (0, k·1e6) ppm band; any order with a zero n_k falls
+    back to the fixed default for all three (degenerate tiny
+    corpora). The triples feed ``discounts_ppm`` directly."""
     n = len(tables)
     if n < 3:
         raise ValueError("kn needs at least trigram tables (order >= 3)")
     skeys = list(strata)
-    out: list[int] = []
+    out: list = []
 
-    def _d_ppm(counts_col: DataFrame, col: str) -> int:
+    def _d_spec(counts_col: DataFrame, col: str):
         row = counts_col.agg(
             F.sum((F.col(col) == 1).cast("long")).alias("n1"),
             F.sum((F.col(col) == 2).cast("long")).alias("n2"),
+            F.sum((F.col(col) == 3).cast("long")).alias("n3"),
+            F.sum((F.col(col) == 4).cast("long")).alias("n4"),
         ).collect()[0]
         n1, n2 = row.n1 or 0, row.n2 or 0
-        if n1 == 0:
-            return _KN_DEFAULT_DISCOUNT_PPM
-        return min(999999, max(1, round(n1 / (n1 + 2 * n2) * 1000000)))
+        if not modified:
+            if n1 == 0:
+                return _KN_DEFAULT_DISCOUNT_PPM
+            return min(
+                999999, max(1, round(n1 / (n1 + 2 * n2) * 1000000))
+            )
+        n3, n4 = row.n3 or 0, row.n4 or 0
+        if 0 in (n1, n2, n3):
+            return (_KN_DEFAULT_DISCOUNT_PPM,) * 3
+        y = n1 / (n1 + 2 * n2)
+        nk = {1: n1, 2: n2, 3: n3, 4: n4}
+        trip = []
+        for k in (1, 2, 3):
+            dk = k - (k + 1) * y * nk[k + 1] / nk[k]
+            trip.append(
+                min(k * 1000000 - 1, max(1, round(dk * 1000000)))
+            )
+        return tuple(trip)
 
     # top order: raw counts
     top = tables[0]
@@ -1771,7 +1860,7 @@ def estimate_kn_discounts_ppm(
         for c in top.columns
         if c not in skeys and not (c.startswith("w") and c[1:].isdigit())
     ][0]
-    out.append(_d_ppm(top, ccol))
+    out.append(_d_spec(top, ccol))
     # middle orders j = N-1..2: continuation counts from the
     # (j+1)-gram table (group the distinct types by their last j words)
     for j in range(n - 1, 1, -1):
@@ -1779,7 +1868,7 @@ def estimate_kn_discounts_ppm(
         cc = src.groupBy(
             *skeys, *[f"w{m}" for m in range(2, j + 2)]
         ).agg(F.count("*").cast("long").alias("_cc"))
-        out.append(_d_ppm(cc, "_cc"))
+        out.append(_d_spec(cc, "_cc"))
     return tuple(out)
 
 

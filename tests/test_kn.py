@@ -29,7 +29,10 @@ def kn_reference(train_texts, order, d_ppms, oov_ppm=1):
     returns p(window) for an order-length tuple — raw discounted
     counts at the top order, continuation counts below, continuation
     unigram base with an OOV floor, unseen contexts falling through
-    with backoff weight 1. Pure dicts; no Spark code shared."""
+    with backoff weight 1. A per-order spec may be a scalar ppm
+    (single discount) or a (D1, D2, D3+) ppm triple (modified KN:
+    class-selected discount, class-summed backoff mass). Pure dicts;
+    no Spark code shared."""
     grams = {k: Counter() for k in range(2, order + 1)}
     for t in train_texts:
         ts = _toks(t)
@@ -40,29 +43,43 @@ def kn_reference(train_texts, order, d_ppms, oov_ppm=1):
     cc = {}      # j -> {(v1..vj): #distinct predecessors}
     ccdot = {}   # j -> {(v1..vj-1): sum of cc over continuations}
     ncont = {}   # j -> {(v1..vj-1): #distinct continuations}
+    kcls = {}    # j -> {(v1..vj-1): [#cc==1, #cc==2, #cc>=3]}
     for j in range(2, order):
-        cj, cd, nc = Counter(), Counter(), {}
-        seen = set()
+        cj, cd, nc, kc = Counter(), Counter(), {}, {}
         for g in grams[j + 1]:
             cj[g[1:]] += 1
         for v, c in cj.items():
             cd[v[:-1]] += c
             nc.setdefault(v[:-1], set()).add(v[-1])
+            cls = kc.setdefault(v[:-1], [0, 0, 0])
+            cls[min(c, 3) - 1] += 1
         cc[j], ccdot[j] = cj, cd
         ncont[j] = {u: len(s) for u, s in nc.items()}
+        kcls[j] = kc
     # unigram base from bigram types
     ccu = Counter()
     for g in grams[2]:
         ccu[g[1]] += 1
     btot = len(grams[2])
     # top-order folds
-    ctx, n1p = Counter(), Counter()
+    ctx, n1p, kctx = Counter(), Counter(), {}
     for g, c in grams[order].items():
         ctx[g[:-1]] += c
         n1p[g[:-1]] += 1
+        cls = kctx.setdefault(g[:-1], [0, 0, 0])
+        cls[min(c, 3) - 1] += 1
 
     if isinstance(d_ppms, int):
         d_ppms = (d_ppms,) * (order - 1)
+
+    def num_mass(spec, c, ncont_u, kcls_u):
+        if isinstance(spec, int):
+            d = spec / 1000000.0
+            return max(c - d, 0.0), d * ncont_u
+        d1, d2, d3 = (x / 1000000.0 for x in spec)
+        dsel = d1 if c == 1 else d2 if c == 2 else d3
+        mass = d1 * kcls_u[0] + d2 * kcls_u[1] + d3 * kcls_u[2]
+        return max(c - dsel, 0.0), mass
 
     def p(window):
         w = window[-1]
@@ -70,23 +87,23 @@ def kn_reference(train_texts, order, d_ppms, oov_ppm=1):
             ccu[w] / btot if ccu[w] > 0 else oov_ppm / 1000000.0
         )
         for j in range(2, order):
-            d = d_ppms[order - j] / 1000000.0
             u = window[order - j : order - 1]
             key = window[order - j : order]
             if None in u or None in key:
                 continue
             if ccdot[j].get(u, 0) > 0:
-                val = (
-                    max(cc[j].get(key, 0) - d, 0.0)
-                    + d * ncont[j][u] * val
-                ) / ccdot[j][u]
-        d = d_ppms[0] / 1000000.0
+                num, mass = num_mass(
+                    d_ppms[order - j], cc[j].get(key, 0),
+                    ncont[j][u], kcls[j][u],
+                )
+                val = (num + mass * val) / ccdot[j][u]
         u = window[: order - 1]
         if None not in u and ctx.get(u, 0) > 0:
-            val = (
-                max(grams[order].get(window, 0) - d, 0.0)
-                + d * n1p[u] * val
-            ) / ctx[u]
+            num, mass = num_mass(
+                d_ppms[0], grams[order].get(window, 0),
+                n1p[u], kctx[u],
+            )
+            val = (num + mass * val) / ctx[u]
         return val
 
     return p
@@ -275,6 +292,104 @@ def test_estimate_kn_discounts_matches_python_and_scores(spark):
     for did in ref:
         assert scored[did][0] == ref[did][0]
         assert abs(scored[did][1] - ref[did][1]) <= 1
+
+
+def test_modified_kn_matches_python_reference(spark):
+    """Modified Kneser-Ney (Chen & Goodman 1999 §5 — the KenLM
+    default): per-count-class discounts D1/D2/D3+ estimated from
+    counts-of-counts, class-summed backoff mass. The estimator's
+    triples are pinned against an independent dict computation and
+    the scorer against the triple-spec Python reference, on both the
+    self-scoring and the OOV/unseen fixed-reference paths."""
+    from pyspark.sql import functions as F
+
+    from mod_reservoir_spark.pipeline.text import (
+        estimate_kn_discounts_ppm,
+    )
+
+    docs = _docs(spark, 120)
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    texts = [t for _, t in rows]
+    order = 3
+    # independent estimate of the triples
+    grams = {k: Counter() for k in range(2, order + 1)}
+    for t in texts:
+        ts = _toks(t)
+        for k in range(2, order + 1):
+            for i in range(len(ts) - k + 1):
+                grams[k][tuple(ts[i : i + k])] += 1
+
+    def trip(counts):
+        n = Counter()
+        for c in counts:
+            if c <= 4:
+                n[c] += 1
+        if 0 in (n[1], n[2], n[3]):
+            return (750000,) * 3
+        y = n[1] / (n[1] + 2 * n[2])
+        out = []
+        for k in (1, 2, 3):
+            dk = k - (k + 1) * y * n[k + 1] / n[k]
+            out.append(min(k * 1000000 - 1, max(1, round(dk * 1000000))))
+        return tuple(out)
+
+    cc2 = Counter()
+    for g in grams[3]:
+        cc2[g[1:]] += 1
+    want_specs = (trip(grams[3].values()), trip(cc2.values()))
+    got_specs = estimate_kn_discounts_ppm(
+        ngram_count_tables(docs, order), modified=True
+    )
+    assert got_specs == want_specs
+
+    # self-scoring with the estimated triples
+    want = ref_scores(texts, rows, order, got_specs)
+    got = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in kn_logprob_scores(
+            docs, order, discounts_ppm=got_specs
+        ).collect()
+    }
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert abs(got[did][1] - want[did][1]) <= 1
+
+    # fixed-reference OOV path: train half scores mutated eval half
+    train_rows = rows[::2]
+    train = docs.filter(
+        F.col("doc_id").isin([d for d, _ in train_rows])
+    )
+    ev_rows = [
+        (d, (t + f" qzoov{d}") if d % 3 == 0 else t)
+        for d, t in rows[1::2]
+    ]
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+    tables = ngram_count_tables(train, order)
+    specs = estimate_kn_discounts_ppm(tables, modified=True)
+    got2 = {
+        r.doc_id: (r.n_ngrams, r.mean_nll_e6)
+        for r in kn_logprob_against(
+            ev, tables, discounts_ppm=specs,
+            short_docs="backoff", broadcast_tables=True,
+        ).collect()
+    }
+    want2 = ref_scores(
+        [t for _, t in train_rows], ev_rows, order, specs, "backoff"
+    )
+    for did in want2:
+        assert got2[did][0] == want2[did][0]
+        assert abs(got2[did][1] - want2[did][1]) <= 1
+
+    # validation: bad triple shapes / ranges
+    with pytest.raises(ValueError, match="triple"):
+        kn_logprob_against(
+            None, [None] * 3, discounts_ppm=((1, 2), (1, 2, 3))
+        )
+    with pytest.raises(ValueError, match="D2 must be"):
+        kn_logprob_against(
+            None, [None] * 3,
+            discounts_ppm=((500000, 2000000, 100), (1, 1, 1)),
+        )
 
 
 def test_kn_gate_in_curate_and_buckets(spark, tmp_path):
