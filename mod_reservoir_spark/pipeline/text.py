@@ -1599,6 +1599,7 @@ def kn_logprob_against(
                     )
             specs.append(trip)
     discounts_ppm = specs
+    need_cls = any(not isinstance(s, int) for s in specs)
     skeys = list(strata)
     # normalize count-column names exactly as the JM scorer does, so
     # lm_count_tables / trigram_count_tables / prefix_tables output
@@ -1659,16 +1660,33 @@ def kn_logprob_against(
             ],
         ).agg(F.count("*").cast("long").alias(f"_cc{j}"))
         ctx_cols = [f"w{i}" for i in range(n - j + 1, n)]
-        # the fold also tallies continuations by count class (N1/N2/
-        # N3+ of the context) — the modified-KN backoff mass; computed
-        # unconditionally (3 extra combinable aggs on a vocab-sized
-        # frame) so fixed and modified specs share one plan shape
+        # modified-KN additionally tallies continuations by count
+        # class (N1/N2/N3+ of the context — the class-summed backoff
+        # mass). Only when some spec IS a triple: Catalyst prunes the
+        # unused aggregates from the physical plan either way, but the
+        # un-pruned LOGICAL tree still pays analysis/optimization time
+        # on every call — measured as a visible in-session drift on
+        # the scalar-spec contract row, whose band must stay that of
+        # the tree it was drawn with.
+        cls_aggs = (
+            [
+                F.sum((F.col(f"_cc{j}") == 1).cast("long")).alias(
+                    f"_k1_{j}"
+                ),
+                F.sum((F.col(f"_cc{j}") == 2).cast("long")).alias(
+                    f"_k2_{j}"
+                ),
+                F.sum((F.col(f"_cc{j}") >= 3).cast("long")).alias(
+                    f"_k3_{j}"
+                ),
+            ]
+            if need_cls
+            else []
+        )
         fold = cc.groupBy(*skeys, *ctx_cols).agg(
             F.sum(f"_cc{j}").cast("long").alias(f"_ccdot{j}"),
             F.count("*").cast("long").alias(f"_ncont{j}"),
-            F.sum((F.col(f"_cc{j}") == 1).cast("long")).alias(f"_k1_{j}"),
-            F.sum((F.col(f"_cc{j}") == 2).cast("long")).alias(f"_k2_{j}"),
-            F.sum((F.col(f"_cc{j}") >= 3).cast("long")).alias(f"_k3_{j}"),
+            *cls_aggs,
         )
         scored = scored.join(
             _table_side(fold, broadcast_tables), skeys + ctx_cols, "left"
@@ -1681,12 +1699,19 @@ def kn_logprob_against(
     # --- top order N: raw counts + (total, distinct-continuation) fold
     top = tables[0]
     top_ctx_cols = [f"w{i}" for i in range(1, n)]
+    top_cls_aggs = (
+        [
+            F.sum((F.col("c") == 1).cast("long")).alias(f"_k1_{n}"),
+            F.sum((F.col("c") == 2).cast("long")).alias(f"_k2_{n}"),
+            F.sum((F.col("c") >= 3).cast("long")).alias(f"_k3_{n}"),
+        ]
+        if need_cls
+        else []
+    )
     top_fold = top.groupBy(*skeys, *top_ctx_cols).agg(
         F.sum("c").cast("long").alias(f"_ctx{n}"),
         F.count("*").cast("long").alias(f"_n1p{n}"),
-        F.sum((F.col("c") == 1).cast("long")).alias(f"_k1_{n}"),
-        F.sum((F.col("c") == 2).cast("long")).alias(f"_k2_{n}"),
-        F.sum((F.col("c") >= 3).cast("long")).alias(f"_k3_{n}"),
+        *top_cls_aggs,
     )
     scored = scored.join(
         _table_side(top_fold, broadcast_tables), skeys + top_ctx_cols, "left"
