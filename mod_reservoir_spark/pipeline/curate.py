@@ -299,6 +299,17 @@ def curate(
             "lm_discounts_ppm is a kn parameter; jm gates with the "
             "scorer's default lambdas"
         )
+    if lm_tables is None and (
+        lm_smoothing != "jm" or lm_discounts_ppm is not None
+    ):
+        # non-default smoothing parameters with NO gate configured
+        # would be silently ignored — the caller asked for a KN gate
+        # and forgot the model (ADVICE r12)
+        raise ValueError(
+            "lm_smoothing/lm_discounts_ppm configure the LM gate, but "
+            "no lm_tables or lm_model_path is set — pass the model or "
+            "drop the kn parameters"
+        )
     if lm_tables is not None:
         if max_nll_e6 is None:
             raise ValueError("lm_tables needs an explicit max_nll_e6")

@@ -433,6 +433,12 @@ def _cap_select(s, nids, qids, cap):
     tests/test_pq.py and property-tested against a brute reference)."""
     import numpy as np
 
+    # a zero-size matrix (no queries in the batch, or no candidate
+    # rows) has nothing to reduce — np.fmin.reduce raises on it — and
+    # the unreduced fallback emit already handles the degenerate
+    # shapes correctly (ADVICE r12)
+    if s.size == 0:
+        return None
     if not (
         nids.min(initial=0) > -(1 << 41)
         and nids.max(initial=0) < (1 << 41)

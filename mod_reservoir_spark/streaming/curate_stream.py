@@ -177,6 +177,19 @@ def streaming_curate(
             "lm_discounts_ppm is a kn parameter; jm gates with the "
             "scorer's default lambdas"
         )
+    if (
+        lm_tables is None
+        and lm_model_path is None
+        and (lm_smoothing != "jm" or lm_discounts_ppm is not None)
+    ):
+        # non-default smoothing parameters with NO gate configured
+        # would be silently ignored — the caller asked for a KN gate
+        # and forgot the model (ADVICE r12)
+        raise ValueError(
+            "lm_smoothing/lm_discounts_ppm configure the LM gate, but "
+            "no lm_tables or lm_model_path is set — pass the model or "
+            "drop the kn parameters"
+        )
     # lm_model_path mirrors batch curate()'s one-call production gate
     # (VERDICT r11 Next #3): tables derived from the persisted prefix,
     # strata + join strategy from the meta sidecar. The frozen-for-the-

@@ -395,6 +395,13 @@ def test_curate_lm_model_path_equals_hand_composed(spark, corpus, tmp_path):
         curate(
             docs, lm_model_path=path, lm_strata=("lang",), max_nll_e6=cut
         )
+    # ADVICE r12: kn parameters with NO gate configured were silently
+    # ignored — the caller asked for a KN gate and forgot the model
+    with pytest.raises(ValueError, match="no lm_tables or lm_model_path"):
+        curate(docs, lm_smoothing="kn")
+    with pytest.raises(ValueError, match="no lm_tables or lm_model_path"):
+        curate(docs, lm_smoothing="kn",
+               lm_discounts_ppm=((750_000,),) * 3)
 
 
 def test_curate_materialize_identical_and_scan_free(spark, corpus, bench_docs):

@@ -476,6 +476,13 @@ def test_streaming_curate_lm_model_path_equals_batch(spark, tmp_path):
             str(tmp_path / "z2"), lm_model_path=path,
             lm_broadcast=True, max_nll_e6=cut,
         )
+    # ADVICE r12: kn parameters with NO gate configured were silently
+    # ignored in the streaming face too
+    with pytest.raises(ValueError, match="no lm_tables or lm_model_path"):
+        streaming_curate(
+            spark, str(tmp_path / "x3"), str(tmp_path / "y3"),
+            str(tmp_path / "z3"), lm_smoothing="kn",
+        )
 
     indir = tmp_path / "docs"
     indir.mkdir()

@@ -497,3 +497,20 @@ def test_cap_select_out_of_range_scores_fall_back():
     assert _cap_select(too_small, nids, qids, 2) is None
     all_nan = np.full((1, 3), np.nan)
     assert _cap_select(all_nan, nids, qids, 2) is not None
+
+
+def test_cap_select_zero_size_matrix_falls_back():
+    """ADVICE r12: a zero-size score matrix (empty query batch, or no
+    candidate rows) used to crash the fmin/fmax range guard with a
+    ValueError on the executor; it must hit the same None fallback as
+    out-of-range ids so the unreduced emit handles the degenerate
+    shape."""
+    import numpy as np
+
+    from mod_reservoir_spark.pipeline.pq import _cap_select
+
+    nids = np.array([1, 2, 3], dtype=np.int64)
+    empty = np.array([], dtype=np.int64)
+    assert _cap_select(np.zeros((0, 3)), nids, empty, 2) is None
+    assert _cap_select(np.zeros((1, 0)), empty,
+                       np.array([9], dtype=np.int64), 2) is None

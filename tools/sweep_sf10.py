@@ -53,11 +53,20 @@ def main() -> int:
         return 2
     results = {}
     for row in rows:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", sf_dir,
-             row],
-            capture_output=True, text=True, cwd=ROOT, timeout=3600,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one",
+                 sf_dir, row],
+                capture_output=True, text=True, cwd=ROOT, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung row must not abort the whole sweep and discard
+            # every remaining row's result (ADVICE r12) — record it
+            # like any other per-row failure and continue
+            results[row] = {"error": "timeout"}
+            print(json.dumps({"row": row, "error": "timeout"}),
+                  flush=True)
+            continue
         line = [
             ln for ln in out.stdout.strip().splitlines()
             if ln.startswith("{")
