@@ -120,3 +120,37 @@ def test_fold_refuses_cross_sf_and_duplicate_period(tmp_path):
             "queries": {}}]
     with pytest.raises(RuntimeError, match="already recorded"):
         bench_median.fold(dest, dup, "first")
+
+
+def test_merge_write_sidecar_preserves_foreign_keys(tmp_path):
+    """VERDICT r12 finding #1: the per-round CC telemetry write used to
+    rewrite CC_TELEMETRY.json wholesale, destroying the hand-recorded
+    `adversarial_hub_10m` decade point. The sidecar writer must refresh
+    only the keys it owns and let foreign keys survive."""
+    import bench
+
+    p = str(tmp_path / "side.json")
+    with open(p, "w") as f:
+        json.dump({"foreign_10m": {"seconds": 33.47}, "owned": 1}, f)
+    merged = bench.merge_write_sidecar(p, {"owned": 2, "fresh": "x"})
+    assert merged == {
+        "foreign_10m": {"seconds": 33.47}, "owned": 2, "fresh": "x"
+    }
+    with open(p) as f:
+        assert json.load(f) == merged
+    # corrupt file starts fresh instead of raising
+    with open(p, "w") as f:
+        f.write("{not json")
+    assert bench.merge_write_sidecar(p, {"a": 1}) == {"a": 1}
+    # missing file is created
+    p2 = str(tmp_path / "new.json")
+    assert bench.merge_write_sidecar(p2, {"b": 2}) == {"b": 2}
+
+
+def test_committed_cc_telemetry_carries_the_10m_point():
+    """The restored artifact of record must keep both hub entries —
+    this is the regression the merge-writer exists to prevent."""
+    with open(os.path.join(ROOT, "CC_TELEMETRY.json")) as f:
+        art = json.load(f)
+    assert "adversarial_hub" in art
+    assert art["adversarial_hub_10m"]["hub_fanout"] == 10_000_000
