@@ -146,16 +146,22 @@ def q_latest_version(spark, sf_dir):
     """latest-version-per-source window (ClusterBuilder.latest,
     reference ClusterBuilder.java:72-96): latest order per customer."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
+    # r13: row_number window → one combinable max(struct) — the window
+    # shape sorts every partition and cannot partial-aggregate
+    # map-side; max(struct(date, key)) picks the identical row (both
+    # sort keys descend, columns are non-null) with one partial-agg
+    # exchange and no sort (guide §2.3 "aggregate before you shuffle")
     return (
-        orders.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.struct("o_orderdate", "o_orderkey")).alias("_m")
+        )
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("latest_orderkey"),
-            F.date_format("o_orderdate", TS_FMT_SPARK).alias("latest_date"),
+            F.col("_m.o_orderkey").alias("latest_orderkey"),
+            F.date_format("_m.o_orderdate", TS_FMT_SPARK).alias(
+                "latest_date"
+            ),
         )
     )
 
@@ -165,18 +171,24 @@ def q_distinct_on(spark, sf_dir):
     first lineitem per order by linenumber."""
     li = _t(spark, sf_dir, "lineitem")
     # l_linenumber repeats within an order in the synthetic data — the
-    # extra keys make the pick deterministic across engines
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_linenumber"), F.col("l_partkey"), F.col("l_extendedprice")
-    )
+    # extra keys make the pick deterministic across engines.
+    # r13: row_number window → one combinable min(struct) over the
+    # same (non-null) sort keys: identical row pick, but map-side
+    # partial aggregation replaces the full sort the window pays and
+    # the exchange carries one row per order, not per lineitem
+    # (guide §2.3)
     return (
-        li.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min(
+                F.struct("l_linenumber", "l_partkey", "l_extendedprice")
+            ).alias("_m")
+        )
         .select(
             "l_orderkey",
-            "l_linenumber",
-            "l_partkey",
-            _cents(F.col("l_extendedprice")).alias("price_cents"),
+            F.col("_m.l_linenumber").alias("l_linenumber"),
+            F.col("_m.l_partkey").alias("l_partkey"),
+            _cents(F.col("_m.l_extendedprice")).alias("price_cents"),
         )
     )
 
@@ -321,7 +333,10 @@ def q_cluster_cc(spark, sf_dir):
             ).alias("match_value"),
         )
     )
-    assignments = cluster_all_pools(edges)
+    # one g10 + one g20 edge per customer — distinct by construction,
+    # so CC's defensive dedup shuffle is skipped (r13 optimization;
+    # labels are min-aggregated, duplicates could not change them)
+    assignments = cluster_all_pools(edges, dedupe_edges=False)
     return assignments.select(
         F.col("global_id").cast("long").alias("record_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),

@@ -67,6 +67,7 @@ def connected_components(
     component_col: str = "cluster_id",
     max_iterations: int = 50,
     on_nonconverged: str = "raise",
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Components of the bipartite node↔value graph.
 
@@ -91,15 +92,24 @@ def connected_components(
     ``on_nonconverged="warn"`` opts into the partial labels. Each run
     logs nodes/edges/iterations so drift toward the bound is visible
     in executor-driver logs before it becomes a failure.
+
+    ``dedupe_edges``: the min aggregations are idempotent, so duplicate
+    (node, value) edges never change the labels — the up-front
+    ``dropDuplicates`` is purely a size/perf trade (one extra full
+    shuffle now vs. fatter edge joins every iteration). Callers whose
+    edges are distinct by construction (the dedup pair graph, the
+    synthetic pool edges) pass False and skip that shuffle outright
+    (guide §2.4: remove shuffles the data doesn't need); edge-heavy
+    dirty inputs keep the default. ``LAST_RUN_STATS['edges']`` then
+    reports raw rows, not distinct edges.
     """
     log = logging.getLogger(__name__)
-    e = (
-        edges.select(
-            F.col(node_col).alias("_n"), F.col(value_col).alias("_v")
-        )
-        .dropDuplicates(["_n", "_v"])
-        .persist()
+    e = edges.select(
+        F.col(node_col).alias("_n"), F.col(value_col).alias("_v")
     )
+    if dedupe_edges:
+        e = e.dropDuplicates(["_n", "_v"])
+    e = e.persist()
     n_edges = e.count()  # also materializes the cache before the loop
     # Seed with the first hop unrolled: comp(n) = min over n's values of
     # the value's min node (with identity labels the first loop pass
@@ -123,13 +133,22 @@ def connected_components(
             .groupBy("_v")
             .agg(F.min("_c").alias("_vc"))
         )
-        # record label = min(own, min incident value label)
+        # record label = min(own, min incident value label); the SAME
+        # join against comp also yields the change flag — the old
+        # shape joined comp twice (once for least(), once for the
+        # _prev comparison), one whole exchange per iteration for a
+        # comparison the first join already had in hand (guide §2.4).
+        # least(_nc, _c) < _c ⇔ _nc < _c, so _chg falls out directly.
         stepped = (
             e.join(vmin, "_v")
             .groupBy("_n")
             .agg(F.min("_vc").alias("_nc"))
             .join(comp, "_n")
-            .select("_n", F.least("_nc", "_c").alias("_c"))
+            .select(
+                "_n",
+                F.least("_nc", "_c").alias("_c"),
+                (F.col("_nc") < F.col("_c")).alias("_chg"),
+            )
         )
         # pointer jumping (label-path halving): a label IS a node id
         # in the same component, so comp(comp(n)) is a valid label
@@ -142,8 +161,11 @@ def connected_components(
         # jumping cost cluster_cc +0.9 s and the curate funnel +4 s
         # at sf0.1 for zero saved rounds); still in time for a long
         # chain, which reaches fixpoint ~3 rounds after engaging.
+        # A jump that lowers the label (_jc < _c) is itself a change:
+        # _c ≤ prev label always, so least(_c, _jc) < prev ⇔
+        # _chg ∨ (_jc < _c).
         if iterations > 3:
-            jumped = stepped.join(
+            new_comp = stepped.join(
                 stepped.select(
                     F.col("_n").alias("_jn"), F.col("_c").alias("_jc")
                 ),
@@ -152,20 +174,14 @@ def connected_components(
             ).select(
                 "_n",
                 F.least("_c", "_jc").alias("_c"),
+                (
+                    F.col("_chg")
+                    | (F.col("_jc") < F.col("_c"))
+                ).alias("_chg"),
             )
         else:
-            jumped = stepped
-        new_comp = (
-            jumped.join(
-                comp.select("_n", F.col("_c").alias("_prev")), "_n"
-            )
-            .select(
-                "_n",
-                "_c",
-                (F.col("_c") < F.col("_prev")).alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
-        )
+            new_comp = stepped
+        new_comp = new_comp.localCheckpoint(eager=True)
         changed = new_comp.filter(F.col("_chg")).limit(1).count()
         comp = new_comp.select("_n", "_c")
         if changed == 0:
@@ -348,6 +364,7 @@ def cluster_pool(
 def cluster_all_pools(
     match_values: DataFrame,
     pool_ids: list[str] | None = None,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Cluster every pool present in the edge table.
 
@@ -368,7 +385,9 @@ def cluster_all_pools(
         F.concat_ws(sep, "match_key_config_id", "global_id").alias("qn"),
         F.concat_ws(sep, "match_key_config_id", "match_value").alias("qv"),
     )
-    comp = connected_components(qualified, "qn", "qv", "qc")
+    comp = connected_components(
+        qualified, "qn", "qv", "qc", dedupe_edges=dedupe_edges
+    )
     split_n = F.split(F.col("qn"), sep, 2)
     split_c = F.split(F.col("qc"), sep, 2)
     return comp.select(

@@ -993,7 +993,13 @@ def near_dedup_keep(
         )
     )
     comp = connected_components(
-        edges, node_col="doc", value_col="pair", component_col="comp"
+        edges,
+        node_col="doc",
+        value_col="pair",
+        component_col="comp",
+        # each distinct pair emits exactly two distinct (doc, pair)
+        # edges, so the CC-internal dedup shuffle buys nothing here
+        dedupe_edges=False,
     ).select(F.col("doc").cast("long").alias("doc_id"), "comp")
     # component label is the lexicographic-min node string; the keeper
     # policy wants the NUMERIC min, so reduce per component explicitly

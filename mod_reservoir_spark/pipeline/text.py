@@ -466,9 +466,14 @@ def unigram_logprob_scores(
     tokens and 0 score.
     """
     term_doc = _term_doc_counts(docs, text_col)
+    # vocab is consumed twice (the scalar total + the per-doc join);
+    # persisted so the total does not re-run the corpus-wide term
+    # aggregation. term_doc deliberately stays lazy: it is
+    # occurrence-sized, and the r8 A/B measured materializing such
+    # frames slower than re-running the narrow tokenize projection.
     vocab = term_doc.groupBy("term").agg(
         F.sum("tf").cast("long").alias("ctf")
-    )
+    ).persist()
     totals = vocab.select(
         F.sum("ctf").cast("long").alias("_total")
     )
@@ -660,6 +665,11 @@ def bigram_logprob_against(
             docs.select("doc_id", *strata).distinct(), "doc_id"
         )
     skeys = list(strata)
+    # both tables are consumed twice (context/total fold + join side);
+    # persisted so the second reference reads the cache instead of
+    # re-running the table's aggregation chain (r13 optimization)
+    bigrams = bigrams.persist()
+    unigrams = unigrams.persist()
     # context totals FOLD into the bigram table before the per-doc
     # join (vocab-sized), so the big per-doc frame shuffles twice —
     # (w1,w2) and (w2) — instead of three times. Value-identical: a
@@ -843,6 +853,12 @@ def trigram_logprob_against(
     # context is NULL too, and that case already scored 0 under the
     # zero-context guard (lam·coalesce(count,0)/ctx is 0 for any ctx
     # when the count is 0, and the otherwise-branch is the same 0.0).
+    # each count table is consumed twice (its context fold + the
+    # with_ctx join side) — persisted so the second reference reads
+    # the cache instead of re-running the table's aggregation chain
+    trigrams = trigrams.persist()
+    bigrams = bigrams.persist()
+    unigrams = unigrams.persist()
     contexts2 = trigrams.groupBy(*skeys, "w1", "w2").agg(
         F.sum("ct").cast("long").alias("c2")
     )
@@ -1335,7 +1351,11 @@ def ngram_logprob_against(
         j = n - idx  # this conditional term's order
         lam = lam_ppm / 1000000.0
         uni_weight -= lam
-        tbl = tables[idx]
+        # persisted: each conditional table is consumed twice (its
+        # context fold and the with_ctx join side); a lazy reference
+        # would re-run the table's whole aggregation chain from the
+        # prefix per use (guide §1.2: don't recompute paid-for work)
+        tbl = tables[idx].persist()
         # context total c(first j-1 words, ·) folded into the table
         ctx_cols = [f"w{i}" for i in range(1, j)]
         ctx = tbl.groupBy(*skeys, *ctx_cols).agg(
@@ -1368,6 +1388,9 @@ def ngram_logprob_against(
                 / F.col(f"_ctx{j}"),
             ).otherwise(F.lit(0.0))
         )
+    # persisted: the unigram table feeds the per-doc attach AND the
+    # _total fold below
+    unigrams = unigrams.persist()
     scored = scored.join(
         _table_side(
             unigrams.withColumnRenamed("term", f"w{n}"), broadcast_tables
@@ -1628,22 +1651,32 @@ def kn_logprob_against(
             docs.select("doc_id", *strata).distinct(), "doc_id"
         )
     scored = per_doc
-    # --- unigram base: continuation counts over distinct bigram types
+    # --- unigram base: continuation counts over distinct bigram types.
+    # uni is PERSISTED because it is consumed twice (the per-doc attach
+    # and the _btot fold below) and each lazy reference would otherwise
+    # re-aggregate the bigram table — itself a full aggregation of the
+    # prefix frame — from scratch (guide §1.2/§5: don't recompute what
+    # you already paid for; Catalyst shares no non-identical subtrees).
     bigrams = tables[n - 2]  # order-2 table
     uni = (
         bigrams.groupBy(*skeys, F.col("w2").alias(f"w{n}"))
         .agg(F.count("*").cast("long").alias("_ccu"))
+        .persist()
     )
     scored = scored.join(
         _table_side(uni, broadcast_tables), skeys + [f"w{n}"], "left"
     )
+    # N1+(··) per stratum = count(*) of distinct bigram types = the sum
+    # of uni's per-word continuation counts — derived from the persisted
+    # uni instead of a SECOND full pass over the bigram table (exact
+    # long arithmetic either way)
     if strata:
-        btot = bigrams.groupBy(*skeys).agg(
-            F.count("*").cast("long").alias("_btot")
+        btot = uni.groupBy(*skeys).agg(
+            F.sum("_ccu").cast("long").alias("_btot")
         )
         scored = scored.join(F.broadcast(btot), skeys, "left")
     else:
-        btot = bigrams.select(F.count("*").cast("long").alias("_btot"))
+        btot = uni.select(F.sum("_ccu").cast("long").alias("_btot"))
         scored = scored.crossJoin(F.broadcast(btot))
     # --- middle orders j = 2..N-1: continuation tables from the
     # (j+1)-gram table; two attaches per order (count + context fold)
@@ -1652,13 +1685,16 @@ def kn_logprob_against(
         # N1+(· v1..vj): group the DISTINCT (j+1)-gram types by their
         # last j words; key w_m of the source maps to doc position
         # w_{N-j+m-1} (the window's last-j-words suffix)
+        # persisted: cc feeds BOTH its context fold and the per-doc
+        # attach; unpersisted, the second reference recomputes the
+        # whole chain (prefix scan → order-(j+1) table → this agg)
         cc = src.groupBy(
             *skeys,
             *[
                 F.col(f"w{m}").alias(f"w{n - j + m - 1}")
                 for m in range(2, j + 2)
             ],
-        ).agg(F.count("*").cast("long").alias(f"_cc{j}"))
+        ).agg(F.count("*").cast("long").alias(f"_cc{j}")).persist()
         ctx_cols = [f"w{i}" for i in range(n - j + 1, n)]
         # modified-KN additionally tallies continuations by count
         # class (N1/N2/N3+ of the context — the class-summed backoff
@@ -1697,7 +1733,10 @@ def kn_logprob_against(
             "left",
         )
     # --- top order N: raw counts + (total, distinct-continuation) fold
-    top = tables[0]
+    # (persisted: consumed by the fold and the per-doc attach; from
+    # prefix_tables this is only a filter over the checkpointed prefix,
+    # but from the per-order builders it is a full corpus aggregation)
+    top = tables[0].persist()
     top_ctx_cols = [f"w{i}" for i in range(1, n)]
     top_cls_aggs = (
         [
