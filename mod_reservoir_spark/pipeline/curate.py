@@ -245,17 +245,20 @@ def curate(
 
     # quality over the (checkpointed) URL-survivor projection — same
     # values as over docs (the filter reads only doc_id + text)
-    # without another trip to the source
-    q = m(
-        quality_filter(u_surv, "_text", **(quality_kwargs or {})).select(
-            "doc_id", "reject_reasons", F.col("keep").alias("_q_keep")
+    # without another trip to the source. carry=("_text",) keeps the
+    # text riding the same single projection, so the survivors are a
+    # narrow filter of the checkpointed verdict frame instead of a
+    # corpus-sized join back onto u_surv (r13, guide §2.4 — one
+    # checkpoint job and one shuffle join removed per funnel run)
+    q_full = m(
+        quality_filter(
+            u_surv, "_text", carry=("_text",), **(quality_kwargs or {})
         )
     )
-    q_surv = m(
-        u_surv.join(q.filter("_q_keep = 1"), "doc_id").select(
-            "doc_id", "_text"
-        )
+    q = q_full.select(
+        "doc_id", "reject_reasons", F.col("keep").alias("_q_keep")
     )
+    q_surv = q_full.filter("keep = 1").select("doc_id", "_text")
 
     # optional CCNet perplexity gate among quality survivors: any
     # ngram_count_tables shape (2-tuple = JM bigram up to the 5-gram
@@ -399,7 +402,12 @@ def curate(
         )
     )
 
-    # decontamination among near survivors
+    # decontamination among near survivors. benchmark=None used to
+    # join a constant-column frame derived from n_surv onto the ledger
+    # (NULL/True for every row a literal provides identically —
+    # drop_stage's `when` skips NULL and False the same way), so the
+    # no-op stages now contribute literal columns, not joins (r13,
+    # guide §2.4)
     if benchmark is not None:
         c = m(
             contamination(
@@ -414,11 +422,7 @@ def curate(
             )
         )
     else:
-        c = n_surv.select(
-            "doc_id",
-            F.lit(None).cast("long").alias("contamination_ppm"),
-            F.lit(True).alias("_c_keep"),
-        )
+        c = None
 
     # paraphrase-level decontamination among the verbatim survivors
     if benchmark is not None and benchmark_near_ppm is not None:
@@ -438,36 +442,55 @@ def curate(
             )
         )
     else:
-        nc = base.select("doc_id", F.lit(True).alias("_nc_keep"))
+        nc = None
 
-    ledger = (
-        base.join(q, "doc_id", "left")
-        .join(e.select("doc_id", "_e_keep"), "doc_id", "left")
-        .join(n.select("doc_id", "keep_id", "_n_keep"), "doc_id", "left")
-        .join(c, "doc_id", "left")
-        .join(nc, "doc_id", "left")
-    )
+    # audit ledger: fold the SKINNY per-stage verdict frames together
+    # FIRST (ids + flags, all keyed doc_id, each stage's keys a subset
+    # of the previous stage's — left-join reassociation is exact),
+    # then attach the text-carrying base ONCE. The old shape joined
+    # base against each verdict frame in sequence, dragging the text
+    # payload through every exchange (r13, guide §8: decide with small
+    # rows, move big rows once).
+    verdicts = q
     drop_stage = F.when(F.lit(False), F.lit(""))
     if u is not None:
-        ledger = ledger.join(u, "doc_id", "left")
+        verdicts = u.join(verdicts, "doc_id", "left")
         drop_stage = drop_stage.when(
             F.col("_u_keep") == 0, F.lit("url_dup")
         )
     drop_stage = drop_stage.when(F.col("_q_keep") == 0, F.lit("quality"))
     if px is not None:
-        ledger = ledger.join(
+        verdicts = verdicts.join(
             px.select("doc_id", "_p_keep"), "doc_id", "left"
         )
         drop_stage = drop_stage.when(
             F.col("_p_keep").isNull() | ~F.col("_p_keep"),
             F.lit("perplexity"),
         )
+    verdicts = (
+        verdicts
+        .join(e.select("doc_id", "_e_keep"), "doc_id", "left")
+        .join(n.select("doc_id", "keep_id", "_n_keep"), "doc_id", "left")
+    )
+    if c is not None:
+        verdicts = verdicts.join(c, "doc_id", "left")
+        c_keep = F.col("_c_keep")
+        c_ppm = F.col("contamination_ppm")
+    else:
+        c_keep = F.lit(True)
+        c_ppm = F.lit(None).cast("long")
+    if nc is not None:
+        verdicts = verdicts.join(nc, "doc_id", "left")
+        nc_keep = F.col("_nc_keep")
+    else:
+        nc_keep = F.lit(True)
+    ledger = base.join(verdicts, "doc_id", "left")
     drop_stage = (
         drop_stage
         .when(~F.col("_e_keep"), F.lit("exact_dup"))
         .when(F.col("_n_keep") == 0, F.lit("near_dup"))
-        .when(~F.col("_c_keep"), F.lit("contaminated"))
-        .when(~F.col("_nc_keep"), F.lit("near_contaminated"))
+        .when(~c_keep, F.lit("contaminated"))
+        .when(~nc_keep, F.lit("near_contaminated"))
     )
     out_text = F.when(
         drop_stage.isNull(),
@@ -478,7 +501,7 @@ def curate(
         drop_stage.alias("drop_stage"),
         "reject_reasons",
         "keep_id",
-        "contamination_ppm",
+        c_ppm.alias("contamination_ppm"),
         out_text.alias("text"),
     )
 

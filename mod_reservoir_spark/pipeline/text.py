@@ -144,6 +144,40 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _max_multiplicity(arr: Column) -> Column:
+    """Max element multiplicity of a string array as a long — a narrow
+    run-length fold over the sorted array. Replaces the explode →
+    groupBy(doc, elem) → groupBy(doc) → join-back shape for PER-ROW
+    top-element shares (r13: that shape cost every caller two shuffles
+    plus a corpus-sized join for a value derivable inside the row —
+    guide §2.4 remove shuffles outright). Each fold step re-derives
+    "same as previous element" twice; both references are a string
+    equality on the lambda variables (cheap — the HOF no-CSE rule only
+    bites for non-cheap expressions). NULL/empty arrays yield 0/NULL
+    handled by the caller's guard."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("mx"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                a["mx"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("mx"),
+        ),
+        lambda a: a["mx"],
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition signals (Gopher-style quality
     filters): duplicate-token fraction, duplicate-line fraction, and
@@ -151,10 +185,12 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     boilerplate, templated, or degenerate documents for removal before
     pretraining.
 
-    Scale shape: token/line fractions are pure narrow JVM expressions;
-    the top-bigram share explodes bigrams and hash-aggregates on
-    (doc_id, bigram) — map-side combinable, shuffle keyed by doc+gram
-    (no skew: one document's bigrams spread nowhere).
+    Scale shape: ALL signals are pure narrow JVM expressions — the
+    top-bigram share is a per-row run-length fold over the sorted
+    bigram array (:func:`_max_multiplicity`), so the whole operator is
+    one projection with zero exchanges (r13: the previous explode +
+    two aggregations + join-back paid two shuffles and re-shuffled the
+    corpus frame for a strictly per-document value).
 
     Output: (doc_id, n_tokens, dup_token_ppm, dup_line_ppm,
     top_bigram_ppm); ppm fields are 0 for empty denominators.
@@ -175,40 +211,25 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.slice(F.col("toks"), 2, width),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    per_doc = base.select(
+    with_bg = base.select(
         "doc_id", "n_tokens", "n_distinct", "n_lines", "n_dlines",
-        F.explode_outer(bigrams).alias("bg"),
+        bigrams.alias("bgs"),
     )
-    top = (
-        per_doc.filter(F.col("bg").isNotNull())
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("cnt").alias("mx"),
-            F.sum("cnt").cast("long").alias("total"),
-        )
-    )
-    return (
-        base.select(
-            "doc_id", "n_tokens", "n_distinct", "n_lines", "n_dlines"
-        )
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.when(
-                F.col("n_tokens") > 0,
-                ppm(F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")),
-            ).otherwise(F.lit(0)).cast("long").alias("dup_token_ppm"),
-            F.when(
-                F.col("n_lines") > 0,
-                ppm(F.col("n_lines") - F.col("n_dlines"), F.col("n_lines")),
-            ).otherwise(F.lit(0)).cast("long").alias("dup_line_ppm"),
-            F.coalesce(
-                ppm(F.col("mx"), F.col("total")), F.lit(0)
-            ).cast("long").alias("top_bigram_ppm"),
-        )
+    return with_bg.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            ppm(F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")),
+        ).otherwise(F.lit(0)).cast("long").alias("dup_token_ppm"),
+        F.when(
+            F.col("n_lines") > 0,
+            ppm(F.col("n_lines") - F.col("n_dlines"), F.col("n_lines")),
+        ).otherwise(F.lit(0)).cast("long").alias("dup_line_ppm"),
+        F.when(
+            F.size("bgs") > 0,
+            ppm(_max_multiplicity(F.col("bgs")), F.size("bgs")),
+        ).otherwise(F.lit(0)).cast("long").alias("top_bigram_ppm"),
     )
 
 
@@ -216,11 +237,10 @@ def text_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """:func:`token_stats` + :func:`repetition_stats` in ONE pass —
     the contract-query composition. A naive ``token_stats ⋈
     repetition_stats`` join costs an extra corpus scan and an extra
-    shuffle; here every narrow column rides the same base projection
-    and only the top-bigram share aggregates (the identical shape
-    repetition_stats alone has), so merging the two operators into one
-    driver-checked row is plan-free. Column names and types match the
-    two source operators exactly."""
+    shuffle; here every column — including the top-bigram share, a
+    per-row run-length fold (:func:`_max_multiplicity`) — rides one
+    narrow projection with zero exchanges. Column names and types
+    match the two source operators exactly."""
     t = tokens(text_col)
     lines = F.split(F.col(text_col), "\n")
     base = docs.select(
@@ -238,18 +258,7 @@ def text_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.slice(F.col("toks"), 2, width),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    top = (
-        base.select("doc_id", F.explode_outer(bigrams).alias("bg"))
-        .filter(F.col("bg").isNotNull())
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("cnt").alias("mx"),
-            F.sum("cnt").cast("long").alias("total"),
-        )
-    )
-    return base.join(top, "doc_id", "left").select(
+    return base.select(
         "doc_id",
         "n_tokens",
         "n_distinct_tokens",
@@ -269,9 +278,10 @@ def text_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("n_lines") > 0,
             ppm(F.col("n_lines") - F.col("n_dlines"), F.col("n_lines")),
         ).otherwise(F.lit(0)).cast("long").alias("dup_line_ppm"),
-        F.coalesce(ppm(F.col("mx"), F.col("total")), F.lit(0))
-        .cast("long")
-        .alias("top_bigram_ppm"),
+        F.when(
+            F.size(bigrams) > 0,
+            ppm(_max_multiplicity(bigrams), F.size(bigrams)),
+        ).otherwise(F.lit(0)).cast("long").alias("top_bigram_ppm"),
     )
 
 
@@ -2381,20 +2391,66 @@ def quality_filter(
     max_top_bigram_ppm: int = 180000,
     min_distinct_ppm: int = 200000,
     max_punct_ppm: int = 250000,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Composite keep/drop decision (the Gopher-rules shape): joins the
-    per-document quality and repetition signals and emits ``keep``
+    """Composite keep/drop decision (the Gopher-rules shape): combines
+    the per-document quality and repetition signals and emits ``keep``
     plus the sorted comma-joined reject reasons, so a pipeline can
     both filter and audit WHY documents fell out (reason histograms
     are the standard data-quality dashboard).
 
+    Scale shape: every signal — including the top-bigram share, a
+    per-row run-length fold (:func:`_max_multiplicity`) — is a pure
+    narrow expression, so the whole operator is ONE projection with
+    zero exchanges (r13: it used to self-join quality_scores against
+    repetition_stats on doc_id, paying a corpus-sized shuffle join for
+    strictly per-row values — guide §2.4 remove shuffles outright).
+
     Output: (doc_id, n_tokens, reject_reasons, keep) — reasons '' and
-    keep=1 for passing docs.
+    keep=1 for passing docs. ``carry`` appends named input columns to
+    the output unchanged (r13: lets curate() keep ``_text`` riding the
+    same single projection instead of re-joining the verdict frame
+    back onto the corpus — the join was one corpus-sized shuffle per
+    funnel run); the default () keeps the contract schema exact.
     """
-    q = quality_scores(docs, text_col)
-    r = repetition_stats(docs, text_col)
-    j = q.join(
-        r.select("doc_id", "dup_line_ppm", "top_bigram_ppm"), "doc_id"
+    t = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        "doc_id",
+        *carry,
+        F.size(t).alias("n_tokens"),
+        ppm(
+            F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")),
+            F.greatest(F.length(text_col), F.lit(1)),
+        ).alias("punct_ppm"),
+        ppm(
+            F.size(F.array_distinct(t)),
+            F.greatest(F.size(t), F.lit(1)),
+        ).alias("distinct_ppm"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_dlines"),
+        t.alias("toks"),
+    )
+    width = F.greatest(F.col("n_tokens") - 1, F.lit(0)).cast("int")
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, width),
+        F.slice(F.col("toks"), 2, width),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    j = base.select(
+        "doc_id",
+        *carry,
+        "n_tokens",
+        "punct_ppm",
+        "distinct_ppm",
+        F.when(
+            F.col("n_lines") > 0,
+            ppm(F.col("n_lines") - F.col("n_dlines"), F.col("n_lines")),
+        ).otherwise(F.lit(0)).cast("long").alias("dup_line_ppm"),
+        F.when(
+            F.size(bigrams) > 0,
+            ppm(_max_multiplicity(bigrams), F.size(bigrams)),
+        ).otherwise(F.lit(0)).cast("long").alias("top_bigram_ppm"),
     )
     reasons = F.array_join(
         F.array_sort(
@@ -2427,6 +2483,7 @@ def quality_filter(
     )
     return j.select(
         "doc_id",
+        *carry,
         F.col("n_tokens").cast("long").alias("n_tokens"),
         reasons.alias("reject_reasons"),
         (reasons == "").cast("long").alias("keep"),
