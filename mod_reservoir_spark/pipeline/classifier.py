@@ -83,6 +83,22 @@ def logreg_train(
     if not n_rows:
         raise ValueError("logreg_train: no feature rows")
     sc = data.sparkSession.sparkContext
+    # Size the per-iteration gradient pass to the DATA, not to the
+    # union's shuffle partitioning: the cached frame keeps its build
+    # partitioning (2 x shuffle.partitions from the two groupBys —
+    # AQE does not re-coalesce under a cache by default), so every
+    # iteration would otherwise launch that many near-empty tasks.
+    # coalesce() on the cached frame is a narrow merge — no shuffle,
+    # no re-materialization — and the bound is row-derived, so a
+    # corpus big enough to fill the partitions keeps them all
+    # (guide §2: partition counts must be scale-adaptive, not tuned
+    # to either local mode or the cluster).
+    rows_per_task = 20_000
+    k = max(1, min(
+        data.rdd.getNumPartitions(),
+        -(-n_rows // rows_per_task),
+    ))
+    data_iter = data.coalesce(k)
     w = np.zeros(buckets + 1)
     history: list[float] = []
     dim = buckets + 1
@@ -121,7 +137,7 @@ def logreg_train(
                         {"g": [g.tolist()], "loss": [loss]}
                     )
 
-            rows = data.mapInPandas(
+            rows = data_iter.mapInPandas(
                 partials, schema="g array<double>, loss double"
             ).collect()
             grad = np.zeros(dim)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from mod_reservoir_spark.pipeline.spread import spread_input
 from mod_reservoir_spark.pipeline.text import ppm, tokens
 
 MERSENNE_P31 = (1 << 31) - 1
@@ -176,6 +177,7 @@ def duplicate_span_stats(
     Output: (doc_id, n_windows, n_dup, dup_ppm) — docs shorter than k
     tokens report 0 windows and 0 ppm.
     """
+    docs = spread_input(docs)
     wins = docs.select(
         "doc_id",
         F.explode(
@@ -244,6 +246,7 @@ def remove_duplicate_spans(
     Output: (doc_id, text, n_tokens, n_removed) — n_tokens counts the
     ORIGINAL tokens; text is '' when everything was duplicated.
     """
+    docs = spread_input(docs)
     toks = docs.select(
         "doc_id",
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
@@ -464,8 +467,26 @@ def hashed_shingle_sets(
     """(doc_id, hsh: array<bigint>) — the distinct 28-bit hashed
     shingle set per document; documents with no shingles dropped.
     ``hasher``: see :func:`shingle_hash_expr` (md5 = oracle-exact
-    contract hash, xxhash64 = measured fast path)."""
-    return docs.select(
+    contract hash, xxhash64 = measured fast path).
+
+    spread_input: one md5 per shingle is the heaviest per-row work in
+    the dedup family, and a single-split input serializes it on one
+    core (guide §2.5 input skew) — spread before the expansion, gated
+    off for any well-partitioned input.
+
+    The no-shingle drop filters on the TOKEN count, not on
+    ``size(hsh) > 0``: the two are equivalent (``transform`` preserves
+    length, the distinct of a non-empty array is non-empty, and
+    space-joined grams of non-empty tokens are non-empty strings —
+    pinned in tests), but the optimizer pushes a deterministic filter
+    below the spread exchange, and a filter that references ``hsh``
+    inlines the WHOLE md5 pipeline into the pre-exchange stage —
+    the plan then hashed every shingle twice, once on the unspread
+    single task (r13, caught by the plan guard's Exchange count)."""
+    docs = spread_input(docs)
+    return docs.filter(
+        F.size(tokens(text_col)) >= shingle_n
+    ).select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -473,7 +494,7 @@ def hashed_shingle_sets(
                 lambda s: shingle_hash_expr(s, hasher),
             )
         ).alias("hsh"),
-    ).filter(F.size("hsh") > 0)
+    )
 
 
 def _perm(i):
@@ -757,7 +778,9 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 24) -> DataFram
     groupBy(doc_id) with per-bit conditional sums (all JVM expressions).
 
     24 bits (base hash is 28 bits) — packed value comfortably inside a
-    signed bigint in both engines."""
+    signed bigint in both engines. No spread_input: one md5 per
+    DISTINCT token is light enough that the added exchange measured as
+    a consistent ~15% loss in the interleaved A/B (r13)."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
@@ -978,7 +1001,14 @@ def near_dedup_keep(
             docs, text_col, num_hashes, bands, shingle_n, threshold_ppm,
             hasher,
         )
-    pairs = pairs.select("doc_a", "doc_b")
+    # persisted: the bipartite edge union below references the pair
+    # plan TWICE (doc_a side + doc_b side), and Catalyst shares no
+    # subtrees — unpersisted, the whole candidate-join + verify
+    # pipeline (or whatever the caller's pair generator is) executes
+    # twice inside the CC edge materialization (guide §5: cache what
+    # recomputes expensive work). The frame is pair-sized — tiny next
+    # to the corpus at any scale.
+    pairs = pairs.select("doc_a", "doc_b").persist()
     pair_key = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
     edges = (
         pairs.select(
@@ -1087,11 +1117,16 @@ def near_contamination(
             "benchmark_sigs= (precomputed signature table)"
         )
     rows = num_hashes // bands
+    # persisted: the corpus signature table feeds BOTH the bucket side
+    # of the candidate join and the verify join — a lazy reference
+    # would re-run the whole shingle+signature pipeline over the
+    # corpus a second time (guide §5: cache only what recomputes
+    # expensive work; this is the most expensive frame in the plan)
     corpus = signature_table(docs, text_col, num_hashes, shingle_n).select(
         F.col("doc_id").alias("cid"),
         F.col("hsh").alias("chsh"),
         F.col("sig").alias("csig"),
-    )
+    ).persist()
     bench = (
         benchmark_sigs
         if benchmark_sigs is not None
@@ -1101,6 +1136,11 @@ def near_contamination(
         F.col("hsh").alias("bhsh"),
         F.col("sig").alias("bsig"),
     )
+    if benchmark_sigs is None:
+        # freshly shingled benchmark feeds buckets + the verify
+        # broadcast; persist so it is built once (callers passing
+        # benchmark_sigs manage their own caching)
+        bench = bench.persist()
 
     def buckets(sig_df, id_col, sig_col):
         entries = [

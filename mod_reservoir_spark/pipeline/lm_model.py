@@ -42,10 +42,12 @@ def build_lm_prefix(
     c) with one row per distinct NULL-right-padded N-window. This is
     the single frame every order's counts derive from; see
     :func:`prefix_tables`."""
+    from mod_reservoir_spark.pipeline.spread import spread_input
     from mod_reservoir_spark.pipeline.text import tokens
 
     if order < 2:
         raise ValueError("order must be >= 2")
+    docs = spread_input(docs)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     padded = F.concat(
         toks, F.array_repeat(F.lit(None).cast("string"), order - 1)

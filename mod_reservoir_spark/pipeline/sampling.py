@@ -286,7 +286,11 @@ def hashed_ngram_features(
     bucket ids, so every downstream count is oracle-exact). One narrow
     explode + one combinable (id, bucket) aggregation."""
     from mod_reservoir_spark.pipeline.dedup import hex7_to_long, ngram_array
+    from mod_reservoir_spark.pipeline.spread import spread_input
 
+    # one md5 per n-gram occurrence: spread a single-split input so the
+    # hashing runs on every core (guide §2.5)
+    docs = spread_input(docs)
     toks = tokens(text_col)
     grams = ngram_array(toks, 1)
     for n in range(2, n_max + 1):
@@ -344,9 +348,22 @@ def dsir_weights(
     production lifecycle is :func:`dsir_model` once (λ persisted in
     the warehouse) + :func:`dsir_score` per batch — scoring a daily
     increment must not re-aggregate the 100 TB raw corpus.
+
+    The raw corpus is FEATURIZED ONCE: the same persisted (id, bucket,
+    tf) frame feeds the model's bucket counts AND the scoring join
+    (guide §1.2 — the composed form used to run the md5-explode
+    featurization of the full raw corpus twice, once per half).
     """
-    lam = dsir_model(raw, target, text_col, id_col, n_max, buckets)
-    return dsir_score(raw, lam, text_col, id_col, n_max, buckets)
+    raw_feats = hashed_ngram_features(
+        raw, text_col, id_col, n_max, buckets
+    ).persist()
+    lam = dsir_model(
+        raw, target, text_col, id_col, n_max, buckets,
+        raw_feats=raw_feats,
+    )
+    return dsir_score(
+        raw, lam, text_col, id_col, n_max, buckets, feats=raw_feats
+    )
 
 
 def dsir_model(
@@ -356,14 +373,21 @@ def dsir_model(
     id_col: str = "doc_id",
     n_max: int = 2,
     buckets: int = 10_007,
+    raw_feats: DataFrame | None = None,
 ) -> DataFrame:
     """The trained DSIR model: the per-bucket micro-nat log-ratio
     table λ (≤ ``buckets`` rows). Train ONCE — on the full raw corpus
     or a representative sample — persist it (it is kilobytes), and
     score any number of batches with :func:`dsir_score`; the same
     maintained-state pattern as ``signature_table`` for incremental
-    LSH. Output: (bucket, lam_e6)."""
-    raw_feats = hashed_ngram_features(raw, text_col, id_col, n_max, buckets)
+    LSH. ``raw_feats``: optionally the already-computed
+    :func:`hashed_ngram_features` of ``raw`` (same parameters), so a
+    caller that also scores ``raw`` pays the featurization once.
+    Output: (bucket, lam_e6)."""
+    if raw_feats is None:
+        raw_feats = hashed_ngram_features(
+            raw, text_col, id_col, n_max, buckets
+        )
     tgt_feats = hashed_ngram_features(target, text_col, id_col, n_max, buckets)
     rc = _bucket_counts(raw_feats, "rc")
     tc = _bucket_counts(tgt_feats, "tc")
@@ -401,14 +425,19 @@ def dsir_score(
     id_col: str = "doc_id",
     n_max: int = 2,
     buckets: int = 10_007,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents against a trained λ table (:func:`dsir_model`):
     one featurization pass over ``docs`` + a broadcast join — a batch
     never touches the corpus the model was trained on. Buckets absent
     from λ (possible when the model was trained on a sample) contribute
-    0 — the neutral no-evidence weight. Output: (id, n_feats,
-    logw_e6)."""
-    feats = hashed_ngram_features(docs, text_col, id_col, n_max, buckets)
+    0 — the neutral no-evidence weight. ``feats``: optionally the
+    precomputed :func:`hashed_ngram_features` of ``docs``. Output:
+    (id, n_feats, logw_e6)."""
+    if feats is None:
+        feats = hashed_ngram_features(
+            docs, text_col, id_col, n_max, buckets
+        )
     scored = (
         feats.join(F.broadcast(lam), "bucket", "left")
         .groupBy(id_col)

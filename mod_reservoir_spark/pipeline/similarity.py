@@ -125,6 +125,11 @@ def lsh_signatures(
     projection is a plain zip_with dot product per (table, plane).
 
     Output: (vec_id, table, bucket) — one row per hash table.
+
+    No spread_input on the embeddings side: the vector table is rows ×
+    dim doubles (orders of magnitude fewer rows than a document
+    corpus), and the r13 interleaved A/B measured the added exchange
+    as neutral-to-loss on every embeddings row.
     """
     sig_entries = []
     for t in range(n_tables):
@@ -856,16 +861,34 @@ def cell_cosine_pairs(
     unordered pair once (doc_a < doc_b). ``self_join=False``: cross
     pairs only, one endpoint per frame (callers guarantee the id sets
     are disjoint, e.g. a new batch vs the corpus state that excludes
-    it)."""
+    it).
+
+    Norms are computed ONCE PER ROW in the pre-join projection, not
+    per pair: within-cell candidate pairs outnumber rows by the cell
+    occupancy factor, so the per-pair norm fold was ~2/3 of the verify
+    arithmetic re-done occupancy-times per vector (r13, guide §1.2).
+    Identical doubles — the same sqrt-of-fold expression evaluates per
+    vector either way — so scores are bit-equal."""
+
+    def _fold(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _norm(col):
+        return F.sqrt(_fold(F.transform(col, lambda x: x * x)))
+
     paired = (
         left_ev.select(
-            F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), "cell"
+            F.col("vec_id").alias("doc_a"),
+            F.col("v").alias("va"),
+            "cell",
+            _norm(F.col("v")).alias("_na"),
         )
         .join(
             right_ev.select(
                 F.col("vec_id").alias("doc_b"),
                 F.col("v").alias("vb"),
                 "cell",
+                _norm(F.col("v")).alias("_nb"),
             ),
             "cell",
         )
@@ -875,15 +898,11 @@ def cell_cosine_pairs(
         if self_join
         else F.col("doc_a") != F.col("doc_b")
     )
-
-    def _fold(col):
-        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
-
     dot = _fold(F.zip_with("va", "vb", lambda x, y: x * y))
-    norm_a = F.sqrt(_fold(F.transform("va", lambda x: x * x)))
-    norm_b = F.sqrt(_fold(F.transform("vb", lambda x: x * x)))
     return (
-        paired.withColumn("score", F.round(dot / (norm_a * norm_b), 6))
+        paired.withColumn(
+            "score", F.round(dot / (F.col("_na") * F.col("_nb")), 6)
+        )
         .filter(F.col("score") >= threshold)
         .select("doc_a", "doc_b")
     )

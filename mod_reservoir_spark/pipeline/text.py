@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from mod_reservoir_spark.pipeline.spread import spread_input
+
 # Stopword votes per language for the language-ID heuristic. Tiny on
 # purpose: the operator contract is "deterministic votes over a fixed
 # table", not linguistic accuracy; swap in a real profile table for
@@ -195,6 +197,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: (doc_id, n_tokens, dup_token_ppm, dup_line_ppm,
     top_bigram_ppm); ppm fields are 0 for empty denominators.
     """
+    docs = spread_input(docs)
     t = tokens(text_col)
     lines = F.split(F.col(text_col), "\n")
     base = docs.select(
@@ -241,6 +244,7 @@ def text_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per-row run-length fold (:func:`_max_multiplicity`) — rides one
     narrow projection with zero exchanges. Column names and types
     match the two source operators exactly."""
+    docs = spread_input(docs)
     t = tokens(text_col)
     lines = F.split(F.col(text_col), "\n")
     base = docs.select(
@@ -446,7 +450,10 @@ def _term_doc_counts(docs: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, term, tf) — THE per-document term-frequency
     aggregation shared by tfidf_top_terms and unigram_logprob_scores
     (their DuckDB oracles mirror this exact tokenization, so there is
-    one copy to keep in sync)."""
+    one copy to keep in sync). No spread_input here: the explode is
+    cheap (no per-element hashing) and the interleaved A/B measured
+    the added exchange as a 20-40% LOSS on tfidf/unigram at bench
+    scale (guide §1 — keep only measured wins)."""
     return (
         docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
         .groupBy("doc_id", "term")
@@ -579,6 +586,7 @@ def _bigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, w1, w2, bf) — per-document bigram-occurrence partials,
     the map-side-combinable base both the count tables and the scorer
     build on."""
+    docs = spread_input(docs)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     width = F.greatest(F.size(toks) - 1, F.lit(0))
     # two shifted slices zipped into (w1, w2) structs: the ngram_array
@@ -757,6 +765,7 @@ def _trigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
     scorer (the :func:`_bigram_positions` discipline: shifted slices
     zipped into structs, never element_at lambdas over the
     tokenization expression)."""
+    docs = spread_input(docs)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     width = F.greatest(F.size(toks) - 2, F.lit(0))
     pairs = F.zip_with(
@@ -1022,6 +1031,7 @@ def _ngram_positions(
     orders the doc does support (j ≤ t, all-non-NULL keys) and the
     unigram term attach normally — KenLM-style backoff to the highest
     supported order with no second scoring plan."""
+    docs = spread_input(docs)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     width = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     grams = F.slice(toks, 1, width)
@@ -2413,6 +2423,7 @@ def quality_filter(
     back onto the corpus — the join was one corpus-sized shuffle per
     funnel run); the default () keeps the contract schema exact.
     """
+    docs = spread_input(docs)
     t = tokens(text_col)
     lines = F.split(F.col(text_col), "\n")
     base = docs.select(
@@ -2600,6 +2611,9 @@ def _winnow_windows(
     """(doc_id, n_grams, wins) — the winnowed window-min array."""
     from mod_reservoir_spark.pipeline.dedup import hex7_to_long
 
+    # one md5 per char k-gram: the heaviest narrow expansion in the
+    # repo — spread a single-split input before it (guide §2.5)
+    docs = spread_input(docs)
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     d1 = docs.select("doc_id", norm.alias("norm"))
     n_grams = F.greatest(F.length("norm") - (k - 1), F.lit(0))

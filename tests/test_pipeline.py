@@ -37,6 +37,47 @@ def test_exact_duplicates(docs):
     assert len(groups) == 4
 
 
+def test_hashed_shingle_sets_token_filter_equivalent(spark):
+    """The r13 cheap drop filter (token count >= shingle_n) must keep
+    exactly the rows the old ``size(hsh) > 0`` form kept — including
+    empty/whitespace/short-doc edges — while never inlining the md5
+    pipeline below the spread exchange."""
+    from mod_reservoir_spark.pipeline.dedup import (
+        hashed_shingle_sets,
+        shingle_array,
+        shingle_hash_expr,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "   "),
+            (3, "one"),
+            (4, "one two"),
+            (5, "one two three"),
+            (6, "  padded   tokens  "),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (1, 2, 3):
+        new = hashed_shingle_sets(edge, "text", shingle_n=n)
+        old = (
+            edge.select(
+                "doc_id",
+                F.array_distinct(
+                    F.transform(
+                        shingle_array("text", n),
+                        lambda s: shingle_hash_expr(s, "md5"),
+                    )
+                ).alias("hsh"),
+            ).filter(F.size("hsh") > 0)
+        )
+        got = {(r.doc_id, tuple(r.hsh)) for r in new.collect()}
+        want = {(r.doc_id, tuple(r.hsh)) for r in old.collect()}
+        assert got == want, f"shingle_n={n}"
+
+
 def test_jaccard_pairs_finds_near_dups(docs):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard_ppm

@@ -23,11 +23,22 @@ def docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
 
-def test_minhash_signatures_plan_has_no_exchange(docs):
+def test_minhash_signatures_plan_has_no_exchange(docs, spark):
     from mod_reservoir_spark.pipeline.dedup import minhash_signatures
 
-    p = plan(minhash_signatures(docs))
-    assert "Exchange" not in p  # fully narrow: scan -> project
+    # single-split bench input: exactly the ONE gated spread_input
+    # round-robin exchange (guide §2.5 input skew), then narrow
+    # (simple mode prints each operator once; formatted repeats them
+    # in the detail section)
+    p = plan(minhash_signatures(docs), mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert "roundrobinpartitioning" in p.lower(), p
+    # well-partitioned input (the production case): the gate must not
+    # fire — fully narrow scan -> project, no exchange at all
+    wide = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
+    assert "Exchange" not in plan(minhash_signatures(wide))
 
 
 def test_text_ops_plans_have_no_exchange(docs):
