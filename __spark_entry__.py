@@ -380,7 +380,12 @@ def _lang_tokens(spark, sf_dir):
     tokenization all three sketch register queries share (the fused
     contract result hash-depends on the copies staying identical, so
     there is exactly one copy)."""
-    docs = _t(spark, sf_dir, "documents")
+    from mod_reservoir_spark.pipeline.spread import spread_input
+
+    # the register builders hash every exploded token (1 HLL + depth
+    # CM md5s each) in the stage this explode pipelines into — spread
+    # a single-split scan so that work is not one task (guide §2.5)
+    docs = spread_input(_t(spark, sf_dir, "documents"))
     return docs.select(
         "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("v")
     ).filter(F.col("v") != "")

@@ -126,7 +126,14 @@ def extract_html_text(
     """Extract main-content text from an HTML column. Output:
     (doc_id, text, n_blocks, n_kept_blocks) — ``text`` is ''
     (never NULL) when nothing survives, so downstream tokenizers see
-    an empty document, not a missing one."""
+    an empty document, not a missing one.
+
+    The parse is pure-Python per document (HTMLParser), the heaviest
+    Python-boundary work in the repo — spread a single-split input so
+    one worker does not parse the whole corpus (guide §2.5/§4)."""
+    from mod_reservoir_spark.pipeline.spread import spread_input
+
+    docs = spread_input(docs)
 
     def run(iterator):
         import pandas as pd

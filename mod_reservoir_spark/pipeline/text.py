@@ -384,18 +384,26 @@ def contamination(
         if bench_ngrams is not None
         else benchmark_ngrams(benchmark, text_col, n)
     )
-    sizes = doc_ng.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_ngrams")
-    )
-    hits = (
-        doc_ng.join(F.broadcast(bench_ng), "ng")
+    # ONE pass over the exploded corpus n-grams: the broadcast LEFT
+    # join marks benchmark hits and a single combinable aggregation
+    # counts totals and hits together — the previous shape ran the
+    # shingle explode twice (a sizes groupBy AND a hits join+groupBy)
+    # and shuffled the per-doc partials twice (r13, guide §2.4).
+    counts = (
+        doc_ng.join(
+            F.broadcast(bench_ng.withColumn("_hit", F.lit(1))),
+            "ng",
+            "left",
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.count("_hit").cast("long").alias("n_hits"),
+        )
     )
     return (
         docs.select("doc_id")
-        .join(sizes, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(counts, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
@@ -2223,6 +2231,10 @@ def bm25_search(
             / F.count("*")
         ).alias("_avgdl"),
     )
+    # persisted: the posting table feeds BOTH the df rollup and the
+    # scoring join — a lazy second reference re-runs the corpus
+    # tokenize+filter+explode pass (guide §5); the frame itself is
+    # bounded by query-term occurrences, tiny at any corpus size
     posting = (
         t.select(
             "doc_id",
@@ -2233,6 +2245,7 @@ def bm25_search(
         )
         .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
     )
     df_tbl = posting.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
@@ -3111,7 +3124,13 @@ def bm25_search_batch(
         F.col(query_id_col).alias("query_id"),
         F.explode(tokens(query_col)).alias("term"),
     ).distinct()
-    p = postings.join(bcast(qterm.select("term").distinct()), "term")
+    # persisted: the term-filtered posting slice feeds the df rollup
+    # AND the scoring join — unpersisted, the postings scan + filter
+    # join runs twice (guide §5); the slice is bounded by query-term
+    # occurrences
+    p = postings.join(
+        bcast(qterm.select("term").distinct()), "term"
+    ).persist()
     df_tbl = p.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
