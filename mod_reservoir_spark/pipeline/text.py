@@ -591,9 +591,18 @@ def bigram_logprob_scores(
 
 
 def _bigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, w1, w2, bf) — per-document bigram-occurrence partials,
-    the map-side-combinable base both the count tables and the scorer
-    build on."""
+    """(doc_id, w1, w2, bf) — per-document bigram OCCURRENCE rows
+    (bf=1 each), the narrow base both the count tables and the scorer
+    build on.
+
+    No per-(doc, bigram) pre-aggregation (r13, guide §2.4): within-doc
+    window repeats are ~1.05× even corpus-wide, so the old
+    groupBy(doc_id, w1, w2) shuffled the full occurrence frame on
+    wide string keys to dedupe almost nothing — and neither consumer
+    needs distinct rows (the count tables re-group by (w1, w2), the
+    scorer re-groups by doc_id; both aggregate Σbf, identical over
+    occurrence rows). The partial aggregation that matters still
+    happens map-side inside those downstream groupBys."""
     docs = spread_input(docs)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     width = F.greatest(F.size(toks) - 1, F.lit(0))
@@ -607,9 +616,10 @@ def _bigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
     )
     return (
         docs.select("doc_id", F.explode(pairs).alias("bg"))
-        .select("doc_id", "bg.w1", "bg.w2")
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count("*").cast("long").alias("bf"))
+        .select(
+            "doc_id", "bg.w1", "bg.w2",
+            F.lit(1).cast("long").alias("bf"),
+        )
     )
 
 
@@ -768,11 +778,9 @@ def bigram_logprob_against(
 
 
 def _trigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, w1, w2, w3, tf3) — per-document trigram-occurrence
-    partials, the map-side-combinable base for the order-3 tables and
-    scorer (the :func:`_bigram_positions` discipline: shifted slices
-    zipped into structs, never element_at lambdas over the
-    tokenization expression)."""
+    """(doc_id, w1, w2, w3, tf3) — per-document trigram OCCURRENCE
+    rows (tf3=1 each; :func:`_bigram_positions` discipline — no
+    per-doc pre-aggregation shuffle, consumers re-aggregate)."""
     docs = spread_input(docs)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     width = F.greatest(F.size(toks) - 2, F.lit(0))
@@ -790,9 +798,10 @@ def _trigram_positions(docs: DataFrame, text_col: str) -> DataFrame:
     )
     return (
         docs.select("doc_id", F.explode(triples).alias("tg"))
-        .select("doc_id", "tg.w1", "tg.w2", "tg.w3")
-        .groupBy("doc_id", "w1", "w2", "w3")
-        .agg(F.count("*").cast("long").alias("tf3"))
+        .select(
+            "doc_id", "tg.w1", "tg.w2", "tg.w3",
+            F.lit(1).cast("long").alias("tf3"),
+        )
     )
 
 
@@ -1082,9 +1091,13 @@ def _ngram_positions(
         ).otherwise(acc)
     return (
         docs.select("doc_id", F.explode(acc).alias("g"))
-        .select("doc_id", *[f"g.{c}" for c in cols])
-        .groupBy("doc_id", *cols)
-        .agg(F.count("*").cast("long").alias("tf"))
+        .select(
+            "doc_id",
+            *[f"g.{c}" for c in cols],
+            # occurrence rows, tf=1 each — no per-doc pre-aggregation
+            # shuffle (see _bigram_positions); consumers re-aggregate
+            F.lit(1).cast("long").alias("tf"),
+        )
     )
 
 
@@ -2385,9 +2398,13 @@ def url_dedup(
     is_kept). Rows whose canonical key is NULL (NULL url) keep
     themselves: the left join never matches a NULL key, and the
     keeper coalesces to the row's own id."""
+    # persisted: consumed by the owners aggregation AND the join-back
+    # side — a lazy second reference re-runs the whole regex
+    # canonicalization pipeline per row (guide §5); the frame is two
+    # skinny columns
     with_canon = pages.select(
         F.col(id_col), canonical_url_expr(url_col).alias("canonical_url")
-    )
+    ).persist()
     owners = with_canon.filter(
         F.col("canonical_url").isNotNull()
     ).groupBy("canonical_url").agg(
