@@ -564,7 +564,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
     n_common = F.size(F.array_intersect("ha", "hb"))
-    out = (
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    # the expensive per-pair scalars (one array_intersect + one
+    # signature zip_with) are computed ONCE behind a persist barrier:
+    # without it, ppm()'s multi-reference arithmetic plus the pushed
+    # threshold filter inline the defining expressions — the plan
+    # evaluated array_intersect 8× and the zip_with 3× per candidate
+    # pair (r13, plan-counted; guide §7.2 duplicated subtrees). The
+    # cached frame is candidate-pair-sized — four longs per pair.
+    verified = (
         cand.join(
             sig.select(
                 F.col("doc_id").alias("doc_a"),
@@ -581,21 +594,23 @@ def minhash_lsh_pairs(
             ),
             "doc_b",
         )
-        .withColumn(
-            "est_ppm",
-            ppm(
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda m: m,
-                    )
-                ),
-                F.lit(num_hashes),
-            ),
+        .select(
+            "doc_a",
+            "doc_b",
+            n_eq.alias("_n_eq"),
+            n_common.alias("_nc"),
+            (F.size("ha") + F.size("hb")).alias("_nab"),
         )
-        .withColumn(
-            "jaccard_ppm",
-            ppm(n_common, F.size("ha") + F.size("hb") - n_common),
+        .persist()
+    )
+    out = (
+        verified.select(
+            "doc_a",
+            "doc_b",
+            ppm(F.col("_n_eq"), F.lit(num_hashes)).alias("est_ppm"),
+            ppm(
+                F.col("_nc"), F.col("_nab") - F.col("_nc")
+            ).alias("jaccard_ppm"),
         )
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "est_ppm", "jaccard_ppm")
@@ -734,7 +749,13 @@ def incremental_pairs_from_sigs(
         .distinct()
     )
     n_common = F.size(F.array_intersect("ha", "hb"))
-    return (
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    verified = (
         cand.join(
             all_sig.select(
                 F.col("doc_id").alias("doc_a"),
@@ -751,21 +772,31 @@ def incremental_pairs_from_sigs(
             ),
             "doc_b",
         )
-        .withColumn(
-            "est_ppm",
-            ppm(
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda m: m,
-                    )
-                ),
-                F.lit(num_hashes),
-            ),
+        .select(
+            "doc_a",
+            "doc_b",
+            n_eq.alias("_n_eq"),
+            n_common.alias("_nc"),
+            (F.size("ha") + F.size("hb")).alias("_nab"),
         )
-        .withColumn(
-            "jaccard_ppm",
-            ppm(n_common, F.size("ha") + F.size("hb") - n_common),
+    )
+    if persist:
+        # expression barrier, same reason as minhash_lsh_pairs: ppm's
+        # multi-reference arithmetic + the pushed threshold filter
+        # otherwise re-inline the per-pair intersect/zip_with several
+        # times. Gated on the caller's lifecycle flag — a persist the
+        # caller cannot unpersist would leak across a long streaming
+        # run (the persist=False face trades the duplicate evaluation
+        # for bounded memory on small per-batch candidate sets).
+        verified = verified.persist()
+    return (
+        verified.select(
+            "doc_a",
+            "doc_b",
+            ppm(F.col("_n_eq"), F.lit(num_hashes)).alias("est_ppm"),
+            ppm(
+                F.col("_nc"), F.col("_nab") - F.col("_nc")
+            ).alias("jaccard_ppm"),
         )
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "est_ppm", "jaccard_ppm")
@@ -1169,12 +1200,26 @@ def near_contamination(
         .distinct()
     )
     n_common = F.size(F.array_intersect("chsh", "bhsh"))
+    # intersect computed ONCE behind a persist barrier (the
+    # minhash_lsh_pairs rationale: ppm's multi-reference arithmetic +
+    # the pushed threshold filter otherwise inline it several times
+    # per candidate); the cached frame is candidate-pair-sized
     verified = (
         cand.join(corpus, "cid")
         .join(F.broadcast(bench), "bid")
-        .withColumn(
-            "jaccard_ppm",
-            ppm(n_common, F.size("chsh") + F.size("bhsh") - n_common),
+        .select(
+            "cid",
+            "bid",
+            n_common.alias("_nc"),
+            (F.size("chsh") + F.size("bhsh")).alias("_nab"),
+        )
+        .persist()
+        .select(
+            "cid",
+            "bid",
+            ppm(
+                F.col("_nc"), F.col("_nab") - F.col("_nc")
+            ).alias("jaccard_ppm"),
         )
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
     )

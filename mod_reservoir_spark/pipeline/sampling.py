@@ -206,6 +206,20 @@ def split_assign(
 
     Output: (id, split). Pure narrow projection — no shuffle.
     """
+    docs = docs.filter(F.col(id_col).isNotNull())
+    return docs.select(
+        id_col, _split_expr(F.col(id_col), fracs, salt).alias("split")
+    )
+
+
+def _split_expr(
+    id_expr: F.Column, fracs: dict[str, float] | None, salt: str
+) -> F.Column:
+    """The deterministic split label as a pure COLUMN EXPRESSION over
+    any id column — :func:`split_assign`'s cut, exposed so callers
+    holding the assignment key on an existing frame (leakage_safe_split
+    hashes the group keeper id) project it narrowly instead of paying
+    a distinct + join-back round trip."""
     from mod_reservoir_spark.pipeline.dedup import hex7_to_long
 
     if fracs is None:
@@ -213,9 +227,8 @@ def split_assign(
     total = sum(fracs.values())
     if total <= 0 or any(f < 0 for f in fracs.values()):
         raise ValueError("fractions must be non-negative, positive sum")
-    docs = docs.filter(F.col(id_col).isNotNull())
     u = hex7_to_long(
-        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        F.concat(F.lit(f"{salt}:"), id_expr.cast("string"))
     )
     cum = 0.0
     expr = None
@@ -230,8 +243,7 @@ def split_assign(
             else expr.when(cond, F.lit(name))
         )
     last = items[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return docs.select(id_col, expr.alias("split"))
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
 
 
 def leakage_safe_split(
@@ -262,14 +274,16 @@ def leakage_safe_split(
         ),
         pairs=pairs,
     ).select(F.col("doc_id").alias(id_col), "keep_id")
-    assigned = split_assign(
-        groups.select(F.col("keep_id").alias(id_col)).distinct(),
-        fracs,
+    # the split is a PURE HASH of keep_id (:func:`_split_expr`), so it
+    # projects narrowly onto the groups frame — the former
+    # distinct → split_assign → join-back shape paid a full distinct
+    # shuffle plus a corpus-sized join for a value derivable in-row
+    # (r13, guide §2.4; keep_id is never NULL — near_dedup_keep
+    # coalesces it to the doc's own id — so the row set is identical)
+    return groups.select(
         id_col,
-        salt,
-    ).select(F.col(id_col).alias("keep_id"), "split")
-    return groups.join(assigned, "keep_id").select(
-        id_col, "keep_id", "split"
+        "keep_id",
+        _split_expr(F.col("keep_id"), fracs, salt).alias("split"),
     )
 
 

@@ -121,39 +121,75 @@ def lsh_signatures(
 ) -> DataFrame:
     """Random-hyperplane LSH signatures. Plane components are
     deterministic md5-derived values — reproducible across engines and
-    runs, no RNG state — materialized as literal arrays so the
-    projection is a plain zip_with dot product per (table, plane).
+    runs, no RNG state.
 
     Output: (vec_id, table, bucket) — one row per hash table.
+
+    The projections run as ONE vectorized numpy pass per Arrow batch
+    (mapInPandas, guide §4.2): the previous all-expression form built
+    n_tables × n_planes interpreted `aggregate(zip_with(v, plane))`
+    folds per row — higher-order functions get no codegen, so every
+    row paid ~n_tables·n_planes·dim lambda evaluations (measured
+    ~0.25 ms/row at 64 dims × 40 planes — real money per billion
+    vectors). BIT-EXACT with the old fold and with the SQL oracle:
+    the accumulation loops dims SEQUENTIALLY (acc += v[:, d] · P[:, d]
+    — the same left-to-right IEEE adds per (row, plane) as the fold),
+    never a matmul, whose pairwise summation could flip the sign of a
+    near-zero projection and change a bucket. Still a fully narrow
+    plan: no shuffle, signatures pipeline straight from the scan.
 
     No spread_input on the embeddings side: the vector table is rows ×
     dim doubles (orders of magnitude fewer rows than a document
     corpus), and the r13 interleaved A/B measured the added exchange
     as neutral-to-loss on every embeddings row.
     """
-    sig_entries = []
-    for t in range(n_tables):
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(
-                *[F.lit(_plane_component(t, p, d)) for d in range(dim)]
+    import numpy as np
+    import pandas as pd
+
+    # (n_tables·n_planes, dim) plane matrix, built at plan time from
+    # the same deterministic literals the expression form embedded
+    pm = np.array(
+        [
+            [_plane_component(t, p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+    n_t, n_p = n_tables, n_planes
+
+    def sign_bits(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["v"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(vm), n_t * n_p))
+            for d in range(vm.shape[1]):
+                # sequential per-dim accumulation == the fold's adds
+                acc += vm[:, d][:, None] * pm[:, d][None, :]
+            # NaN parity with the expression form: Spark's >= ranks
+            # NaN above every value (bit '1'); numpy's >= is False
+            chars = np.where(np.isnan(acc) | (acc >= 0), "1", "0")
+            ids = pdf["vec_id"].to_numpy()
+            buckets = []
+            for t in range(n_t):
+                b = chars[:, t * n_p]
+                for p in range(1, n_p):
+                    b = np.char.add(b, chars[:, t * n_p + p])
+                buckets.append(b)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.tile(ids, n_t),
+                    "table": np.repeat(np.arange(n_t), len(vm)),
+                    "bucket": np.concatenate(buckets),
+                }
             )
-            proj = F.aggregate(
-                F.zip_with(F.col("v"), plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        sig_entries.append(
-            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bucket"))
-        )
-    return (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
-        .select("vec_id", F.explode(F.array(*sig_entries)).alias("tb"))
-        .select("vec_id", "tb.table", "tb.bucket")
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).mapInPandas(
+        sign_bits, schema="vec_id long, table int, bucket string"
     )
 
 

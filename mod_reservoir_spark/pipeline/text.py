@@ -2235,27 +2235,26 @@ def bm25_search(
         raise ValueError("bm25_search: query has no tokens")
     qarr = F.array(*[F.lit(t) for t in qterms])
 
+    # ONE tokenize pass over the corpus (r13, guide §1.2): the old
+    # shape tokenized twice — once for the (N, avgdl) stats aggregate
+    # and once for the postings — and tokenization is the operator's
+    # dominant cost. The persisted pre-frame keeps only (doc_id, dl,
+    # query-term occurrences): corpus-row-sized but a few dozen bytes
+    # per row, never the token arrays.
     toks = tokens(text_col)
-    t = docs.select("doc_id", toks.alias("_toks"))
-    stats = t.agg(
+    pre = docs.select(
+        "doc_id",
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("dl"),
+        F.filter(toks, lambda x: F.array_contains(qarr, x)).alias("_qt"),
+    ).persist()
+    stats = pre.agg(
         F.count("*").cast("long").alias("_n"),
-        (
-            F.sum(F.coalesce(F.size("_toks"), F.lit(0)))
-            / F.count("*")
-        ).alias("_avgdl"),
+        (F.sum("dl") / F.count("*")).alias("_avgdl"),
     )
-    # persisted: the posting table feeds BOTH the df rollup and the
-    # scoring join — a lazy second reference re-runs the corpus
-    # tokenize+filter+explode pass (guide §5); the frame itself is
+    # the posting slice feeds BOTH the df rollup and the scoring join;
     # bounded by query-term occurrences, tiny at any corpus size
     posting = (
-        t.select(
-            "doc_id",
-            F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("dl"),
-            F.explode(
-                F.filter("_toks", lambda x: F.array_contains(qarr, x))
-            ).alias("term"),
-        )
+        pre.select("doc_id", "dl", F.explode("_qt").alias("term"))
         .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").cast("long").alias("tf"))
         .persist()
@@ -2735,7 +2734,18 @@ def winnow_pairs(
         .distinct()
     )
     # verify: count ALL shared fingerprints per candidate pair via one
-    # array_intersect over the persisted per-doc arrays
+    # array_intersect over the persisted per-doc arrays.
+    #
+    # The two `sizes` joins below LOOK redundant (n_a/n_b are
+    # size(fps_a)/size(fps_b), in hand on the verify-joined row) — the
+    # join-free form was built and MEASURED as a consistent ~25% LOSS
+    # in an order-balanced interleaved A/B (r13): the threshold filter
+    # is pushed through the projection and inlines the non-cheap
+    # `size(array_intersect(...))` into both the predicate and the
+    # output columns (3 evaluations per candidate pair, plan-verified),
+    # while these small broadcast joins act as expression barriers that
+    # keep it at ONE. Same trap class as hashed_shingle_sets' pushed
+    # filter; keep the joins.
     shared = (
         candidates.join(
             fp_arrays.select(

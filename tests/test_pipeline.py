@@ -734,6 +734,47 @@ def test_ivf_topk_recall(spark):
     assert hits >= len(got) // 2
 
 
+def test_lsh_signatures_match_sequential_fold_reference(spark):
+    """The vectorized numpy signature pass (r13) must reproduce the
+    original expression form BIT-EXACTLY: buckets are sign bits of
+    left-to-right folded dot products, so the reference here folds
+    dims sequentially in pure Python (matmul's pairwise summation
+    would NOT be a valid reference — it can flip a near-zero
+    projection's sign). Vectors are scaled to push projections close
+    to zero so a summation-order deviation would actually show."""
+    import math
+
+    from mod_reservoir_spark.pipeline.similarity import (
+        _plane_component,
+        lsh_signatures,
+    )
+
+    dim, n_planes, n_tables = 16, 8, 3
+    rows = []
+    for i in range(40):
+        vec = [
+            round(math.sin(i * 13 + d * 7) * 1e-6, 12) for d in range(dim)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_id, r.table): r.bucket
+        for r in lsh_signatures(
+            emb, n_planes, n_tables, dim=dim
+        ).collect()
+    }
+    assert len(got) == 40 * n_tables
+    for i, vec in rows:
+        for t in range(n_tables):
+            bits = []
+            for p in range(n_planes):
+                acc = 0.0
+                for d in range(dim):
+                    acc = acc + vec[d] * _plane_component(t, p, d)
+                bits.append("1" if acc >= 0 else "0")
+            assert got[(i, t)] == "".join(bits), (i, t)
+
+
 def test_lsh_self_join_distributed_matches_broadcast(spark):
     """VERDICT r1 #6: queries == corpus (self-join ANN, the dedup-by-ANN
     shape) through the distributed path — no driver collect of the

@@ -41,6 +41,19 @@ def test_minhash_signatures_plan_has_no_exchange(docs, spark):
     assert "Exchange" not in plan(minhash_signatures(wide))
 
 
+def test_minhash_verify_evaluates_intersect_once(docs):
+    """The per-pair verify scalars must stay behind the persist
+    barrier (r13): without it, ppm()'s multi-reference arithmetic plus
+    the pushed threshold filter re-inline the non-cheap
+    size(array_intersect(...)) / signature zip_with into predicate and
+    projection — the plan evaluated array_intersect 8× per candidate
+    pair. One evaluation site each, plan-counted."""
+    from mod_reservoir_spark.pipeline.dedup import minhash_lsh_pairs
+
+    p = plan(minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=2))
+    assert p.count("array_intersect") == 1, p.count("array_intersect")
+
+
 def test_text_ops_plans_have_no_exchange(docs):
     from mod_reservoir_spark.pipeline.text import (
         bpe_token_stats,
@@ -251,11 +264,15 @@ def test_duplicate_span_stats_plan(docs):
 def test_fused_sketch_contract_query_single_pass(spark):
     """q_sketch_registers must stay ONE corpus scan + ONE combinable
     aggregation shuffle — not a union of two independent sketch
-    pipelines re-reading the corpus."""
+    pipelines re-reading the corpus. On the single-split bench input
+    the gated spread_input round-robin exchange (r13, guide §2.5 —
+    the per-token md5 register build otherwise serializes on one
+    core) is additionally allowed; it must be the ONLY extra one."""
     import __spark_entry__ as E
 
     p = plan(E.q_sketch_registers(spark, SF_DIR), "simple")
-    assert p.count("Exchange") == 1, p
+    assert p.count("Exchange") == 2, p
+    assert "roundrobinpartitioning" in p.lower(), p
     assert p.count("Scan parquet") == 1, p
 
 
