@@ -59,6 +59,54 @@ def truncate_match_values(df: DataFrame, col: str = "match_value") -> DataFrame:
 # in connected_components and the bench.py sidecar
 LAST_RUN_STATS: dict = {}
 
+# Graphs at or below this many edge rows are solved on the DRIVER
+# (collect + union-find) instead of the iterative min-label loop: the
+# distributed fixpoint pays 4+ full Spark jobs (seed, per-iteration
+# checkpoint + convergence count) of pure scheduling overhead that
+# dwarfs the data work on small graphs — and near-dup PAIR graphs are
+# small relative to their corpus by construction (seconds per funnel
+# run at bench scale, guide §1.2 "don't pay shuffles the data doesn't
+# need"). The gate reads the MEASURED edge count the loop already
+# paid for — at 100 TB a billion-edge graph stays on the iterative
+# path untouched (the MAX_BROADCAST_QUERIES cutover pattern). 100k
+# edge rows collect to ~10 MB — far under any driver limit.
+DRIVER_CC_MAX_EDGES = 100_000
+
+
+def _driver_components(rows) -> list[tuple]:
+    """Exact min-label connected components of collected (node, value)
+    edge rows via union-find with path halving. Returns (node, label)
+    pairs — label = min node per component under the same ordering the
+    distributed path's F.min uses (numeric for numbers; Python string
+    order = code-point order = UTF-8 binary order, so string labels
+    match too)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    owner: dict = {}
+    for n, v in rows:
+        if n not in parent:
+            parent[n] = n
+        o = owner.get(v)
+        if o is None:
+            owner[v] = n
+        else:
+            ra, rb = find(o), find(n)
+            if ra != rb:
+                parent[rb] = ra
+    label: dict = {}
+    for x in parent:
+        r = find(x)
+        cur = label.get(r)
+        if cur is None or x < cur:
+            label[r] = x
+    return [(x, label[find(x)]) for x in parent]
+
 
 def connected_components(
     edges: DataFrame,
@@ -68,6 +116,7 @@ def connected_components(
     max_iterations: int = 50,
     on_nonconverged: str = "raise",
     dedupe_edges: bool = True,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Components of the bipartite node↔value graph.
 
@@ -102,8 +151,21 @@ def connected_components(
     (guide §2.4: remove shuffles the data doesn't need); edge-heavy
     dirty inputs keep the default. ``LAST_RUN_STATS['edges']`` then
     reports raw rows, not distinct edges.
+
+    ``driver_max_edges`` (None → ``DRIVER_CC_MAX_EDGES``): graphs at or
+    below this measured edge count are solved exactly on the driver
+    (r13 — union-find over the collected edge rows, min-label
+    identical to the fixpoint; equivalence pinned in tests) instead of
+    paying the iterative loop's per-round job overhead. 0 forces the
+    iterative path (the telemetry probes do — they exist to measure
+    it). Edges carrying a NULL node or value fall back to the
+    iterative path, whose join/aggregate null semantics are the
+    contract. ``LAST_RUN_STATS`` reports ``iterations=0`` and
+    ``path="driver"`` for fast-path runs.
     """
     log = logging.getLogger(__name__)
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_CC_MAX_EDGES
     e = edges.select(
         F.col(node_col).alias("_n"), F.col(value_col).alias("_v")
     )
@@ -111,6 +173,37 @@ def connected_components(
         e = e.dropDuplicates(["_n", "_v"])
     e = e.persist()
     n_edges = e.count()  # also materializes the cache before the loop
+
+    if n_edges <= driver_max_edges:
+        rows = [(r[0], r[1]) for r in e.collect()]
+        if all(n is not None and v is not None for n, v in rows):
+            from pyspark.sql.types import StructField, StructType
+
+            ntype = e.schema[0].dataType
+            out = edges.sparkSession.createDataFrame(
+                _driver_components(rows),
+                StructType(
+                    [
+                        StructField(node_col, ntype),
+                        StructField(component_col, ntype),
+                    ]
+                ),
+            )
+            e.unpersist()
+            log.info(
+                "connected_components: %d edges, driver union-find path",
+                n_edges,
+            )
+            LAST_RUN_STATS.update(
+                edges=n_edges,
+                iterations=0,
+                converged=True,
+                path="driver",
+                runs=LAST_RUN_STATS.get("runs", 0) + 1,
+                total_iterations=LAST_RUN_STATS.get("total_iterations", 0),
+            )
+            return out
+    LAST_RUN_STATS.pop("path", None)
     # Seed with the first hop unrolled: comp(n) = min over n's values of
     # the value's min node (with identity labels the first loop pass
     # computes exactly this, so seeding saves one full iteration —
@@ -245,7 +338,12 @@ def adversarial_cc_telemetry(spark, n: int = 1024) -> dict:
     edges = spark.createDataFrame(
         rows, "global_id long, match_value string"
     ).repartition(8)
-    labels = connected_components(edges).groupBy("cluster_id").count()
+    # driver_max_edges=0: this probe exists to MEASURE the iterative
+    # pointer-jumping path; the small-graph driver fast path would
+    # solve it in 0 iterations and make the bound vacuous
+    labels = connected_components(
+        edges, driver_max_edges=0
+    ).groupBy("cluster_id").count()
     got = labels.collect()
     exact = len(got) == 1 and got[0].cluster_id == 0 and got[0]["count"] == n
     return {
@@ -313,7 +411,10 @@ def hub_cc_telemetry(
     # was stamped after the verification groupBy/collect, so the
     # round-over-round "CC time vs hub size" signal silently included
     # verification job time (ADVICE r11)
-    labels = connected_components(edges).localCheckpoint()
+    # driver_max_edges=0: measure the DISTRIBUTED skew behavior
+    labels = connected_components(
+        edges, driver_max_edges=0
+    ).localCheckpoint()
     seconds = round(_time.time() - t0, 2)
     sizes = {
         r.cluster_id: r["count"]

@@ -2846,21 +2846,34 @@ def domain_quality_report(
     table an operator scans to decide which sources to block, cap or
     keep (the curation-ops view the C4/RefinedWeb writeups describe).
 
-    One quality pass + one URL pass + one combinable domain rollup.
-    A document is attributed to ONE host — the lexicographic minimum
-    of the hosts it mentions (deterministic; most documents carry one)
-    — and documents with no URL aggregate under host ''. Output:
-    (host, n_docs, n_keep, keep_ppm, avg_tokens, sorted reject-reason
-    csv).
+    ONE corpus pass + one combinable domain rollup. A document is
+    attributed to ONE host — the lexicographic minimum of the hosts it
+    mentions (deterministic; most documents carry one) — and documents
+    with no URL aggregate under host ''. The per-doc min host is an
+    in-row array_min over the extracted hosts riding quality_filter's
+    single projection via ``carry`` (r13, guide §2.4: the former
+    extract→groupBy(doc_id)→join shape paid a second corpus scan, an
+    aggregation shuffle and a corpus-sized join for a value derivable
+    per row; array_min and the aggregate min use the same binary
+    string ordering, and no-URL docs hit the same '' through
+    coalesce). Output: (host, n_docs, n_keep, keep_ppm, avg_tokens,
+    sorted reject-reason csv).
     """
-    q = quality_filter(docs, text_col)
-    urls = (
-        extract_urls(docs, text_col)
-        .groupBy("doc_id")
-        .agg(F.min("host").alias("host"))
+    host_expr = F.coalesce(
+        F.array_min(
+            F.transform(
+                F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0),
+                lambda u: F.lower(F.regexp_extract(u, _URL_RE, 1)),
+            )
+        ),
+        F.lit(""),
     )
-    j = q.join(urls, "doc_id", "left").withColumn(
-        "host", F.coalesce("host", F.lit(""))
+    with_host = docs.select("doc_id", text_col, host_expr.alias("_host"))
+    j = quality_filter(with_host, text_col, carry=("_host",)).select(
+        F.col("_host").alias("host"),
+        "keep",
+        "n_tokens",
+        "reject_reasons",
     )
     per = j.groupBy("host").agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -574,18 +574,24 @@ def test_cc_chain_convergence_or_loud_failure(spark):
         rows, "global_id long, match_value string"
     ).repartition(8)
 
+    # driver_max_edges=0 throughout: this test pins the ITERATIVE
+    # path's convergence bound; the small-graph driver fast path
+    # would solve the 1000-chain without iterating at all
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iterations=5).count()
+        connected_components(
+            edges, max_iterations=5, driver_max_edges=0
+        ).count()
 
     # with pointer jumping the SAME 1000-chain converges inside the
     # default budget (~log2(1000) ≈ 10 rounds) to one exact component
-    got = connected_components(edges).collect()
+    got = connected_components(edges, driver_max_edges=0).collect()
     assert len(got) == n
     assert {r.cluster_id for r in got} == {0}
 
     # partial labels remain available on explicit opt-in
     warned = connected_components(
-        edges, max_iterations=2, on_nonconverged="warn"
+        edges, max_iterations=2, on_nonconverged="warn",
+        driver_max_edges=0,
     )
     assert warned.count() == n
 
@@ -601,7 +607,8 @@ def test_cc_telemetry_stats_populated(spark):
     )
     before = cc.LAST_RUN_STATS.get("runs", 0)
     cc.connected_components(
-        edges, node_col="global_id", value_col="match_value"
+        edges, node_col="global_id", value_col="match_value",
+        driver_max_edges=0,
     ).collect()
     stats = cc.LAST_RUN_STATS
     assert stats["runs"] == before + 1
@@ -647,3 +654,71 @@ def test_hub_cc_telemetry(spark):
     # star topology: the seeded first hop labels everything, one
     # confirming pass — skew must not add rounds
     assert t["iterations"] <= 2, t
+
+
+def test_driver_cc_matches_iterative(spark):
+    """The r13 small-graph driver fast path (collect + union-find)
+    must produce EXACTLY the iterative fixpoint's labels — same
+    min-label per component, same row set — on a mixed topology
+    (chain + stars + hub + duplicate edges + a singleton), for both
+    long and string node types."""
+    from mod_reservoir_spark.operators.clustering import (
+        connected_components,
+    )
+
+    rows = []
+    for i in range(40):  # chain segment
+        rows.append((i, f"c{i}"))
+        rows.append((i + 1, f"c{i}"))
+    for s in range(5):  # stars
+        for m in range(4):
+            rows.append((100 + s * 10 + m, f"s{s}"))
+    for h in range(30):  # hub
+        rows.append((500 + h, "hub"))
+    rows.append((999, "lonely"))
+    rows.append((0, "c0"))  # duplicate edge
+
+    for schema in (
+        "global_id long, match_value string",
+        "global_id string, match_value string",
+    ):
+        data = (
+            rows
+            if schema.startswith("global_id long")
+            else [(f"n{a:04d}", v) for a, v in rows]
+        )
+        edges = spark.createDataFrame(data, schema)
+        fast = {
+            (r.global_id, r.cluster_id)
+            for r in connected_components(edges).collect()
+        }
+        slow = {
+            (r.global_id, r.cluster_id)
+            for r in connected_components(
+                edges, driver_max_edges=0
+            ).collect()
+        }
+        assert fast == slow
+
+
+def test_driver_cc_telemetry_and_gate(spark):
+    """Fast-path runs report path='driver' with iterations=0; forcing
+    driver_max_edges=0 keeps the iterative path and clears the marker."""
+    from mod_reservoir_spark.operators import clustering as cc
+
+    edges = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2")],
+        "global_id string, match_value string",
+    )
+    got = {
+        r.global_id: r.cluster_id
+        for r in cc.connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "c"}
+    assert cc.LAST_RUN_STATS["path"] == "driver"
+    assert cc.LAST_RUN_STATS["iterations"] == 0
+    assert cc.LAST_RUN_STATS["converged"] is True
+    assert cc.LAST_RUN_STATS["edges"] == 3
+    cc.connected_components(edges, driver_max_edges=0).collect()
+    assert "path" not in cc.LAST_RUN_STATS
+    assert cc.LAST_RUN_STATS["iterations"] >= 1
