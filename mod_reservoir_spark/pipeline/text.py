@@ -17,7 +17,7 @@ Operators: tokenization + token stats, quality scoring, language ID
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from mod_reservoir_spark.pipeline.spread import spread_input
 
@@ -701,10 +701,9 @@ def bigram_logprob_against(
             docs.select("doc_id", *strata).distinct(), "doc_id"
         )
     skeys = list(strata)
-    # both tables are consumed twice (context/total fold + join side);
-    # persisted so the second reference reads the cache instead of
-    # re-running the table's aggregation chain (r13 optimization)
-    bigrams = bigrams.persist()
+    # unigrams are consumed twice (per-doc attach + the _total fold);
+    # persisted so the second reference reads the cache (r13). The
+    # bigram table is consumed ONCE now — see below.
     unigrams = unigrams.persist()
     # context totals FOLD into the bigram table before the per-doc
     # join (vocab-sized), so the big per-doc frame shuffles twice —
@@ -712,12 +711,14 @@ def bigram_logprob_against(
     # missing bigram row scores 0 under the zero-context guard whether
     # or not c(w1 ·) exists (lam·coalesce(cb,0)/c1 is 0, the otherwise
     # branch is the same 0.0) — the r8 trigram-folding argument one
-    # order down, hash-pinned by the live contract rows.
-    contexts = bigrams.groupBy(*skeys, "w1").agg(
-        F.sum("cb").cast("long").alias("c1")
-    )
-    bi_with_ctx = bigrams.join(
-        _table_side(contexts, broadcast_tables), skeys + ["w1"]
+    # order down, hash-pinned by the live contract rows. The fold is a
+    # WINDOW sum over the vocab-bounded table (r13, guide §2.4 — one
+    # pass over the same rows instead of groupBy + join-back; window
+    # partitions are context keys of the COUNT TABLE, bounded by
+    # vocabulary branching, so no skew risk).
+    bi_with_ctx = bigrams.withColumn(
+        "c1",
+        F.sum("cb").over(Window.partitionBy(*skeys, "w1")).cast("long"),
     )
     lam = lam_ppm / 1000000.0
     bigram_term = F.when(
@@ -889,25 +890,25 @@ def trigram_logprob_against(
     # context is NULL too, and that case already scored 0 under the
     # zero-context guard (lam·coalesce(count,0)/ctx is 0 for any ctx
     # when the count is 0, and the otherwise-branch is the same 0.0).
-    # each count table is consumed twice (its context fold + the
-    # with_ctx join side) — persisted so the second reference reads
-    # the cache instead of re-running the table's aggregation chain
-    trigrams = trigrams.persist()
-    bigrams = bigrams.persist()
+    # context folds are WINDOW sums over the vocab-bounded count
+    # tables (r13, guide §2.4 — one pass over the same rows instead of
+    # groupBy + join-back per order; window partitions are context
+    # keys of the COUNT TABLE, bounded by vocabulary branching). Each
+    # table is consumed once now, so the former per-table persists are
+    # gone with their second consumers; unigrams keep theirs (per-doc
+    # attach + the _total fold).
     unigrams = unigrams.persist()
-    contexts2 = trigrams.groupBy(*skeys, "w1", "w2").agg(
-        F.sum("ct").cast("long").alias("c2")
-    )
-    tri_with_ctx = trigrams.join(
-        _table_side(contexts2, broadcast_tables), skeys + ["w1", "w2"]
+    tri_with_ctx = trigrams.withColumn(
+        "c2",
+        F.sum("ct")
+        .over(Window.partitionBy(*skeys, "w1", "w2"))
+        .cast("long"),
     )
     # the bigram-order backoff needs c(w2 w3) and c(w2 ·): rename the
     # bigram table's (w1, w2) to this scorer's (w2, w3) position names
-    contexts1 = bigrams.groupBy(*skeys, "w1").agg(
-        F.sum("cb").cast("long").alias("c1")
-    )
-    bi_with_ctx = bigrams.join(
-        _table_side(contexts1, broadcast_tables), skeys + ["w1"]
+    bi_with_ctx = bigrams.withColumn(
+        "c1",
+        F.sum("cb").over(Window.partitionBy(*skeys, "w1")).cast("long"),
     ).select(
         *skeys,
         F.col("w1").alias("w2"),
@@ -1392,18 +1393,26 @@ def ngram_logprob_against(
         j = n - idx  # this conditional term's order
         lam = lam_ppm / 1000000.0
         uni_weight -= lam
-        # persisted: each conditional table is consumed twice (its
-        # context fold and the with_ctx join side); a lazy reference
-        # would re-run the table's whole aggregation chain from the
-        # prefix per use (guide §1.2: don't recompute paid-for work)
-        tbl = tables[idx].persist()
+        tbl = tables[idx]
         # context total c(first j-1 words, ·) folded into the table
+        # as a WINDOW sum over the vocab-bounded count table (r13,
+        # guide §2.4): the former groupBy(ctx) + join-back shape paid
+        # an extra aggregation + join (and a broadcast-build job per
+        # order at bench scale) for a value derivable in one pass over
+        # the same rows — order-balanced A/B −46% on the order-5 row,
+        # values pinned identical (a per-doc j-gram that misses the
+        # join gets NULL count AND NULL context either way, scoring 0
+        # under the zero-context guard). Window partitions are context
+        # keys of the COUNT TABLE — bounded by vocabulary branching,
+        # never corpus occurrence counts, so no skew risk at scale.
+        # The former per-table persist is gone with the second
+        # consumer: the table is consumed exactly once now.
         ctx_cols = [f"w{i}" for i in range(1, j)]
-        ctx = tbl.groupBy(*skeys, *ctx_cols).agg(
-            F.sum("c").cast("long").alias(f"_ctx{j}")
-        )
-        with_ctx = tbl.join(
-            _table_side(ctx, broadcast_tables), skeys + ctx_cols
+        with_ctx = tbl.withColumn(
+            f"_ctx{j}",
+            F.sum("c")
+            .over(Window.partitionBy(*skeys, *ctx_cols))
+            .cast("long"),
         ).select(
             *skeys,
             # the j-gram at scoring position (wN-j+1 .. wN): rename the

@@ -240,7 +240,12 @@ def test_model_meta_records_n_windows(spark, tmp_path):
         return len(re.findall(r"BroadcastHashJoin \[w", plan)), rows
 
     n_bhj, rows = plan_and_rows()
-    assert n_bhj >= 5  # tiny model -> broadcast chosen from meta
+    # tiny model -> broadcast chosen from meta: one BroadcastHashJoin
+    # per table attach (order 3 = trigram + bigram + unigram = 3; the
+    # pre-r13 shape ALSO broadcast a ctx-fold join per conditional
+    # order, now a window sum inside the table — see
+    # ngram_logprob_against)
+    assert n_bhj >= 3
     orig = tx.LM_BROADCAST_MAX_WINDOWS
     try:
         tx.LM_BROADCAST_MAX_WINDOWS = 0
