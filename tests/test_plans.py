@@ -51,7 +51,18 @@ def test_minhash_verify_evaluates_intersect_once(docs):
     from mod_reservoir_spark.pipeline.dedup import minhash_lsh_pairs
 
     p = plan(minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=2))
-    assert p.count("array_intersect") == 1, p.count("array_intersect")
+    # every mention must be the ONE defining projection (`... AS _nc`);
+    # a pushed filter predicate or ppm expansion re-inlining it would
+    # mention it WITHOUT the alias. Mention count is cache-state
+    # dependent (the persisted frame's stored plan echoes the defining
+    # Project when another test already materialized it), so assert on
+    # the alias invariant, not a fixed count.
+    mentions = [
+        ln for ln in p.splitlines() if "array_intersect" in ln
+    ]
+    assert mentions, p
+    for ln in mentions:
+        assert "AS _nc" in ln, ln
 
 
 def test_text_ops_plans_have_no_exchange(docs):
@@ -438,14 +449,20 @@ def test_ivf_assign_routed_plan_no_shuffle(spark):
 
 
 def test_trigram_scorer_plan(docs):
-    """Order-3 scorer: no Window, no CartesianProduct/NestedLoop except
-    the broadcast singleton total, and the count-table joins are
+    """Order-3 scorer: no CartesianProduct/NestedLoop except the
+    broadcast singleton total, and the count-table joins are
     hash/sort-merge equi-joins (SCALE.md r8: one row per hot trigram
-    per task, never one per occurrence)."""
+    per task, never one per occurrence). Window nodes are allowed
+    ONLY as the context folds over the vocab-bounded COUNT TABLES
+    (r13 batch 8 — partition keys are w* table columns, bounded by
+    vocabulary branching); a window over the per-doc occurrence frame
+    (partitioned by doc_id or unpartitioned) stays banned."""
     from mod_reservoir_spark.pipeline.text import trigram_logprob_scores
 
     p = plan(trigram_logprob_scores(docs), mode="simple")
-    assert "Window" not in p
+    for ln in p.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "windowspecdefinition(w1" in ln, ln
     assert "CartesianProduct" not in p
     # the only nested-loop is the broadcast scalar total
     assert p.count("BroadcastNestedLoopJoin") <= 1
@@ -554,9 +571,10 @@ def test_lm_table_join_strategy_is_explicit(spark):
 
     # merge-safe: zero estimate- or hint-broadcast table joins
     assert bhj(False) == 0
-    # explicit broadcast: every table join (4 conditional orders with
-    # their context folds + the unigram attach = 9) is a BHJ
-    assert bhj(True) >= 9
+    # explicit broadcast: every table join (4 conditional orders + the
+    # unigram attach = 5) is a BHJ (r13 batch 8: the context folds are
+    # window sums inside the tables now, no longer separate joins)
+    assert bhj(True) >= 5
 
 
 def test_lm_scores_wrapper_broadcast_decision(spark, monkeypatch):
@@ -579,7 +597,9 @@ def test_lm_scores_wrapper_broadcast_decision(spark, monkeypatch):
         return len(re.findall(r"BroadcastHashJoin \[w", plan)), rows
 
     n_default, rows_default = plan_and_rows()
-    assert n_default >= 5  # sf0.001 prefix is tiny -> broadcast chosen
+    # sf0.001 prefix is tiny -> broadcast chosen: one BHJ per table
+    # attach (order 3 = 3; ctx folds are window sums since r13 batch 8)
+    assert n_default >= 3
     monkeypatch.setattr(tx, "LM_BROADCAST_MAX_WINDOWS", 0)
     n_forced, rows_forced = plan_and_rows()
     assert n_forced == 0
