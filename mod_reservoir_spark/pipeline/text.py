@@ -701,10 +701,14 @@ def bigram_logprob_against(
             docs.select("doc_id", *strata).distinct(), "doc_id"
         )
     skeys = list(strata)
-    # unigrams are consumed twice (per-doc attach + the _total fold);
-    # persisted so the second reference reads the cache (r13). The
-    # bigram table is consumed ONCE now — see below.
-    unigrams = unigrams.persist()
+    # unigrams are consumed twice (per-doc attach + the _total fold),
+    # but NOT persisted: the r14 order-balanced A/B measured the
+    # persist as a pure loss at bench scale (the kn lesson — each
+    # persist is a materialization barrier + cache write; the second
+    # reference is a cheap re-aggregation of the checkpointed prefix),
+    # and at 100 TB the table derives from the one checkpointed
+    # prefix scan either way. The bigram table is consumed ONCE — see
+    # below.
     # context totals FOLD into the bigram table before the per-doc
     # join (vocab-sized), so the big per-doc frame shuffles twice —
     # (w1,w2) and (w2) — instead of three times. Value-identical: a
@@ -895,9 +899,10 @@ def trigram_logprob_against(
     # groupBy + join-back per order; window partitions are context
     # keys of the COUNT TABLE, bounded by vocabulary branching). Each
     # table is consumed once now, so the former per-table persists are
-    # gone with their second consumers; unigrams keep theirs (per-doc
-    # attach + the _total fold).
-    unigrams = unigrams.persist()
+    # gone with their second consumers; the unigram persist went in
+    # r14 (the kn lesson: a persist of a prefix-derived table is a
+    # barrier + cache write that loses to re-aggregating the
+    # checkpointed prefix).
     tri_with_ctx = trigrams.withColumn(
         "c2",
         F.sum("ct")
@@ -1438,9 +1443,10 @@ def ngram_logprob_against(
                 / F.col(f"_ctx{j}"),
             ).otherwise(F.lit(0.0))
         )
-    # persisted: the unigram table feeds the per-doc attach AND the
-    # _total fold below
-    unigrams = unigrams.persist()
+    # the unigram table feeds the per-doc attach AND the _total fold
+    # below, but is NOT persisted (r14 — the kn lesson: persisting
+    # prefix-derived tables measured 40%+ slower than re-aggregating
+    # the checkpointed prefix; see OPTIMIZATION_r14.md)
     scored = scored.join(
         _table_side(
             unigrams.withColumnRenamed("term", f"w{n}"), broadcast_tables
@@ -1711,7 +1717,6 @@ def kn_logprob_against(
     uni = (
         bigrams.groupBy(*skeys, F.col("w2").alias(f"w{n}"))
         .agg(F.count("*").cast("long").alias("_ccu"))
-        .persist()
     )
     scored = scored.join(
         _table_side(uni, broadcast_tables), skeys + [f"w{n}"], "left"
@@ -1744,7 +1749,7 @@ def kn_logprob_against(
                 F.col(f"w{m}").alias(f"w{n - j + m - 1}")
                 for m in range(2, j + 2)
             ],
-        ).agg(F.count("*").cast("long").alias(f"_cc{j}")).persist()
+        ).agg(F.count("*").cast("long").alias(f"_cc{j}"))
         ctx_cols = [f"w{i}" for i in range(n - j + 1, n)]
         # modified-KN additionally tallies continuations by count
         # class (N1/N2/N3+ of the context — the class-summed backoff
@@ -1786,7 +1791,7 @@ def kn_logprob_against(
     # (persisted: consumed by the fold and the per-doc attach; from
     # prefix_tables this is only a filter over the checkpointed prefix,
     # but from the per-order builders it is a full corpus aggregation)
-    top = tables[0].persist()
+    top = tables[0]
     top_ctx_cols = [f"w{i}" for i in range(1, n)]
     top_cls_aggs = (
         [

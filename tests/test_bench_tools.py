@@ -154,3 +154,52 @@ def test_committed_cc_telemetry_carries_the_10m_point():
         art = json.load(f)
     assert "adversarial_hub" in art
     assert art["adversarial_hub_10m"]["hub_fanout"] == 10_000_000
+
+
+def test_fold_refuses_unadjudicated_regression(tmp_path):
+    """VERDICT r13 Next #9: a fold must never silently absorb a draw
+    set whose median is >1.5x the existing band median (the kn_logprob
+    lesson — regressed r13 draws refolded the band so band_check could
+    no longer flag the regression)."""
+    import bench_median
+
+    dest = str(tmp_path / "adj.json")
+    with open(dest, "w") as f:
+        json.dump(ADJ, f)
+    runs = [
+        {"value": 22.0, "sf": 0.1, "metric": "headline_total",
+         "queries": {"q_stable": 1.9}},
+        {"value": 23.0, "sf": 0.1, "metric": "headline_total",
+         "queries": {"q_stable": 2.1}},
+    ]
+    with pytest.raises(RuntimeError, match="q_stable"):
+        bench_median.fold(dest, runs, "r14")
+    # the refusal happened before any mutation
+    with open(dest) as f:
+        art = json.load(f)
+    assert "r14" not in art.get("periods", {})
+    assert art["queries"]["q_stable"]["runs"] == [0.9, 1.1]
+    # an explicit adjudication folds and is recorded in the artifact
+    art = bench_median.fold(dest, runs, "r14", adjudicated={"q_stable"})
+    assert art["queries"]["q_stable"]["runs"] == [0.9, 1.1, 1.9, 2.1]
+    assert art["adjudications"]["q_stable"] == ["r14"]
+
+
+def test_fold_purges_named_rows_before_folding(tmp_path):
+    """--purge rebuilds a band from post-fix draws only (the r13 kn /
+    bm25 bands polluted by regressed-code draws)."""
+    import bench_median
+
+    dest = str(tmp_path / "adj.json")
+    with open(dest, "w") as f:
+        json.dump(ADJ, f)
+    runs = [
+        {"value": 20.0, "sf": 0.1, "metric": "headline_total",
+         "queries": {"q_drifty": 1.0}},
+        {"value": 20.5, "sf": 0.1, "metric": "headline_total",
+         "queries": {"q_drifty": 1.2}},
+    ]
+    art = bench_median.fold(dest, runs, "r14", purge={"q_drifty"})
+    q = art["queries"]["q_drifty"]
+    assert q["runs"] == [1.0, 1.2]  # historical 1.8/2.2 purged
+    assert art["purged"]["q_drifty"] == ["r14"]

@@ -21,6 +21,19 @@ from the fold. Queries new to the contract enter with only the fresh
 runs; queries that left it keep their historical band (they stay in
 the retired bench basket). ``--period`` names the period (default
 ``p<k>`` for the next k).
+
+**Band-refresh integrity rule (VERDICT r13 Next #9):** a fold REFUSES
+to absorb any query whose fresh median exceeds 1.5× its existing band
+median — that is the shape of a code regression, and folding it would
+silently widen the band so the round's own band_check can never flag
+it again (the r13 kn_logprob lesson: 8.3/13.6 s draws folded over a
+5.3 s band). To fold such a row anyway, pass
+``--adjudicated q1,q2,...`` with the queries whose slowdown has an
+explicit pre-vs-post-code A/B verdict; the artifact records the
+adjudication note per query/period so the next verdict can audit it.
+``--purge q1,q2,...`` drops the named queries' recorded runs/bands
+entirely before folding (used to rebuild a band from post-fix draws
+only after a regression was reverted or fixed).
 """
 
 from __future__ import annotations
@@ -62,9 +75,21 @@ def one_run(i: int) -> dict:
     return json.loads(lines[-1])
 
 
-def fold(dest: str, runs: list[dict], period: str | None) -> dict:
+def fold(
+    dest: str,
+    runs: list[dict],
+    period: str | None,
+    adjudicated: set[str] | None = None,
+    purge: set[str] | None = None,
+) -> dict:
     """Merge this session's draws into an existing artifact as a new
-    period; per-query stats recomputed over all runs ever recorded."""
+    period; per-query stats recomputed over all runs ever recorded.
+
+    Integrity rule (module docstring): a query whose fresh median is
+    >1.5× its existing band median never folds silently — it needs an
+    explicit ``adjudicated`` entry (recorded in the artifact), else the
+    fold aborts before writing anything."""
+    adjudicated = adjudicated or set()
     with open(dest) as f:
         art = json.load(f)
     if float(art.get("sf", -1)) != float(runs[0]["sf"]):
@@ -80,9 +105,38 @@ def fold(dest: str, runs: list[dict], period: str | None) -> dict:
         period = f"p{k}"
     if period in periods:
         raise RuntimeError(f"period {period!r} already recorded")
-    periods[period] = [r["value"] for r in runs]
     queries = art.setdefault("queries", {})
+    for q in purge or set():
+        queries.pop(q, None)
+        art.setdefault("purged", {}).setdefault(q, []).append(period)
+    # integrity check BEFORE any mutation: collect every query whose
+    # fresh median would regress its band >1.5× without an adjudication
     fresh_names = set().union(*(r["queries"] for r in runs))
+    offenders = []
+    for q in sorted(fresh_names):
+        old = queries.get(q)
+        if not old or not old.get("median"):
+            continue
+        vals = [r["queries"][q] for r in runs if q in r["queries"]]
+        fm = statistics.median(vals)
+        if fm > 1.5 * old["median"] and q not in adjudicated:
+            offenders.append(
+                f"{q}: fresh median {round(fm, 3)} vs band median "
+                f"{old['median']} ({round(fm / old['median'], 2)}x)"
+            )
+    if offenders:
+        raise RuntimeError(
+            "fold refused — these rows' fresh draws are >1.5x their "
+            "adjudicated band median, which is the shape of a code "
+            "regression; record a pre-vs-post-code A/B verdict and "
+            "re-run with --adjudicated (VERDICT r13 Next #9):\n  "
+            + "\n  ".join(offenders)
+        )
+    periods[period] = [r["value"] for r in runs]
+    for q in sorted(adjudicated):
+        art.setdefault("adjudications", {}).setdefault(q, []).append(
+            period
+        )
     for q in fresh_names:
         vals = [r["queries"][q] for r in runs if q in r["queries"]]
         entry = queries.setdefault(q, {"runs": []})
@@ -109,9 +163,19 @@ def main() -> int:
     argv = sys.argv[1:]
     do_fold = "--fold" in argv
     period = None
+    adjudicated: set[str] = set()
+    purge: set[str] = set()
     if "--period" in argv:
         i = argv.index("--period")
         period = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if "--adjudicated" in argv:
+        i = argv.index("--adjudicated")
+        adjudicated = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    if "--purge" in argv:
+        i = argv.index("--purge")
+        purge = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if not a.startswith("--")]
     n = int(args[0]) if len(args) > 0 else 3
@@ -128,7 +192,7 @@ def main() -> int:
             flush=True,
         )
     if do_fold:
-        artifact = fold(dest, runs, period)
+        artifact = fold(dest, runs, period, adjudicated, purge)
         with open(dest, "w") as f:
             json.dump(artifact, f, indent=1)
         print(
