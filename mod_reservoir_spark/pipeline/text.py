@@ -2249,29 +2249,34 @@ def bm25_search(
         raise ValueError("bm25_search: query has no tokens")
     qarr = F.array(*[F.lit(t) for t in qterms])
 
-    # ONE tokenize pass over the corpus (r13, guide §1.2): the old
-    # shape tokenized twice — once for the (N, avgdl) stats aggregate
-    # and once for the postings — and tokenization is the operator's
-    # dominant cost. The persisted pre-frame keeps only (doc_id, dl,
-    # query-term occurrences): corpus-row-sized but a few dozen bytes
-    # per row, never the token arrays.
+    # Separate narrow tokenize passes for the stats aggregate and the
+    # postings, NO persist. The r13 "one tokenize pass" rewrite cached
+    # a corpus-row-sized pre-frame instead; the r14 order-balanced A/B
+    # measured that cache as a pure LOSS at sf0.1 (0.90 vs 1.54 s min)
+    # AND at sf1 (0.74 vs 1.33) — tokenize is a cheap codegen'd split
+    # over a column-pruned scan, while the persist is a materialization
+    # barrier plus a cache write of every corpus row that also leaked
+    # (nothing ever unpersisted it). Re-scanning a pruned text column
+    # is the shape that holds at 100 TB; a corpus-sized cache is not.
     toks = tokens(text_col)
-    pre = docs.select(
-        "doc_id",
-        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("dl"),
-        F.filter(toks, lambda x: F.array_contains(qarr, x)).alias("_qt"),
-    ).persist()
-    stats = pre.agg(
+    t = docs.select("doc_id", toks.alias("_toks"))
+    stats = t.agg(
         F.count("*").cast("long").alias("_n"),
-        (F.sum("dl") / F.count("*")).alias("_avgdl"),
+        (
+            F.sum(F.coalesce(F.size("_toks"), F.lit(0)))
+            / F.count("*")
+        ).alias("_avgdl"),
     )
-    # the posting slice feeds BOTH the df rollup and the scoring join;
-    # bounded by query-term occurrences, tiny at any corpus size
     posting = (
-        pre.select("doc_id", "dl", F.explode("_qt").alias("term"))
+        t.select(
+            "doc_id",
+            F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("dl"),
+            F.explode(
+                F.filter("_toks", lambda x: F.array_contains(qarr, x))
+            ).alias("term"),
+        )
         .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").cast("long").alias("tf"))
-        .persist()
     )
     df_tbl = posting.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
@@ -3133,6 +3138,7 @@ def bm25_search_batch(
     query_col: str = "query",
     max_broadcast_queries: int = 100_000,
     n_queries: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Many queries against the materialized index in ONE plan — the
     retrieval-by-the-thousands shape (benchmark prompts for
@@ -3181,10 +3187,18 @@ def bm25_search_batch(
     # persisted: the term-filtered posting slice feeds the df rollup
     # AND the scoring join — unpersisted, the postings scan + filter
     # join runs twice (guide §5); the slice is bounded by query-term
-    # occurrences
+    # occurrences. Adjudicated r14 (VERDICT r13 Next #2): wash at
+    # sf0.1 (1.49 vs 1.41 s min), a measured WIN at sf1 (1.72 vs 2.20)
+    # where the second index scan it saves is 10x bigger — kept.
+    # ``persist=False`` is the lifecycle escape for long-lived sessions
+    # (the dedup verify-barrier convention): an internal persist the
+    # caller cannot unpersist would otherwise accumulate until LRU
+    # eviction.
     p = postings.join(
         bcast(qterm.select("term").distinct()), "term"
-    ).persist()
+    )
+    if persist:
+        p = p.persist()
     df_tbl = p.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
