@@ -363,14 +363,21 @@ def dsir_weights(
     the warehouse) + :func:`dsir_score` per batch — scoring a daily
     increment must not re-aggregate the 100 TB raw corpus.
 
-    The raw corpus is FEATURIZED ONCE: the same persisted (id, bucket,
-    tf) frame feeds the model's bucket counts AND the scoring join
-    (guide §1.2 — the composed form used to run the md5-explode
-    featurization of the full raw corpus twice, once per half).
+    The shared (id, bucket, tf) frame feeds the model's bucket counts
+    AND the scoring join, but is NOT memory-persisted: it is
+    OCCURRENCE-sized, and the r14 adjudication A/B (VERDICT r13 Next
+    #4) measured the r13 persist as a consistent 34% loss at sf0.1
+    (2.73 vs 2.04 s min) and a wash at sf1 (3.03 vs 3.13) — the same
+    r8 lesson recorded on ``_term_doc_counts``: materializing an
+    occurrence-sized frame costs more than re-running the narrow
+    explode projection. A production caller scoring the same 100 TB
+    corpus it modeled should persist the features to STORAGE and pass
+    them via ``raw_feats``/``feats`` (the dsir_model + dsir_score
+    lifecycle), not rely on an in-plan memory cache.
     """
     raw_feats = hashed_ngram_features(
         raw, text_col, id_col, n_max, buckets
-    ).persist()
+    )
     lam = dsir_model(
         raw, target, text_col, id_col, n_max, buckets,
         raw_feats=raw_feats,
