@@ -424,29 +424,69 @@ def ngram_counts(
     analysis over a pretraining corpus.
 
     Counts every OCCURRENCE (not the per-document distinct sets the
-    dedup operators use), plus the document frequency. Two shuffles,
-    both map-side combinable: (ngram, doc_id) partial counts, then the
-    per-ngram rollup — a hot n-gram ("of the") combines inside each
-    task before one row per key shuffles. The final top-k is a
-    TakeOrdered (heap per partition + driver merge of k rows), never a
-    global sort. Ties break on the n-gram string so the cut is
-    deterministic.
+    dedup operators use), plus the document frequency. ONE shuffle
+    (r14, VERDICT r13 Next #6): the per-document (ngram, tf) pairs are
+    derived IN-ROW by a run-length pass over the sorted gram array —
+    the :func:`_max_multiplicity` discipline extended to the full RLE —
+    so the old (ngram, doc_id) pre-aggregation, which shuffled the
+    whole occurrence frame on wide string keys just to count
+    within-document repeats, is gone; the single per-ngram rollup is
+    map-side combinable (a hot n-gram combines inside each task before
+    one row per key shuffles). The final top-k is a TakeOrdered (heap
+    per partition + driver merge of k rows), never a global sort. Ties
+    break on the n-gram string so the cut is deterministic.
 
     Output: (ngram, n_total, n_docs) — k rows, ordered by n_total
     descending then ngram.
     """
     from mod_reservoir_spark.pipeline.dedup import ngram_array
 
-    grams = ngram_array(tokens(text_col), n)
-    per_doc = (
-        docs.select("doc_id", F.explode(grams).alias("ngram"))
-        .groupBy("ngram", "doc_id")
-        .agg(F.count("*").alias("c"))
+    # _a is a materialized projection column, so the F.get(_a, ...)
+    # references inside the HOF lambdas below are attribute lookups,
+    # not re-evaluations of the sort (the ngram_array O(n²) pitfall
+    # only bites when the lambda references an expensive expression)
+    d = spread_input(docs).select(
+        F.array_sort(ngram_array(tokens(text_col), n)).alias("_a")
     )
+    a = F.col("_a")
+    sz = F.size(a)
+    # run-start positions (1-based): position 1 plus every position
+    # whose gram differs from its predecessor. F.get is 0-based and
+    # NULL-safe out of range, so i=1 compares against NULL and the
+    # isNull() arm makes it a start.
+    starts = F.filter(
+        F.when(sz >= 1, F.sequence(F.lit(1), sz)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.get(a, i - 2).isNull()
+        | (F.get(a, i - 1) != F.get(a, i - 2)),
+    )
+    d = d.select("_a", starts.alias("_st"))
+    st = F.col("_st")
+    # each run ends where the next begins; the last run ends at sz+1
+    ends = F.concat(
+        F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+        F.array(F.size("_a") + F.lit(1)),
+    )
+    pairs = F.zip_with(
+        st,
+        ends,
+        lambda s, e: F.struct(
+            F.get(F.col("_a"), s - 1).alias("ngram"),
+            (e - s).cast("long").alias("tf"),
+        ),
+    )
+    per_doc = d.select(
+        F.explode(
+            F.when(F.size(st) >= 1, pairs).otherwise(
+                F.array().cast("array<struct<ngram:string,tf:bigint>>")
+            )
+        ).alias("g")
+    ).select(F.col("g.ngram").alias("ngram"), F.col("g.tf").alias("tf"))
     return (
         per_doc.groupBy("ngram")
         .agg(
-            F.sum("c").cast("long").alias("n_total"),
+            F.sum("tf").cast("long").alias("n_total"),
             F.count("*").cast("long").alias("n_docs"),
         )
         .orderBy(F.col("n_total").desc(), F.col("ngram").asc())

@@ -215,17 +215,82 @@ def test_line_dedup_plan_is_skew_safe(docs):
     assert shuffles <= 3, simple
 
 
-def test_ngram_counts_plan(docs):
-    """ngram_counts: both aggregations partial+final (hot n-grams
-    combine before shuffling) and the top-k is a TakeOrdered heap, not
-    a global sort."""
+def test_ngram_counts_plan(docs, spark):
+    """ngram_counts (r14 RLE shape): the per-document (ngram, tf)
+    pairs fold IN-ROW over the sorted gram array, so the only data
+    shuffle is the ONE map-side-combinable per-ngram rollup — the old
+    (ngram, doc_id) occurrence-frame exchange is gone; the top-k is a
+    TakeOrdered heap, not a global sort. On a single-split bench input
+    the gated spread_input round-robin exchange precedes the narrow
+    RLE work (guide §2.5); on a well-partitioned input the gate must
+    not fire."""
     from mod_reservoir_spark.pipeline.text import ngram_counts
 
     df = ngram_counts(docs, n=3, k=10)
     p = plan(df)
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p or "partial_sum" in p
-    assert plan(df, "simple").count("Exchange") == 2
+    simple = plan(df, "simple")
+    assert simple.count("Exchange") == 2, simple
+    assert "roundrobinpartitioning" in simple.lower(), simple
+    wide = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
+    assert plan(ngram_counts(wide, n=3, k=10), "simple").count(
+        "Exchange"
+    ) == 1
+
+
+def test_ngram_counts_rle_matches_explode_groupby(spark):
+    """The r14 in-row RLE derivation of per-document (ngram, tf) pairs
+    must match the explode → groupBy(ngram, doc_id) shape it replaced
+    — exact rows, including within-document repeats, empty/NULL text,
+    and sub-order-length docs."""
+    import pyspark.sql.functions as F
+
+    from mod_reservoir_spark.pipeline.dedup import ngram_array
+    from mod_reservoir_spark.pipeline.text import ngram_counts, tokens
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a"),
+            (1, "a b c"),
+            (2, ""),
+            (3, None),
+            (4, "x"),
+            (5, "A b a  B a b"),
+            (6, "z z z z z z"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def old(docs, n, k):
+        grams = ngram_array(tokens("text"), n)
+        per_doc = (
+            docs.select("doc_id", F.explode(grams).alias("ngram"))
+            .groupBy("ngram", "doc_id")
+            .agg(F.count("*").alias("c"))
+        )
+        return (
+            per_doc.groupBy("ngram")
+            .agg(
+                F.sum("c").cast("long").alias("n_total"),
+                F.count("*").cast("long").alias("n_docs"),
+            )
+            .orderBy(F.col("n_total").desc(), F.col("ngram").asc())
+            .limit(k)
+        )
+
+    for n in (1, 2, 3, 7):
+        got = sorted(
+            (r.ngram, r.n_total, r.n_docs)
+            for r in ngram_counts(docs, n=n, k=100).collect()
+        )
+        want = sorted(
+            (r.ngram, r.n_total, r.n_docs)
+            for r in old(docs, n, 100).collect()
+        )
+        assert got == want, (n, got, want)
 
 
 def test_bloom_plans(docs):
