@@ -223,6 +223,45 @@ def curate(
         if materialize
         else (lambda df: df)
     )
+
+    # Overlap the independent benchmark-side builds with the
+    # quality/dedup chain (r14, guide §2.6 — actions are only
+    # sequential because the driver calls them sequentially): the
+    # contamination n-gram set and the near-contamination signature
+    # table depend ONLY on `benchmark`, but in the eager-materialize
+    # funnel they used to build serially inside their stage's
+    # checkpoint job, after the whole chain. A one-thread pool kicks
+    # their materialization off now so those jobs back-fill the idle
+    # cores of the chain's stage tails; the stages then consume the
+    # pre-built tables through the existing bench_ngrams= /
+    # benchmark_sigs= maintained-table parameters (same functions,
+    # value-identical — the streaming funnel already consumes them
+    # this way). Lazy mode keeps the lazy composition (no jobs may run
+    # before the caller's action).
+    bench_ng_f = bench_sigs_f = None
+    if benchmark is not None and materialize:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mod_reservoir_spark.pipeline.dedup import signature_table
+        from mod_reservoir_spark.pipeline.text import benchmark_ngrams
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        bench_ng_f = pool.submit(
+            lambda: benchmark_ngrams(benchmark, text_col).localCheckpoint(
+                eager=True
+            )
+        )
+        if benchmark_near_ppm is not None:
+            # near_contamination is invoked below with ITS defaults
+            # (num_hashes=16, shingle_n=2, md5) — the pre-built table
+            # must match them exactly
+            bench_sigs_f = pool.submit(
+                lambda: signature_table(
+                    benchmark, text_col, 16, 2
+                ).localCheckpoint(eager=True)
+            )
+        pool.shutdown(wait=False)
+
     base = m(docs.select("doc_id", F.col(text_col).alias("_text")))
 
     # optional crawl-first URL-level stage 0
@@ -409,11 +448,14 @@ def curate(
     # no-op stages now contribute literal columns, not joins (r13,
     # guide §2.4)
     if benchmark is not None:
+        c_in = n_surv.select("doc_id", F.col("_text").alias("text"))
+        c_frame = (
+            contamination(c_in, bench_ngrams=bench_ng_f.result())
+            if bench_ng_f is not None
+            else contamination(c_in, benchmark)
+        )
         c = m(
-            contamination(
-                n_surv.select("doc_id", F.col("_text").alias("text")),
-                benchmark,
-            ).select(
+            c_frame.select(
                 "doc_id",
                 "contamination_ppm",
                 (F.col("contamination_ppm") <= max_contamination_ppm).alias(
@@ -431,12 +473,20 @@ def curate(
         c_surv = n_surv.join(c.filter("_c_keep"), "doc_id").select(
             "doc_id", "_text"
         )
-        nc = m(
+        nc_in = c_surv.select("doc_id", F.col("_text").alias("text"))
+        nc_frame = (
             near_contamination(
-                c_surv.select("doc_id", F.col("_text").alias("text")),
-                benchmark,
+                nc_in,
+                benchmark_sigs=bench_sigs_f.result(),
                 threshold_ppm=benchmark_near_ppm,
-            ).select(
+            )
+            if bench_sigs_f is not None
+            else near_contamination(
+                nc_in, benchmark, threshold_ppm=benchmark_near_ppm
+            )
+        )
+        nc = m(
+            nc_frame.select(
                 "doc_id",
                 (F.col("n_bench_matches") == 0).alias("_nc_keep"),
             )
