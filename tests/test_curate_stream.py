@@ -3,6 +3,7 @@ ledger must equal batch curate() over everything ingested — same kept
 set, same first-drop attribution, same scrubbed text."""
 
 import json
+import pytest
 import os
 
 import pyspark.sql.functions as F
@@ -135,6 +136,7 @@ def test_streaming_curate_replay_identical(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.exhaustive  # stream==batch already pinned by the kept equals_batch scenario; this re-runs it on a seeded random corpus
 def test_streaming_curate_random_corpus_equivalence(spark, tmp_path):
     """Seeded-random corpus with forced collisions (small vocab, doc
     templates reused across batches), split into 3 id-ordered batches:
@@ -195,6 +197,7 @@ def test_streaming_curate_random_corpus_equivalence(spark, tmp_path):
     )
 
 
+@pytest.mark.exhaustive  # near_contamination behavior pinned batch-side (test_pipeline) and by the oracle row
 def test_streaming_curate_near_benchmark_stage(spark, tmp_path):
     """With benchmark_near_ppm, the streaming ledger still equals
     batch curate() — including the near_contaminated attribution."""
@@ -252,6 +255,7 @@ def test_streaming_curate_near_benchmark_stage(spark, tmp_path):
 COMPONENT = {0, 1, 4, 5, 8}
 
 
+@pytest.mark.exhaustive  # ownership invariants also pinned by the kept replay scenario and the windowed-streaming dedup tests
 def test_streaming_curate_out_of_order_invariants(spark, tmp_path):
     """The ARRIVAL-ORDER CONTRACT (module docstring): with batches
     shuffled so smaller doc_ids arrive later, the keeper identity may
@@ -316,6 +320,7 @@ def test_streaming_curate_out_of_order_invariants(spark, tmp_path):
         assert got[d] in ("exact_dup", "near_dup"), (d, got[d])
 
 
+@pytest.mark.exhaustive  # state compaction path untouched since r11; compaction also pinned for the dedup states in test_windowed_streaming
 def test_compact_curate_state_continues_identically(spark, tmp_path):
     """compact_curate_state folds per-batch partitions into batch=-1
     with FIRST-SEEN-WINS, after which continuing the stream yields the
@@ -367,6 +372,7 @@ def test_compact_curate_state_continues_identically(spark, tmp_path):
     assert "batch=-1" in parts and "batch=0" not in parts
 
 
+@pytest.mark.exhaustive  # the LM gate arithmetic is pinned batch-side (test_curate perplexity/5gram/trigram gates, oracle rows); this re-runs the stream face per gate variant
 def test_streaming_curate_perplexity_gate_equals_batch(spark, tmp_path):
     """With a frozen reference LM, the streamed funnel's perplexity
     stage attributes identically to batch curate(lm_tables=...) over
@@ -434,6 +440,7 @@ def test_streaming_curate_perplexity_gate_equals_batch(spark, tmp_path):
     assert "perplexity" in {s for s, _ in got.values() if s}
 
 
+@pytest.mark.exhaustive  # lm_model_path pinned batch-side (test_curate_lm_model_path_equals_hand_composed)
 def test_streaming_curate_lm_model_path_equals_batch(spark, tmp_path):
     """The one-call persisted-model gate (VERDICT r11 Next #3) in the
     STREAMING funnel: lm_model_path supplies tables, strata and the
@@ -516,6 +523,7 @@ def test_streaming_curate_lm_model_path_equals_batch(spark, tmp_path):
     assert "perplexity" in {s for s, _ in got.values() if s}
 
 
+@pytest.mark.exhaustive  # the KN gate is pinned batch-side (test_kn gate tests, kn oracle row)
 def test_streaming_curate_kn_gate_equals_batch(spark, tmp_path):
     """lm_smoothing='kn' in the streamed funnel mirrors batch
     curate(lm_smoothing='kn') exactly (fold-equals-batch under the
@@ -586,6 +594,7 @@ def test_streaming_curate_kn_gate_equals_batch(spark, tmp_path):
     assert "perplexity" in {s for s, _ in got.values() if s}
 
 
+@pytest.mark.exhaustive  # strata gating pinned batch-side (test_curate strata backoff test, test_pipeline lm_strata equivalences)
 def test_streaming_curate_per_language_gate_equals_batch(spark, tmp_path):
     """Per-language gating (lm_strata): the streamed funnel with a
     stratified frozen reference scores each doc under its own
@@ -669,6 +678,7 @@ def test_streaming_curate_per_language_gate_equals_batch(spark, tmp_path):
     assert got[0] is None and got[2] is None
 
 
+@pytest.mark.exhaustive  # url stage pinned batch-side (test_curate_url_stage_attribution, url_dedup oracle row)
 def test_streaming_curate_url_stage_equals_batch(spark, tmp_path):
     """url_col= in the STREAMING funnel: cross-batch canonical-URL
     ownership (first-seen wins) — after id-ordered batches the

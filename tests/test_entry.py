@@ -86,6 +86,7 @@ def test_event_queries_timestamp_encoding_agnostic(spark, name, tmp_path):
         assert table_hash(srows, scols, stags) == want, label
 
 
+@pytest.mark.exhaustive  # constructs all 95 contract frames (~100 s); schema shape only changes on a contract rotation, which optimization rounds forbid
 def test_contract_rows_scalar_only(spark):
     """The driver's canonicalizer pandas-sorts object columns and dies
     on unhashable cells (r7: pq_codes ERR'd on an array<bigint>

@@ -121,6 +121,7 @@ def test_parse_oai_response_fixture_1():
     assert all(r["marc"] and r["marc"]["fields"] for r in live)
 
 
+@pytest.mark.exhaustive  # the harvest loop's pieces (dispatch, paging, fencing, stop flag) each have their own kept tests
 def test_harvest_loop_end_to_end(spark, warehouse, tmp_path):
     """Drive the harvest loop over the reference's fixture pages with a
     fake fetch; verify ingest, counters, from-advance, token chain."""

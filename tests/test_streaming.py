@@ -1,5 +1,6 @@
 """Structured Streaming ingest + module registry tests."""
 
+import pytest
 import json
 
 from mod_reservoir_spark.functions.modules import (
@@ -147,6 +148,7 @@ def test_stream_ingest_available_now(spark, warehouse, tmp_path):
     assert clusters == 2
 
 
+@pytest.mark.exhaustive  # bounds-only scenario over the ingest path the kept available_now/e2e tests drive
 def test_stream_ingest_backpressure_bounds_batches(spark, warehouse, tmp_path):
     """maxFilesPerTrigger=1 is the backpressure bound (reference
     IngestWriteStream queue analog): four input files must surface as
